@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Table loaders for the driver-provided parquet star schema
+  * (see /root/repo/TESTDATA.md). One parquet file per table.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects by
+    * default. Read nanos as long and floor-divide to a microsecond
+    * timestamp — the same ns->us truncation DuckDB applies, so oracle
+    * comparisons on ts agree.
+    */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+}
+
+/** Determinism helpers so Spark results hash-match the DuckDB oracle.
+  *
+  * Floating-point summation is order-dependent; Spark's partial/final
+  * aggregation over shuffled partitions sums in a different order than
+  * DuckDB's scan. Routing sums through a fixed-scale decimal makes the
+  * aggregation exact (the source values are money/quantity-like with a
+  * short exact decimal expansion), and the final decimal->double cast is
+  * identical in both engines.
+  */
+object Det {
+  val Scale = DecimalType(25, 6)
+
+  /** Order-independent sum of a double column, returned as double. */
+  def dsum(c: Column): Column = sum(c.cast(Scale)).cast(DoubleType)
+
+  /** Order-independent mean: exact decimal sum / non-null count. */
+  def davg(c: Column): Column = (sum(c.cast(Scale)).cast(DoubleType) / count(c))
+
+  /** Oracle-side SQL fragment equivalent to [[dsum]]. */
+  def oSum(expr: String): String =
+    s"CAST(SUM(CAST($expr AS DECIMAL(25,6))) AS DOUBLE)"
+
+  /** Oracle-side SQL fragment equivalent to [[davg]]. */
+  def oAvg(expr: String): String =
+    s"(CAST(SUM(CAST($expr AS DECIMAL(25,6))) AS DOUBLE) / COUNT($expr))"
+}

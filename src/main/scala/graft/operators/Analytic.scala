@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.{Det, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Window-function pack (SURVEY.md §2.2 `win_*`): ranking, analytic
+  * (lag/lead/first/last), and row/range frames.
+  *
+  * Scale notes: window evaluation shuffles once on the partition key; the
+  * partition keys chosen here (nation, user, customer) have bounded
+  * fan-out, so no single partition explodes at 100 TB. Running sums route
+  * through decimal so frame results are order-exact vs the oracle.
+  */
+object Analytic {
+  import Det._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val winRank: Q = (s, dir) => {
+    val c = Tables(s, dir, "customer")
+    // rank/dense_rank tolerate ties (same rank); row_number/ntile need the
+    // total order to be deterministic.
+    val byBal = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal").desc)
+    val total = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    c.select(
+        col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+        rank().over(byBal).as("rk"),
+        dense_rank().over(byBal).as("drk"),
+        row_number().over(total).as("rn"),
+        ntile(4).over(total).as("quartile"))
+      .orderBy("c_nationkey", "rn")
+  }
+
+  private val winAnalytic: Q = (s, dir) => {
+    val e = Tables(s, dir, "events")
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val whole = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    e.select(
+        col("user_id"), col("event_id"), col("value"),
+        lag("value", 1).over(w).as("prev_v"),
+        lead("value", 1).over(w).as("next_v"),
+        first("value").over(w.rowsBetween(Window.unboundedPreceding, 0)).as("first_v"),
+        last("value").over(whole).as("final_v"))
+      .orderBy("user_id", "event_id")
+  }
+
+  private val winFrame: Q = (s, dir) => {
+    val o = Tables(s, dir, "orders")
+    val dec = col("o_totalprice").cast(DecimalType(25, 6))
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    val days = datediff(col("o_orderdate").cast("date"), lit("1990-01-01").cast("date"))
+    val byDays = Window.partitionBy("o_custkey").orderBy(days)
+    o.select(
+        col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"),
+        sum(dec).over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("double").as("running_total"),
+        count(lit(1)).over(w.rowsBetween(-2, 0)).as("cnt3"),
+        sum(dec).over(w.rowsBetween(-2, 0)).cast("double").as("sum3"),
+        sum(dec).over(byDays.rangeBetween(-30, 0))
+          .cast("double").as("sum_30d"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "win_rank" -> winRank,
+    "win_analytic" -> winAnalytic,
+    "win_frame" -> winFrame,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "win_rank" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal,
+        | rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS rk,
+        | dense_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS drk,
+        | row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn,
+        | ntile(4) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS quartile
+        |FROM customer ORDER BY c_nationkey, rn""".stripMargin,
+    "win_analytic" ->
+      """SELECT user_id, event_id, value,
+        | lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_v,
+        | lead(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_v,
+        | first_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_v,
+        | last_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS final_v
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "win_frame" ->
+      """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS od,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+        | COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS cnt3,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum3,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) OVER (
+        |   PARTITION BY o_custkey
+        |   ORDER BY datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+        |   RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_30d
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+  )
+}

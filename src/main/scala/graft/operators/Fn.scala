@@ -1,0 +1,184 @@
+package graft.operators
+
+import graft.{Det, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar / higher-order function packs (SURVEY.md §2.2 `fn_*`). All
+  * codegen'd built-ins — no UDFs — so every expression stays inside
+  * whole-stage codegen at scale.
+  */
+object Fn {
+  import Det._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val fnString: Q = (s, dir) => {
+    val p = Tables(s, dir, "part")
+    p.select(
+        col("p_partkey"),
+        upper(col("p_name")).as("up_name"),
+        lower(col("p_brand")).as("lo_brand"),
+        substring(col("p_type"), 1, 5).as("type5"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        ltrim(rtrim(col("p_name"))).as("trimmed"),
+        regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+        size(split(col("p_name"), " ")).as("n_words"),
+        length(col("p_name")).as("n_chars"))
+      .orderBy("p_partkey")
+  }
+
+  private val fnDate: Q = (s, dir) => {
+    val o = Tables(s, dir, "orders")
+    val od = col("o_orderdate")
+    o.select(
+        col("o_orderkey"),
+        year(od).as("yr"),
+        month(od).as("mo"),
+        dayofmonth(od).as("dom"),
+        quarter(od).as("qtr"),
+        date_format(date_trunc("month", od), "yyyy-MM-dd").as("month_start"),
+        date_format(date_add(od.cast("date"), 30), "yyyy-MM-dd").as("plus30"),
+        datediff(lit("1998-12-31").cast("date"), od.cast("date")).as("days_to_end"))
+      .orderBy("o_orderkey")
+  }
+
+  private val fnMath: Q = (s, dir) => {
+    val p = Tables(s, dir, "part")
+    p.select(
+        col("p_partkey"),
+        abs(col("p_size") - 25).as("abs_off"),
+        pow(col("p_size"), 2).as("pow_sz"),
+        sqrt(col("p_size")).as("sqrt_sz"),
+        ceil(col("p_retailprice")).as("ceil_p"),
+        floor(col("p_retailprice")).as("floor_p"),
+        round(col("p_retailprice"), 1).as("round1"),
+        pmod(col("p_size"), lit(7)).as("mod7"),
+        greatest(col("p_size"), lit(25)).as("gr25"),
+        least(col("p_size"), lit(25)).as("ls25"),
+        signum(col("p_size") - 25).cast("int").as("sgn"))
+      .orderBy("p_partkey")
+  }
+
+  /** Higher-order array functions over tokenized document text:
+    * transform / filter / aggregate / slice / distinct+sort. Array results
+    * are re-joined to strings so the oracle compare is representation-free.
+    */
+  private val fnArray: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val words = split(col("text"), " ")
+    d.select(
+        col("doc_id"),
+        size(words).as("n_tokens"),
+        array_contains(words, "spark").cast("int").as("has_spark"),
+        concat_ws(" ", transform(words, w => upper(w))).as("upper_text"),
+        concat_ws(" ", filter(words, w => length(w) > 4)).as("long_words"),
+        aggregate(words, lit(0), (acc, w) => acc + length(w)).as("total_chars"),
+        concat_ws(" ", slice(words, 1, 5)).as("first5"),
+        concat_ws(" ", array_sort(array_distinct(words))).as("vocab"))
+      .orderBy("doc_id")
+  }
+
+  private val fnJson: Q = (s, dir) => {
+    val e = Tables(s, dir, "events")
+    e.select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k_int"))
+      .orderBy("event_id")
+  }
+
+  private val fnCaseWhen: Q = (s, dir) => {
+    val o = Tables(s, dir, "orders")
+    o.select(
+        when(col("o_totalprice") < 50000.0, "small")
+          .when(col("o_totalprice") < 150000.0, "medium")
+          .otherwise("large").as("bucket"),
+        col("o_totalprice"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("bucket")
+  }
+
+  private val fnCast: Q = (s, dir) => {
+    val li = Tables(s, dir, "lineitem")
+    li.select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        col("l_quantity").cast("int").as("qty_int"),
+        col("l_orderkey").cast("string").as("okey_str"),
+        (col("l_quantity") > 25.0).cast("int").as("heavy"),
+        col("l_shipdate").cast("date").cast("string").as("ship_day"),
+        lit("3.5").cast("double").as("lit_d"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "fn_string" -> fnString,
+    "fn_date" -> fnDate,
+    "fn_math" -> fnMath,
+    "fn_array" -> fnArray,
+    "fn_json" -> fnJson,
+    "fn_case_when" -> fnCaseWhen,
+    "fn_cast" -> fnCast,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "fn_string" ->
+      """SELECT p_partkey, upper(p_name) AS up_name, lower(p_brand) AS lo_brand,
+        | substring(p_type, 1, 5) AS type5,
+        | concat_ws('|', p_brand, p_type) AS brand_type,
+        | ltrim(rtrim(p_name)) AS trimmed,
+        | regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+        | regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+        | len(string_split(p_name, ' ')) AS n_words,
+        | length(p_name) AS n_chars
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "fn_date" ->
+      """SELECT o_orderkey, year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+        | day(o_orderdate) AS dom, quarter(o_orderdate) AS qtr,
+        | strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        | strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS plus30,
+        | datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_to_end
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "fn_math" ->
+      """SELECT p_partkey, abs(p_size - 25) AS abs_off,
+        | pow(p_size, 2) AS pow_sz, sqrt(p_size) AS sqrt_sz,
+        | CAST(ceil(p_retailprice) AS BIGINT) AS ceil_p,
+        | CAST(floor(p_retailprice) AS BIGINT) AS floor_p,
+        | round(p_retailprice, 1) AS round1,
+        | p_size % 7 AS mod7,
+        | greatest(p_size, 25) AS gr25, least(p_size, 25) AS ls25,
+        | CAST(sign(p_size - 25) AS INT) AS sgn
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "fn_array" ->
+      """SELECT doc_id,
+        | len(string_split(text, ' ')) AS n_tokens,
+        | CAST(list_contains(string_split(text, ' '), 'spark') AS INT) AS has_spark,
+        | array_to_string(list_transform(string_split(text, ' '), w -> upper(w)), ' ') AS upper_text,
+        | array_to_string(list_filter(string_split(text, ' '), w -> len(w) > 4), ' ') AS long_words,
+        | CAST(list_sum(list_transform(string_split(text, ' '), w -> len(w))) AS INT) AS total_chars,
+        | array_to_string(string_split(text, ' ')[1:5], ' ') AS first5,
+        | array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS vocab
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "fn_json" ->
+      """SELECT event_id, json_extract_string(props, '$.k') AS k_str,
+        | CAST(json_extract(props, '$.k') AS INT) AS k_int
+        |FROM events ORDER BY event_id""".stripMargin,
+    "fn_case_when" ->
+      s"""SELECT CASE WHEN o_totalprice < 50000.0 THEN 'small'
+         |  WHEN o_totalprice < 150000.0 THEN 'medium' ELSE 'large' END AS bucket,
+         | COUNT(*) AS n, ${oSum("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "fn_cast" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CAST(trunc(l_quantity) AS INT) AS qty_int,
+        | CAST(l_orderkey AS VARCHAR) AS okey_str,
+        | CAST(l_quantity > 25.0 AS INT) AS heavy,
+        | CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_day,
+        | CAST('3.5' AS DOUBLE) AS lit_d
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+  )
+}

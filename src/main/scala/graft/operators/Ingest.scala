@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.{Det, Tables}
+import graft.ingest.Importer
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Reference-parity ingest surface as verifiable queries (SURVEY.md §2.1,
+  * R1-R10): scan + columnMap projection/rename, schema discovery, value
+  * normalization, and a sink round-trip.
+  */
+object Ingest {
+  import Det._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** R1+R4: parquet scan + columnMap rename; a mapped-but-missing source
+    * column materializes as NULL (reference ParquetImporter.php:83).
+    */
+  private val scanProjectRename: Q = (s, dir) => {
+    val li = Tables(s, dir, "lineitem")
+    Importer.project(li, Seq(
+        "l_orderkey" -> "okey",
+        "l_linenumber" -> "line_no",
+        "l_quantity" -> "qty",
+        "not_a_column" -> "missing_col"))
+      .orderBy("okey", "line_no")
+  }
+
+  /** R3: schema discovery surfaced as data (ordinal, column name). */
+  private val scanSchemaCols: Q = (s, dir) => {
+    import s.implicits._
+    val li = Tables(s, dir, "lineitem")
+    li.columns.zipWithIndex.map { case (c, i) => (i + 1, c) }.toSeq
+      .toDF("ordinal", "col_name")
+      .orderBy("ordinal")
+  }
+
+  /** R5/R6: nested -> JSON, timestamp -> micro-formatted string. */
+  private val normalizeJsonTs: Q = (s, dir) => {
+    val e = Tables(s, dir, "events")
+    val pre = e.select(
+      col("event_id"),
+      struct(col("user_id"), col("event_type")).as("payload"),
+      col("ts"))
+    Importer.normalize(pre).orderBy("event_id")
+  }
+
+  /** R7-R10: write-then-read-back through the Importer sink (parquet table
+    * directory standing in for the SQL table; no JDBC driver offline) and
+    * aggregate the re-read data.
+    */
+  private val sinkRoundtrip: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    Importer.importParquet(s, s"$dir/lineitem.parquet", "lineitem_sink",
+      truncate = true, sinkDir = Some(tmp))
+    s.read.parquet(s"$tmp/lineitem_sink")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "scan_project_rename" -> scanProjectRename,
+    "scan_schema_cols" -> scanSchemaCols,
+    "normalize_json_ts" -> normalizeJsonTs,
+    "sink_roundtrip" -> sinkRoundtrip,
+  )
+
+  private val lineitemCols = Seq(
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+    "l_shipdate")
+
+  val oracles: Map[String, String] = Map(
+    "scan_project_rename" ->
+      """SELECT l_orderkey AS okey, l_linenumber AS line_no, l_quantity AS qty,
+        | CAST(NULL AS VARCHAR) AS missing_col
+        |FROM lineitem ORDER BY okey, line_no""".stripMargin,
+    "scan_schema_cols" ->
+      ("SELECT * FROM (VALUES " +
+        lineitemCols.zipWithIndex
+          .map { case (c, i) => s"(${i + 1}, '$c')" }.mkString(", ") +
+        ") AS t(ordinal, col_name) ORDER BY ordinal"),
+    "normalize_json_ts" ->
+      """SELECT event_id,
+        | to_json(struct_pack(user_id := user_id, event_type := event_type)) AS payload,
+        | strftime(ts, '%Y-%m-%d %H:%M:%S.%f') || '+00:00' AS ts
+        |FROM events ORDER BY event_id""".stripMargin,
+    "sink_roundtrip" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n, ${oSum("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+  )
+}

@@ -1,0 +1,397 @@
+package graft.operators
+
+import graft.{Det, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational operator pack: scans+filters, all join shapes,
+  * hash/distinct/grouping-set aggregation, sort/limit/top-k, set ops.
+  *
+  * Design rules (apply to every query in this engine):
+  *  - fully declarative DataFrame plans so Catalyst pushes filters/prunes
+  *    columns into the parquet scan and picks join strategies (AQE);
+  *  - small dimension tables are explicitly `broadcast()` — at 100 TB the
+  *    fact tables shuffle, the dims never should;
+  *  - every query ends in a total ordering so results are deterministic;
+  *  - double aggregates go through [[graft.Det]] so results hash-match the
+  *    DuckDB oracle bit-for-bit.
+  */
+object Relational {
+  import Det._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- filters
+
+  /** Conjunctive + disjunctive predicates, BETWEEN, IN, LIKE, IS NULL —
+    * all pushed to the parquet scan (PushedFilters in explain).
+    */
+  private val filterPushdown: Q = (s, dir) => {
+    val li = Tables(s, dir, "lineitem")
+    li.filter(
+        (col("l_shipdate").between(lit("1995-01-01").cast("timestamp"),
+                                   lit("1996-12-31").cast("timestamp"))
+          && col("l_discount").between(0.05, 0.07)
+          && col("l_quantity") < 24
+          && col("l_returnflag").isin("A", "N")
+          && col("l_linestatus").like("%F%"))
+          || col("l_shipdate").isNull)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_discount"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  // ------------------------------------------------------------------ joins
+
+  /** Dim-dim-fact star join; both dims broadcast (no shuffle of customer). */
+  private val joinInnerHash: Q = (s, dir) => {
+    val c = Tables(s, dir, "customer")
+    val n = Tables(s, dir, "nation")
+    val r = Tables(s, dir, "region")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_acctbal"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** Large-large join: orders x lineitem, forced shuffle-sort-merge (the
+    * strategy that survives at 100 TB where neither side broadcasts).
+    */
+  private val joinSortMerge: Q = (s, dir) => {
+    val o = Tables(s, dir, "orders").hint("merge")
+    val li = Tables(s, dir, "lineitem")
+    o.join(li, o("o_orderkey") === li("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Left outer join keeping customers with zero orders. */
+  private val joinLeft: Q = (s, dir) => {
+    val c = Tables(s, dir, "customer")
+    val o = Tables(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(o("o_orderkey")).as("n_orders"),
+        dsum(coalesce(o("o_totalprice"), lit(0.0))).as("sum_total"))
+      .orderBy("c_custkey")
+  }
+
+  /** Full outer join of two pre-aggregated sides (supplier vs customer
+    * presence per nation). Pre-aggregating before the outer join keeps the
+    * shuffled data minimal at scale.
+    */
+  private val joinFull: Q = (s, dir) => {
+    val sup = Tables(s, dir, "supplier")
+      .groupBy("s_nationkey").agg(count(lit(1)).as("n_sup"))
+    val cus = Tables(s, dir, "customer")
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n_cust"))
+    sup.join(cus, sup("s_nationkey") === cus("c_nationkey"), "full")
+      .select(
+        coalesce(sup("s_nationkey"), cus("c_nationkey")).as("nationkey"),
+        coalesce(col("n_sup"), lit(0L)).as("n_sup"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"))
+      .orderBy("nationkey")
+  }
+
+  /** Left-semi (EXISTS): orders having at least one heavy lineitem. */
+  private val joinSemi: Q = (s, dir) => {
+    val o = Tables(s, dir, "orders")
+    val heavy = Tables(s, dir, "lineitem").filter(col("l_quantity") >= 49)
+    o.join(heavy, o("o_orderkey") === heavy("l_orderkey"), "left_semi")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  /** Left-anti (NOT EXISTS): customers with no high-value orders. */
+  private val joinAnti: Q = (s, dir) => {
+    val c = Tables(s, dir, "customer")
+    val big = Tables(s, dir, "orders").filter(col("o_totalprice") > 400000.0)
+    c.join(big, c("c_custkey") === big("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** Theta join: equi key + range residual (quantity exceeds part size).
+    * The equi conjunct keeps it a hash/merge join — never a cartesian.
+    */
+  private val joinTheta: Q = (s, dir) => {
+    val li = Tables(s, dir, "lineitem")
+    val p = Tables(s, dir, "part")
+    li.join(broadcast(p),
+        li("l_partkey") === p("p_partkey") && li("l_quantity") > p("p_size"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("p_brand")
+  }
+
+  // ------------------------------------------------------------- aggregates
+
+  /** Flagship: TPC-H Q1 shape — scan, filter, hash agg (partial+final),
+    * sort. Whole pipeline stays in whole-stage codegen.
+    */
+  val aggHash: Q = (s, dir) => {
+    val li = Tables(s, dir, "lineitem")
+    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  private val aggDistinct: Q = (s, dir) => {
+    val li = Tables(s, dir, "lineitem")
+    li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("nd_part"),
+        countDistinct(col("l_suppkey")).as("nd_supp"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  /** approx_count_distinct (HLL++). No DuckDB oracle — sketch estimates are
+    * engine-specific; the driver records a rows-only check.
+    */
+  private val aggApproxDistinct: Q = (s, dir) => {
+    val li = Tables(s, dir, "lineitem")
+    li.groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_nd_part"))
+      .orderBy("l_returnflag")
+  }
+
+  private val aggRollup: Q = (s, dir) => {
+    val o = Tables(s, dir, "orders")
+    o.rollup("o_orderstatus", "o_orderpriority")
+      .agg(
+        grouping(col("o_orderstatus")).as("g_status"),
+        grouping(col("o_orderpriority")).as("g_prio"),
+        count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .select(
+        col("g_status"), col("g_prio"),
+        coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        col("n"), col("sum_price"))
+      .orderBy("g_status", "g_prio", "status", "priority")
+  }
+
+  private val aggCube: Q = (s, dir) => {
+    val li = Tables(s, dir, "lineitem")
+    li.cube("l_returnflag", "l_linestatus")
+      .agg(
+        grouping(col("l_returnflag")).as("g_rf"),
+        grouping(col("l_linestatus")).as("g_ls"),
+        count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .select(
+        col("g_rf"), col("g_ls"),
+        coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+        col("n"), col("sum_qty"))
+      .orderBy("g_rf", "g_ls", "rf", "ls")
+  }
+
+  /** GROUPING SETS via the SQL surface (also exercises spark.sql + views). */
+  private val aggGroupingSets: Q = (s, dir) => {
+    Tables(s, dir, "orders").createOrReplaceTempView("orders_gs")
+    s.sql(s"""
+      SELECT grouping(o_orderstatus) AS g_status,
+             grouping(o_custkey)     AS g_cust,
+             coalesce(o_orderstatus, '(all)') AS status,
+             coalesce(CAST(o_custkey AS STRING), '(all)') AS custkey,
+             count(1) AS n, ${Det.oSum("o_totalprice")} AS sum_price
+      FROM orders_gs
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_custkey), ())
+      ORDER BY g_status, g_cust, status, custkey""")
+  }
+
+  // --------------------------------------------------------- sort / limit
+
+  /** Global top-N: Spark plans TakeOrderedAndProject — no full sort, no
+    * single-node shuffle of the whole table.
+    */
+  private val sortLimit: Q = (s, dir) => {
+    Tables(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+  }
+
+  /** Top-k per group via row_number window + filter. */
+  private val topkPerGroup: Q = (s, dir) => {
+    val w = Window.partitionBy("p_brand")
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    Tables(s, dir, "part")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("p_brand", "rk", "p_partkey", "p_retailprice")
+      .orderBy("p_brand", "rk")
+  }
+
+  // ---------------------------------------------------------------- set ops
+
+  private def custkeysByStatus(s: SparkSession, dir: String, st: String) =
+    Tables(s, dir, "orders").filter(col("o_orderstatus") === st)
+      .select(col("o_custkey"))
+
+  private val setUnion: Q = (s, dir) =>
+    custkeysByStatus(s, dir, "F").union(custkeysByStatus(s, dir, "O"))
+      .distinct().orderBy("o_custkey")
+
+  private val setIntersect: Q = (s, dir) =>
+    custkeysByStatus(s, dir, "F").intersect(custkeysByStatus(s, dir, "O"))
+      .orderBy("o_custkey")
+
+  private val setExcept: Q = (s, dir) =>
+    custkeysByStatus(s, dir, "F").except(custkeysByStatus(s, dir, "O"))
+      .orderBy("o_custkey")
+
+  // ------------------------------------------------------------------- maps
+
+  val queries: Map[String, Q] = Map(
+    "filter_pushdown" -> filterPushdown,
+    "join_inner_hash" -> joinInnerHash,
+    "join_sortmerge" -> joinSortMerge,
+    "join_left" -> joinLeft,
+    "join_full" -> joinFull,
+    "join_semi" -> joinSemi,
+    "join_anti" -> joinAnti,
+    "join_theta" -> joinTheta,
+    "agg_hash" -> aggHash,
+    "agg_distinct" -> aggDistinct,
+    "agg_approx_distinct" -> aggApproxDistinct,
+    "agg_rollup" -> aggRollup,
+    "agg_cube" -> aggCube,
+    "agg_grouping_sets" -> aggGroupingSets,
+    "sort_limit" -> sortLimit,
+    "topk_per_group" -> topkPerGroup,
+    "set_union" -> setUnion,
+    "set_intersect" -> setIntersect,
+    "set_except" -> setExcept,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount,
+        | strftime(l_shipdate, '%Y-%m-%d') AS ship_day
+        |FROM lineitem
+        |WHERE (l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24
+        |  AND l_returnflag IN ('A','N')
+        |  AND l_linestatus LIKE '%F%')
+        |  OR l_shipdate IS NULL
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "join_inner_hash" ->
+      s"""SELECT r_name, n_name, COUNT(*) AS n_cust,
+         | ${oSum("c_acctbal")} AS sum_acctbal
+         |FROM customer
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "join_sortmerge" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_items,
+         | ${oSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "join_left" ->
+      s"""SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+         | ${oSum("COALESCE(o_totalprice, 0.0)")} AS sum_total
+         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "join_full" ->
+      """SELECT COALESCE(s.s_nationkey, c.c_nationkey) AS nationkey,
+        | COALESCE(s.n_sup, 0) AS n_sup, COALESCE(c.n_cust, 0) AS n_cust
+        |FROM (SELECT s_nationkey, COUNT(*) AS n_sup FROM supplier GROUP BY 1) s
+        |FULL JOIN (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer GROUP BY 1) c
+        |  ON s.s_nationkey = c.c_nationkey
+        |ORDER BY nationkey""".stripMargin,
+    "join_semi" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 49)
+        |ORDER BY o_orderkey""".stripMargin,
+    "join_anti" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_custkey NOT IN
+        |  (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_theta" ->
+      s"""SELECT p_brand, COUNT(*) AS n, ${oSum("l_quantity")} AS sum_qty
+         |FROM lineitem JOIN part
+         |  ON l_partkey = p_partkey AND l_quantity > p_size
+         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "agg_hash" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         | ${oSum("l_quantity")} AS sum_qty,
+         | ${oSum("l_extendedprice")} AS sum_base_price,
+         | ${oSum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+         | ${oSum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+         | ${oAvg("l_quantity")} AS avg_qty,
+         | ${oAvg("l_extendedprice")} AS avg_price,
+         | ${oAvg("l_discount")} AS avg_disc,
+         | COUNT(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "agg_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_part,
+        | COUNT(DISTINCT l_suppkey) AS nd_supp, COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_rollup" ->
+      s"""SELECT grouping(o_orderstatus) AS g_status,
+         | grouping(o_orderpriority) AS g_prio,
+         | COALESCE(o_orderstatus, '(all)') AS status,
+         | COALESCE(o_orderpriority, '(all)') AS priority,
+         | COUNT(*) AS n, ${oSum("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+         |ORDER BY g_status, g_prio, status, priority""".stripMargin,
+    "agg_cube" ->
+      s"""SELECT grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls,
+         | COALESCE(l_returnflag, '(all)') AS rf,
+         | COALESCE(l_linestatus, '(all)') AS ls,
+         | COUNT(*) AS n, ${oSum("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         |ORDER BY g_rf, g_ls, rf, ls""".stripMargin,
+    "agg_grouping_sets" ->
+      s"""SELECT grouping(o_orderstatus) AS g_status, grouping(o_custkey) AS g_cust,
+         | COALESCE(o_orderstatus, '(all)') AS status,
+         | COALESCE(CAST(o_custkey AS VARCHAR), '(all)') AS custkey,
+         | COUNT(*) AS n, ${oSum("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_custkey), ())
+         |ORDER BY g_status, g_cust, status, custkey""".stripMargin,
+    "sort_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "topk_per_group" ->
+      """SELECT p_brand, rk, p_partkey, p_retailprice FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |    row_number() OVER (PARTITION BY p_brand
+        |      ORDER BY p_retailprice DESC, p_partkey) AS rk
+        |  FROM part) t
+        |WHERE rk <= 3 ORDER BY p_brand, rk""".stripMargin,
+    "set_union" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |UNION
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin,
+    "set_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin,
+    "set_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin,
+  )
+}
