@@ -19,7 +19,10 @@ object SparkEntry {
       operators.Ingest.queries ++
       operators.Fn.queries ++
       operators.Analytic.queries ++
-      operators.Windowed.queries
+      operators.Windowed.queries ++
+      operators.Text.queries ++
+      operators.Dedup.queries ++
+      operators.Sim.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -29,5 +32,8 @@ object SparkEntry {
       operators.Ingest.oracles ++
       operators.Fn.oracles ++
       operators.Analytic.oracles ++
-      operators.Windowed.oracles
+      operators.Windowed.oracles ++
+      operators.Text.oracles ++
+      operators.Dedup.oracles ++
+      operators.Sim.oracles
 }

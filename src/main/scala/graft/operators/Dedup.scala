@@ -1,0 +1,246 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication pack for LLM-training-data pipelines over `documents` and
+  * `embeddings`: exact (hash-groupBy), character-n-gram Jaccard, MinHash +
+  * LSH banding, SimHash, and blocked embedding-cosine near-dup.
+  *
+  * Scale design (the point of each operator at 100 TB):
+  *  - exact: one hash aggregation on md5(text) — the only shuffle is by
+  *    fingerprint, and map-side partial aggregation collapses dups early.
+  *  - ngram-jaccard: exploded shingle self-join. Frequent shingles are
+  *    dropped (document frequency cap) BEFORE the join — without the cap
+  *    the join is quadratic in the hottest shingle's df. This is the
+  *    CCNet/Gopher "common n-gram" guard.
+  *  - minhash: candidates come ONLY from LSH band collisions (32 hashes,
+  *    16 bands x 2 rows), so join cost is O(near-dups), not O(n^2); exact
+  *    Jaccard then verifies candidates. P(miss | J>=0.8) = (1-J^2)^16
+  *    <= 8e-8, so the banding is lossless in practice vs the brute oracle.
+  *  - simhash: 60-bit signature per doc (md5 token hashes, bit-majority);
+  *    near-dup pairs join on 4 x 15-bit chunks — pigeonhole guarantees
+  *    every pair with hamming <= 3 collides on >= 1 chunk.
+  *  - embedding: cosine pairs blocked by the coarse partition key (label —
+  *    standing in for an IVF cell id), never a full cross join.
+  *
+  * All Jaccard values are exact int-count divisions (bit-identical across
+  * engines); cosine goes through double math and round(.,6).
+  */
+object Dedup {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Distinct 12-char shingle set per document. */
+  private val shingleExpr =
+    "array_distinct(transform(sequence(1, greatest(length(text) - 11, 1)), i -> substr(text, i, 12)))"
+  private val oShingle =
+    "list_distinct(list_transform(range(1, greatest(len(text) - 10, 2)), i -> substr(text, i, 12)))"
+
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents").select(col("doc_id"), expr(shingleExpr).as("sh"))
+
+  // ------------------------------------------------------------------ exact
+
+  /** Exact dedup on md5(text) with a deterministic keep-rule (min doc_id).
+    * Input is the corpus unioned with a shifted-id copy of itself — a
+    * simulated dirty crawl — so the dedup provably halves it.
+    */
+  private val exact: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    val dirty = d.unionAll(d.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+    dirty.groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("fp", "keep_id", "n_copies")
+      .orderBy("keep_id")
+  }
+
+  // --------------------------------------------------------- ngram jaccard
+
+  /** Exact n-gram Jaccard near-dup pairs (J >= 0.6) via shingle self-join
+    * with a df<=50 frequent-shingle cap (cost guard, mirrored in oracle).
+    */
+  private val ngramJaccard: Q = (s, dir) => {
+    val ex = shingles(s, dir)
+      .select(col("doc_id"), expr("cast(size(sh) as bigint)").as("n"), explode(col("sh")).as("s"))
+    val rare = ex.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= 50).select("s")
+    val exf = ex.join(rare, "s")
+    exf.as("a").join(exf.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"), first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+      .filter(col("jaccard") >= 0.6)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---------------------------------------------------------------- minhash
+
+  /** MinHash (32 perms via seeded xxhash64) + LSH banding (16 bands x 2)
+    * for candidates, exact Jaccard (J >= 0.8) to verify. The oracle is the
+    * brute-force Jaccard — banding must therefore be recall-lossless at
+    * this threshold, which the band parameters guarantee (see object doc).
+    */
+  private val minhash: Q = (s, dir) => {
+    val sh = shingles(s, dir)
+    val sig = sh.withColumn("sig",
+      expr("transform(sequence(0, 31), j -> array_min(transform(sh, s0 -> xxhash64(j, s0))))"))
+    val bands = sig.select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(0, 15), b -> struct(b AS bidx, xxhash64(element_at(sig, 2*b+1), element_at(sig, 2*b+2)) AS bh))"))
+          .as("band"))
+      .select(col("doc_id"), col("band.bidx").as("bidx"), col("band.bh").as("bh"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.bidx") === col("b.bidx") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("shared").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("shared")))
+      .filter(col("jaccard") >= 0.8)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---------------------------------------------------------------- simhash
+
+  /** 60-bit SimHash per doc: md5-derived 60-bit token hashes, bit-majority
+    * over the distinct token set.
+    */
+  private val simhashExpr = """
+    aggregate(
+      transform(sequence(0, 59), i ->
+        CASE WHEN aggregate(hv, 0, (acc, h) -> acc + (CASE WHEN (shiftright(h, i) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+             THEN shiftleft(cast(1 AS bigint), i) ELSE cast(0 AS bigint) END),
+      cast(0 AS bigint), (acc, x) -> acc + x)"""
+
+  private def simhashes(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .withColumn("tk", expr("array_distinct(filter(split(text, ' '), t -> length(t) > 0))"))
+      .withColumn("hv", expr("transform(tk, t -> cast(conv(substr(md5(t), 1, 15), 16, 10) AS bigint))"))
+      .select(col("doc_id"), expr(simhashExpr).as("simhash"))
+
+  /** SimHash-bucket dedup: identical signatures collapse, keep min doc_id. */
+  private val simhash: Q = (s, dir) =>
+    simhashes(s, dir)
+      .groupBy("simhash")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("simhash", "keep_id", "n_copies")
+      .orderBy("keep_id")
+
+  /** SimHash near-dup pairs (hamming <= 3) via 4 x 15-bit chunk banding —
+    * pigeonhole-complete for this radius, so it matches the brute oracle.
+    */
+  private val simhashPairs: Q = (s, dir) => {
+    val sim = simhashes(s, dir)
+    val chunks = sim.select(col("doc_id"), col("simhash"),
+        explode(expr(
+          "transform(sequence(0, 3), c -> struct(c AS cidx, (shiftright(simhash, 15 * c) & 32767) AS cval))"))
+          .as("ch"))
+      .select(col("doc_id"), col("simhash"), col("ch.cidx").as("cidx"), col("ch.cval").as("cval"))
+    chunks.as("a").join(chunks.as("b"),
+        col("a.cidx") === col("b.cidx") && col("a.cval") === col("b.cval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+      .distinct()
+      .withColumn("ham", expr("cast(bit_count(sa ^ sb) as int)"))
+      .filter(col("ham") <= 3)
+      .select("doc_a", "doc_b", "ham")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ------------------------------------------------------------- embeddings
+
+  /** Embedding near-dup pairs: cosine >= 0.4 within a coarse block (label
+    * column — the IVF-cell stand-in). Vectors are cast to double and norms
+    * precomputed before the join.
+    */
+  private val embedding: Q = (s, dir) => {
+    val e = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), expr("cast(embedding AS array<double>)").as("v"))
+      .withColumn("nrm", expr("sqrt(aggregate(v, 0d, (a, x) -> a + x * x))"))
+    e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos_sim", expr(
+        "round(aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0d, (acc, z) -> acc + z) / (a.nrm * b.nrm), 6)"))
+      .filter(col("cos_sim") >= 0.4)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.label").as("label"), col("cos_sim"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "dedup_exact" -> exact,
+    "dedup_ngram_jaccard" -> ngramJaccard,
+    "dedup_minhash" -> minhash,
+    "dedup_simhash" -> simhash,
+    "dedup_simhash_pairs" -> simhashPairs,
+    "dedup_embedding" -> embedding,
+  )
+
+  private val oSimhashCte =
+    s"""tk AS (SELECT doc_id, list_distinct(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS tk FROM documents),
+       |hs AS (SELECT doc_id, list_transform(tk, t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS hv FROM tk),
+       |sim AS (SELECT doc_id, CAST(list_sum(list_transform(range(60), i ->
+       |    CASE WHEN list_sum(list_transform(hv, h -> CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+       |         THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS simhash FROM hs)""".stripMargin
+
+  private val oCos =
+    "round(list_sum(list_transform(range(64), i -> a.v[i+1] * b.v[i+1])) / (a.nrm * b.nrm), 6)"
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """WITH dirty AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents)
+        |SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM dirty GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH sh AS (SELECT doc_id, $oShingle AS sh FROM documents),
+         |e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sh),
+         |rare AS (SELECT s FROM e GROUP BY s HAVING COUNT(*) <= 50),
+         |ef AS (SELECT e.* FROM e JOIN rare USING (s))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(COUNT(*) AS DOUBLE) / (ANY_VALUE(a.n) + ANY_VALUE(b.n) - COUNT(*)) AS jaccard
+         |FROM ef a JOIN ef b ON a.s = b.s AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2
+         |HAVING CAST(COUNT(*) AS DOUBLE) / (ANY_VALUE(a.n) + ANY_VALUE(b.n) - COUNT(*)) >= 0.6
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_minhash" ->
+      s"""WITH sh AS (SELECT doc_id, $oShingle AS sh FROM documents),
+         |e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sh)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(COUNT(*) AS DOUBLE) / (ANY_VALUE(a.n) + ANY_VALUE(b.n) - COUNT(*)) AS jaccard
+         |FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2
+         |HAVING CAST(COUNT(*) AS DOUBLE) / (ANY_VALUE(a.n) + ANY_VALUE(b.n) - COUNT(*)) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH $oSimhashCte
+         |SELECT simhash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+         |FROM sim GROUP BY simhash ORDER BY keep_id""".stripMargin,
+    "dedup_simhash_pairs" ->
+      s"""WITH $oSimhashCte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS ham
+         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_embedding" ->
+      s"""WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         |  sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+         |  FROM embeddings)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label, $oCos AS cos_sim
+         |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE $oCos >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin,
+  )
+}

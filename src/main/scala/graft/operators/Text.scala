@@ -1,0 +1,189 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis pack for LLM-training-data pipelines over the `documents`
+  * table: tokenization + term stats, token counting (whitespace + BPE-ish
+  * regex), quality scoring, language-ID (marker-word heuristic), document
+  * fingerprinting (normalized md5 + min-gram), and a lang x source pivot.
+  *
+  * Determinism rules: all ratios are a single int/int -> double division
+  * (one IEEE op — bit-identical in Spark and DuckDB, no rounding needed);
+  * all hashing is md5 (identical in both engines); every query ends in a
+  * total ordering.
+  *
+  * Scale notes: every query is a single scan + narrow per-row expressions
+  * (whole-stage codegen, no UDFs) followed by at most one hash aggregation
+  * — shape is embarrassingly parallel at 100 TB.
+  */
+object Text {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Non-empty whitespace tokens (split on ' ' leaves empties for runs). */
+  private val toksExpr = "filter(split(text, ' '), t -> length(t) > 0)"
+
+  /** Tokenize + corpus term stats: term frequency and document frequency. */
+  private val tokenizeStats: Q = (s, dir) => {
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(expr(toksExpr)).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("token"))
+  }
+
+  /** Per-doc token counting: whitespace tokens vs a BPE-ish regex lexer
+    * (letter runs | digit runs | single other chars).
+    */
+  private val tokenCount: Q = (s, dir) => {
+    Tables(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        expr(s"cast(size($toksExpr) as bigint)").as("n_ws"),
+        expr("cast(size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) as bigint)")
+          .as("n_bpe"),
+        length(col("text")).cast("bigint").as("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: length, type-token ratio, mean token length,
+    * stopword ratio, punctuation ratio, and a keep/drop flag — the
+    * Gopher-style heuristic filter shape.
+    */
+  private val quality: Q = (s, dir) => {
+    Tables(s, dir, "documents")
+      .withColumn("tk", expr(toksExpr))
+      .select(
+        col("doc_id"), col("lang"),
+        length(col("text")).cast("bigint").as("n_chars"),
+        expr("cast(size(tk) as bigint)").as("n_tokens"),
+        expr("cast(size(array_distinct(tk)) as bigint)").as("n_uniq"),
+        expr("cast(size(array_distinct(tk)) as double) / size(tk)").as("ttr"),
+        expr("cast(aggregate(tk, 0, (a, t) -> a + length(t)) as double) / size(tk)")
+          .as("avg_token_len"),
+        expr("cast(size(filter(tk, t -> array_contains(array('the','a','of','and','to','in'), t))) as double) / size(tk)")
+          .as("stop_ratio"),
+        expr("cast(length(regexp_replace(text, '[a-z0-9 ]', '')) as double) / length(text)")
+          .as("punct_ratio"),
+        expr("cast(CASE WHEN size(tk) BETWEEN 10 AND 10000 AND size(array_distinct(tk)) > 5 THEN 1 ELSE 0 END as int)")
+          .as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Marker sets per language for the lang-ID heuristic (distinct-token
+    * overlap count; ties resolve in fixed lang order de<en<es<fr<zh).
+    */
+  private val markers = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ein"),
+    "en" -> Seq("the", "and", "of", "to", "a"),
+    "es" -> Seq("el", "la", "de", "y", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "les"),
+    "zh" -> Seq("de_zh", "shi_zh"))
+
+  private val langId: Q = (s, dir) => {
+    def arr(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("array(", ", ", ")")
+    val scoreCols = markers.map { case (l, ws) =>
+      expr(s"cast(size(array_intersect(array_distinct(tk), ${arr(ws)})) as bigint)").as(s"s_$l")
+    }
+    val langs = markers.map(_._1)
+    // argmax with lexicographic tie-break = first lang whose score >= all later
+    val predSql = langs.init.zipWithIndex.map { case (l, i) =>
+        val rest = langs.drop(i + 1).map(r => s"s_$l >= s_$r").mkString(" AND ")
+        s"WHEN $rest THEN '$l'"
+      }.mkString("CASE ", " ", s" ELSE '${langs.last}' END")
+    Tables(s, dir, "documents")
+      .withColumn("tk", expr(toksExpr))
+      .select(col("doc_id") +: col("lang") +: scoreCols: _*)
+      .withColumn("pred_lang", expr(predSql))
+      .withColumn("is_correct", (col("pred_lang") === col("lang")).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprinting: md5 of the normalized text (exact-dup key)
+    * plus the minimum md5 over all 8-char grams of the normalized text
+    * (a 1-gram winnow — stable under small edits).
+    */
+  private val fingerprint: Q = (s, dir) => {
+    Tables(s, dir, "documents")
+      .withColumn("nrm", expr("trim(regexp_replace(lower(text), '[^a-z0-9]+', ' '))"))
+      .select(
+        col("doc_id"),
+        md5(col("nrm")).as("fp_exact"),
+        expr("array_min(transform(sequence(1, greatest(length(nrm) - 7, 1)), i -> md5(substr(nrm, i, 8))))")
+          .as("fp_min"))
+      .orderBy("doc_id")
+  }
+
+  private val sources: Seq[String] = (0 until 20).map(i => s"src$i")
+
+  /** lang x source contingency table via pivot. */
+  private val langSourcePivot: Q = (s, dir) => {
+    Tables(s, dir, "documents")
+      .groupBy("lang")
+      .pivot("source", sources)
+      .count()
+      .na.fill(0L)
+      .orderBy("lang")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "text_tokenize_stats" -> tokenizeStats,
+    "text_token_count" -> tokenCount,
+    "text_quality" -> quality,
+    "text_lang_id" -> langId,
+    "text_fingerprint" -> fingerprint,
+    "text_lang_source_pivot" -> langSourcePivot,
+  )
+
+  private val oToks = "list_filter(string_split(text, ' '), t -> len(t) > 0)"
+
+  val oracles: Map[String, String] = Map(
+    "text_tokenize_stats" ->
+      s"""SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+         |FROM (SELECT doc_id, unnest($oToks) AS token FROM documents)
+         |GROUP BY token ORDER BY tf DESC, token""".stripMargin,
+    "text_token_count" ->
+      s"""SELECT doc_id, len($oToks) AS n_ws,
+         | len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe,
+         | length(text) AS n_chars
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      s"""SELECT doc_id, lang, length(text) AS n_chars,
+         | len(tk) AS n_tokens, len(list_distinct(tk)) AS n_uniq,
+         | CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS ttr,
+         | CAST(list_sum(list_transform(tk, t -> len(t))) AS DOUBLE) / len(tk) AS avg_token_len,
+         | CAST(len(list_filter(tk, t -> list_contains(['the','a','of','and','to','in'], t))) AS DOUBLE) / len(tk) AS stop_ratio,
+         | CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+         | CAST(CASE WHEN len(tk) BETWEEN 10 AND 10000 AND len(list_distinct(tk)) > 5 THEN 1 ELSE 0 END AS INT) AS keep
+         |FROM (SELECT *, $oToks AS tk FROM documents) ORDER BY doc_id""".stripMargin,
+    "text_lang_id" -> {
+      def arr(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      val scores = markers.map { case (l, ws) =>
+        s"len(list_intersect(list_distinct(tk), ${arr(ws)})) AS s_$l"
+      }.mkString(",\n ")
+      val langs = markers.map(_._1)
+      val pred = langs.init.zipWithIndex.map { case (l, i) =>
+          val rest = langs.drop(i + 1).map(r => s"s_$l >= s_$r").mkString(" AND ")
+          s"WHEN $rest THEN '$l'"
+        }.mkString("CASE ", " ", s" ELSE '${langs.last}' END")
+      s"""WITH t AS (SELECT doc_id, lang, $oToks AS tk FROM documents),
+         |sc AS (SELECT doc_id, lang,
+         | $scores
+         |FROM t)
+         |SELECT *, $pred AS pred_lang,
+         | CAST(($pred) = lang AS INT) AS is_correct
+         |FROM sc ORDER BY doc_id""".stripMargin
+    },
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(nrm) AS fp_exact,
+        | list_min(list_transform(range(1, greatest(len(nrm) - 6, 2)), i -> md5(substr(nrm, i, 8)))) AS fp_min
+        |FROM (SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS nrm
+        |      FROM documents) ORDER BY doc_id""".stripMargin,
+    "text_lang_source_pivot" ->
+      ("SELECT lang, " +
+        sources.map(src => s"COUNT(*) FILTER (WHERE source = '$src') AS $src").mkString(", ") +
+        " FROM documents GROUP BY lang ORDER BY lang"),
+  )
+}
