@@ -22,7 +22,9 @@ object SparkEntry {
       operators.Windowed.queries ++
       operators.Text.queries ++
       operators.Dedup.queries ++
-      operators.Sim.queries
+      operators.Sim.queries ++
+      operators.Udf.queries ++
+      operators.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -35,5 +37,7 @@ object SparkEntry {
       operators.Windowed.oracles ++
       operators.Text.oracles ++
       operators.Dedup.oracles ++
-      operators.Sim.oracles
+      operators.Sim.oracles ++
+      operators.Udf.oracles ++
+      operators.Multimodal.oracles
 }

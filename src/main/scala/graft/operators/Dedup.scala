@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.VecFunctions.{minhash_sig, simhash64, vec_dot}
 
 /** Deduplication pack for LLM-training-data pipelines over `documents` and
   * `embeddings`: exact (hash-groupBy), character-n-gram Jaccard, MinHash +
@@ -38,8 +39,16 @@ object Dedup {
   private val oShingle =
     "list_distinct(list_transform(range(1, greatest(len(text) - 10, 2)), i -> substr(text, i, 12)))"
 
+  /** Shingle sets with a hashed (xxhash64) copy: join keys and signature
+    * inputs are 8-byte longs instead of 12-char strings — smaller shuffles
+    * and codegen-friendly signature loops. Jaccard counts are unchanged
+    * (64-bit collisions are negligible), so the string-based oracle still
+    * matches exactly.
+    */
   private def shingles(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents").select(col("doc_id"), expr(shingleExpr).as("sh"))
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), expr(shingleExpr).as("sh"))
+      .select(col("doc_id"), expr("transform(sh, s0 -> xxhash64(s0))").as("sh64"))
 
   // ------------------------------------------------------------------ exact
 
@@ -63,7 +72,7 @@ object Dedup {
     */
   private val ngramJaccard: Q = (s, dir) => {
     val ex = shingles(s, dir)
-      .select(col("doc_id"), expr("cast(size(sh) as bigint)").as("n"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), expr("cast(size(sh64) as bigint)").as("n"), explode(col("sh64")).as("s"))
     val rare = ex.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= 50).select("s")
     val exf = ex.join(rare, "s")
     exf.as("a").join(exf.as("b"),
@@ -86,8 +95,7 @@ object Dedup {
     */
   private val minhash: Q = (s, dir) => {
     val sh = shingles(s, dir)
-    val sig = sh.withColumn("sig",
-      expr("transform(sequence(0, 31), j -> array_min(transform(sh, s0 -> xxhash64(j, s0))))"))
+    val sig = sh.withColumn("sig", minhash_sig(col("sh64"), 32))
     val bands = sig.select(col("doc_id"),
         explode(expr(
           "transform(sequence(0, 15), b -> struct(b AS bidx, xxhash64(element_at(sig, 2*b+1), element_at(sig, 2*b+2)) AS bh))"))
@@ -99,8 +107,8 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh64").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh64").as("sh_b")), "doc_b")
       .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", col("shared").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("shared")))
@@ -111,21 +119,15 @@ object Dedup {
 
   // ---------------------------------------------------------------- simhash
 
-  /** 60-bit SimHash per doc: md5-derived 60-bit token hashes, bit-majority
-    * over the distinct token set.
+  /** 60-bit SimHash per doc: md5-derived 60-bit token hashes (matching the
+    * DuckDB oracle's formulation), bit-majority via the codegen'd
+    * [[org.apache.spark.sql.graft.SimHash64]] expression.
     */
-  private val simhashExpr = """
-    aggregate(
-      transform(sequence(0, 59), i ->
-        CASE WHEN aggregate(hv, 0, (acc, h) -> acc + (CASE WHEN (shiftright(h, i) & 1) = 1 THEN 1 ELSE -1 END)) > 0
-             THEN shiftleft(cast(1 AS bigint), i) ELSE cast(0 AS bigint) END),
-      cast(0 AS bigint), (acc, x) -> acc + x)"""
-
   private def simhashes(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
       .withColumn("tk", expr("array_distinct(filter(split(text, ' '), t -> length(t) > 0))"))
       .withColumn("hv", expr("transform(tk, t -> cast(conv(substr(md5(t), 1, 15), 16, 10) AS bigint))"))
-      .select(col("doc_id"), expr(simhashExpr).as("simhash"))
+      .select(col("doc_id"), simhash64(col("hv")).as("simhash"))
 
   /** SimHash-bucket dedup: identical signatures collapse, keep min doc_id. */
   private val simhash: Q = (s, dir) =>
@@ -166,11 +168,11 @@ object Dedup {
   private val embedding: Q = (s, dir) => {
     val e = Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), expr("cast(embedding AS array<double>)").as("v"))
-      .withColumn("nrm", expr("sqrt(aggregate(v, 0d, (a, x) -> a + x * x))"))
+      .withColumn("nrm", sqrt(vec_dot(col("v"), col("v"))))
     e.as("a").join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos_sim", expr(
-        "round(aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0d, (acc, z) -> acc + z) / (a.nrm * b.nrm), 6)"))
+      .withColumn("cos_sim",
+        round(vec_dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6))
       .filter(col("cos_sim") >= 0.4)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         col("a.label").as("label"), col("cos_sim"))

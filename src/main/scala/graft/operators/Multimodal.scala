@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: opaque binary payloads with typed metadata,
+  * and a distributed per-partition decode pass.
+  *
+  * The test corpus has no real image/audio bytes (and this container has
+  * no decode libs), so the payload is the document's UTF-8 bytes and the
+  * DECODE STEP IS A DETERMINISTIC STUB — clearly marked below. Everything
+  * around the stub is the real production shape:
+  *  - binary column + metadata derived in codegen'd expressions
+  *    (`mm_binary_meta`);
+  *  - `mapPartitions` over a typed Dataset for the imperative decoder
+  *    (`mm_decode_stub`) — one decoder init per partition, streaming
+  *    iterator, no driver involvement; at 100 TB you size partitions via
+  *    maxPartitionBytes and the same code runs unchanged.
+  */
+object Multimodal {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Decoded metadata record (what a real image decoder would emit). */
+  final case class Decoded(
+      doc_id: Long, n_bytes: Long, n_frames: Long, mean_byte: Double,
+      fake_w: Long, fake_h: Long)
+
+  /** Binary payload + metadata via expressions only: byte length, sha256,
+    * magic bytes, and stubbed "decoded" dimensions derived from length.
+    */
+  private val binaryMeta: Q = (s, dir) => {
+    Tables(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        col("text").cast("binary").as("payload"),
+        octet_length(col("text")).cast("bigint").as("n_bytes"),
+        sha2(col("text"), 256).as("sha"),
+        lower(hex(encode(substring(col("text"), 1, 4), "UTF-8"))).as("magic4"))
+      // STUB dims: deterministic stand-in for decoded width/height.
+      .withColumn("fake_w", (lit(64) + pmod(col("n_bytes"), lit(512))).cast("bigint"))
+      .withColumn("fake_h", (lit(64) + pmod(col("n_bytes") * 7, lit(512))).cast("bigint"))
+      .select("doc_id", "n_bytes", "sha", "magic4", "fake_w", "fake_h")
+      .orderBy("doc_id")
+  }
+
+  /** Imperative per-partition decode over the binary payload. */
+  private val decodeStub: Q = (s, dir) => {
+    import s.implicits._
+    val ds = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+    ds.mapPartitions { it =>
+      // A real pipeline would initialize the decoder once per partition
+      // here (e.g. codec contexts). STUB: metadata derives
+      // deterministically from the bytes so the oracle can check the
+      // plumbing end-to-end.
+      it.map { case (id, bytes) =>
+        var sum = 0L
+        var i = 0
+        while (i < bytes.length) { sum += (bytes(i) & 0xff); i += 1 }
+        Decoded(
+          doc_id = id,
+          n_bytes = bytes.length.toLong,
+          n_frames = bytes.length / 100L,
+          mean_byte = sum.toDouble / bytes.length,
+          fake_w = 64L + bytes.length % 512,
+          fake_h = 64L + (bytes.length * 7L) % 512)
+      }
+    }.toDF().orderBy("doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "mm_binary_meta" -> binaryMeta,
+    "mm_decode_stub" -> decodeStub,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "mm_binary_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | sha256(text) AS sha,
+        | lower(hex(encode(substr(text, 1, 4)))) AS magic4,
+        | 64 + octet_length(encode(text)) % 512 AS fake_w,
+        | 64 + (octet_length(encode(text)) * 7) % 512 AS fake_h
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_decode_stub" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | octet_length(encode(text)) // 100 AS n_frames,
+        | CAST(list_sum(list_transform(range(1, length(text) + 1),
+        |   i -> ascii(substr(text, i, 1)))) AS DOUBLE) / octet_length(encode(text)) AS mean_byte,
+        | 64 + octet_length(encode(text)) % 512 AS fake_w,
+        | 64 + (octet_length(encode(text)) * 7) % 512 AS fake_h
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

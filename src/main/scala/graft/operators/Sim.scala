@@ -1,9 +1,10 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.VecFunctions.vec_dot
 
 /** Similarity-search pack over the `embeddings` table (64-dim unit-norm
   * float vectors).
@@ -13,14 +14,17 @@ import org.apache.spark.sql.functions._
   *    the query side broadcasts, the corpus streams once; this is the
   *    correctness baseline and stays O(|Q| * N) with no shuffle of the
   *    corpus.
-  *  - `sim_cosine_topk_lsh`: sign-random-projection LSH (8 deterministic
-  *    hyperplanes -> 256 buckets); queries only score their own bucket.
-  *    At 100 TB the bucket id becomes the partition key, so each query
-  *    touches ~1/256 of the corpus. Recall vs the brute path is asserted
-  *    in SimSpec (no DuckDB oracle — candidate sets are engine-specific,
-  *    so the driver records a rows-only check).
+  *  - `sim_cosine_topk_lsh`: sign-random-projection LSH (4 deterministic
+  *    hyperplanes -> 16 buckets at test sf; more planes at scale).
+  *    Queries only score their own bucket — at 100 TB the bucket id is
+  *    the partition key, so each query touches ~1/buckets of the corpus.
+  *    Recall vs the brute path is asserted in SimSpec (no DuckDB oracle
+  *    — candidate sets are engine-specific — so the driver records a
+  *    rows-only check).
   *
-  * All dot products are double math; output similarity is round(.,6).
+  * Dot products run through the codegen'd vec_dot expression
+  * ([[org.apache.spark.sql.graft.VecDot]]); output similarity is double
+  * math rounded to 6 decimals.
   */
 object Sim {
 
@@ -29,12 +33,15 @@ object Sim {
   private def vectors(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), expr("cast(embedding AS array<double>)").as("v"))
-      .withColumn("nrm", expr("sqrt(aggregate(v, 0d, (a, x) -> a + x * x))"))
+      .withColumn("nrm", sqrt(vec_dot(col("v"), col("v"))))
 
   private val K = 5
 
+  private def cosine(qv: Column, qn: Column, v: Column, n: Column): Column =
+    round(vec_dot(qv, v) / (qn * n), 6)
+
   /** Exact cosine top-k (k=5) for query vectors vec_id < 8 against the
-    * whole corpus (self excluded). TakeOrderedAndProject shape per query.
+    * whole corpus (self excluded).
     */
   private val bruteTopk: Q = (s, dir) => {
     val e = vectors(s, dir)
@@ -42,8 +49,7 @@ object Sim {
       .filter(col("q_id") < 8)
     val scored = broadcast(q).crossJoin(e)
       .filter(col("q_id") =!= col("vec_id"))
-      .withColumn("cos_sim", expr(
-        "round(aggregate(zip_with(qv, v, (x, y) -> x * y), 0d, (acc, z) -> acc + z) / (qn * nrm), 6)"))
+      .withColumn("cos_sim", cosine(col("qv"), col("qn"), col("v"), col("nrm")))
     val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= K)
@@ -51,31 +57,37 @@ object Sim {
       .orderBy("q_id", "rk")
   }
 
-  /** Bucket id from 4 deterministic sign-random-projection hyperplanes
-    * (16 buckets — sized so a bucket still holds real candidates at the
-    * small test sf; at production scale raise to 8-12 planes);
-    * hyperplane components are +-1 derived from xxhash64(j, i) — shared
-    * nothing, computable on any executor, identical across runs.
+  /** Deterministic +-1 hyperplanes (splitmix64 bit stream, fixed seed) as
+    * literal array<double> columns — constant-foldable, no per-row RNG.
     */
-  private val bucketExpr = """
-    aggregate(sequence(0, 3), 0, (acc, j) ->
-      acc * 2 + (CASE WHEN aggregate(sequence(0, 63), 0d,
-        (a2, i) -> a2 + element_at(v, i + 1) *
-          (CASE WHEN pmod(xxhash64(j, i), 2) = 0 THEN cast(1.0 AS double) ELSE cast(-1.0 AS double) END)) > 0d
-      THEN 1 ELSE 0 END))"""
+  private val planes: Seq[Seq[Double]] = {
+    var state = 0x6a09e667f3bcc908L
+    def next(): Long = {
+      state += 0x9E3779B97F4A7C15L
+      var z = state
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    Seq.fill(4)(Seq.fill(64)(if ((next() & 1L) == 0L) 1.0 else -1.0))
+  }
+
+  private def bucket(v: Column): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      when(vec_dot(v, typedlit(p)) > 0d, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
 
   /** LSH-bucketed approximate top-k: same queries/k as the brute path but
     * candidates restricted to the query's own bucket (single probe).
     */
   private val lshTopk: Q = (s, dir) => {
-    val e = vectors(s, dir).withColumn("bucket", expr(bucketExpr))
+    val e = vectors(s, dir).withColumn("bucket", bucket(col("v")))
     val q = e.select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("bucket").as("qb"))
       .filter(col("q_id") < 8)
     val scored = broadcast(q).join(e, col("qb") === col("bucket"))
       .filter(col("q_id") =!= col("vec_id"))
-      .withColumn("cos_sim", expr(
-        "round(aggregate(zip_with(qv, v, (x, y) -> x * y), 0d, (acc, z) -> acc + z) / (qn * nrm), 6)"))
+      .withColumn("cos_sim", cosine(col("qv"), col("qn"), col("v"), col("nrm")))
     val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= K)
