@@ -1,0 +1,55 @@
+package graft
+
+import graft.ingest.Importer
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Reference-parity golden tests mirroring the reference suite's spirit
+  * (identifier gates, rename-map edge cases, normalization goldens —
+  * /root/reference/tests/ParquetImporterTest.php).
+  */
+class ImporterSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("identifier validation accepts safe, rejects unsafe") {
+    Importer.assertSafeTable("public.users")
+    Importer.assertSafeColumn("user_id_2")
+    intercept[IllegalArgumentException](Importer.assertSafeColumn("bad.column"))
+    intercept[IllegalArgumentException](Importer.assertSafeColumn("a b"))
+    intercept[IllegalArgumentException](Importer.assertSafeTable("users;drop"))
+  }
+
+  test("quoteIdentifier quotes schema.table with quote doubling") {
+    assert(Importer.quoteIdentifier("users") == "\"users\"")
+    assert(Importer.quoteIdentifier("public.users") == "\"public\".\"users\"")
+  }
+
+  test("project renames and nulls missing source columns") {
+    val df = Seq((1, "alice"), (2, "bob")).toDF("id", "name")
+    val out = Importer.project(df, Seq("id" -> "uid", "missing" -> "extra"))
+    assert(out.columns.toSeq == Seq("uid", "extra"))
+    assert(out.collect().map(r => (r.getInt(0), r.isNullAt(1))).toSeq ==
+      Seq((1, true), (2, true)))
+  }
+
+  test("normalize: nested -> JSON, timestamp -> micro string") {
+    val df = Seq((1, ("bar", 2), java.sql.Timestamp.valueOf("2024-01-02 03:04:05.123456")))
+      .toDF("id", "obj", "ts")
+    val row = Importer.normalize(df).collect().head
+    assert(row.getString(1) == """{"_1":"bar","_2":2}""")
+    assert(row.getString(2) == "2024-01-02 03:04:05.123456+00:00")
+  }
+
+  test("importParquet round-trips rows through a parquet sink table") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_imp").toString
+    val res = Importer.importParquet(spark, s"${TestSpark.sf}/region.parquet",
+      "region_copy", truncate = true, sinkDir = Some(tmp))
+    assert(res.rowsImported == 5)
+    assert(spark.read.parquet(s"$tmp/region_copy").count() == 5)
+    // truncate semantics: re-import overwrites, not appends
+    val res2 = Importer.importParquet(spark, s"${TestSpark.sf}/region.parquet",
+      "region_copy", truncate = true, sinkDir = Some(tmp))
+    assert(res2.rowsImported == 5)
+  }
+}

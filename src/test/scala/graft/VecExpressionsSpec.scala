@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{MinHashSig, SimHash64, VecDot, VecFunctions}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit + property-style tests for the codegen expressions: the
+  * interpreted eval path is exercised directly (no session) over seeded
+  * random inputs, and interpreted-vs-codegen equality is checked through
+  * DataFrame evaluation.
+  */
+class VecExpressionsSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def litD(a: Array[Double]) = Literal.create(a, ArrayType(DoubleType))
+  private def litL(a: Array[Long]) = Literal.create(a, ArrayType(LongType))
+
+  private def dot(a: Array[Double], b: Array[Double]): Double =
+    VecDot(litD(a), litD(b)).eval(null).asInstanceOf[Double]
+
+  test("vec_dot matches manual dot product") {
+    assert(dot(Array(1, 2, 3), Array(4, 5, 6)) == 32.0)
+    assert(dot(Array(), Array()) == 0.0)
+    assert(dot(Array(1, 2), Array(3)) == 3.0) // min-length semantics
+  }
+
+  test("property: cosine of nonzero vectors is within [-1, 1]") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 200) {
+      val a = Array.fill(16)(rnd.nextDouble() * 20 - 10)
+      val b = Array.fill(16)(rnd.nextDouble() * 20 - 10)
+      val na = math.sqrt(dot(a, a)); val nb = math.sqrt(dot(b, b))
+      val c = dot(a, b) / (na * nb)
+      assert(c >= -1.0 - 1e-12 && c <= 1.0 + 1e-12)
+    }
+  }
+
+  private def simhashRef(hs: Array[Long]): Long = {
+    var r = 0L
+    for (b <- 0 until 60) {
+      val ones = hs.count(h => ((h >>> b) & 1L) == 1L)
+      if (ones * 2 > hs.length) r |= (1L << b)
+    }
+    r
+  }
+
+  test("property: simhash64 eval matches an independent reference") {
+    val rnd = new scala.util.Random(7)
+    for (n <- Seq(0, 1, 3, 10, 64)) {
+      val hs = Array.fill(n)(rnd.nextLong())
+      val got = SimHash64(litL(hs)).eval(null).asInstanceOf[Long]
+      assert(got == simhashRef(hs), s"n=$n")
+    }
+  }
+
+  test("property: minhash_sig is order-invariant and monotone under union") {
+    val rnd = new scala.util.Random(13)
+    def sig(xs: Array[Long]): Seq[Long] =
+      MinHashSig(litL(xs), 8).eval(null)
+        .asInstanceOf[GenericArrayData].toLongArray().toSeq
+    for (_ <- 1 to 50) {
+      val a = Array.fill(1 + rnd.nextInt(40))(rnd.nextLong())
+      val b = Array.fill(1 + rnd.nextInt(40))(rnd.nextLong())
+      assert(sig(a) == sig(rnd.shuffle(a.toList).toArray))    // order-free
+      val u = sig(a ++ b)
+      assert(u.zip(sig(a)).forall { case (x, y) => x <= y })  // min shrinks
+      assert(sig(a) == sig(a))                                // deterministic
+    }
+  }
+
+  test("codegen and interpreted paths agree through DataFrame eval") {
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(0.5, -1.0, 2.0)),
+      (Array(0.0, 0.0, 0.0), Array(1.0, 1.0, 1.0))).toDF("a", "b")
+    val viaCodegen = df.select(VecFunctions.vec_dot(col("a"), col("b")).as("d"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(viaCodegen == Seq(1.0 * 0.5 + 2.0 * -1.0 + 3.0 * 2.0, 0.0))
+    val sh = Seq(Tuple1(Array(7L, -3L, 12L))).toDF("h")
+      .select(VecFunctions.simhash64(col("h")).as("s"))
+      .collect().head.getLong(0)
+    assert(sh == simhashRef(Array(7L, -3L, 12L)))
+  }
+}
