@@ -74,7 +74,10 @@ object Dedup {
     val ex = shingles(s, dir)
       .select(col("doc_id"), expr("cast(size(sh64) as bigint)").as("n"), explode(col("sh64")).as("s"))
     val rare = ex.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= 50).select("s")
-    val exf = ex.join(rare, "s")
+    // the filtered postings list feeds both sides of the self-join:
+    // materialize it once (at cluster scale this is the posting-list
+    // table you would checkpoint before the pair-generation stage)
+    val exf = ex.join(rare, "s").persist()
     exf.as("a").join(exf.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -94,13 +97,17 @@ object Dedup {
     * this threshold, which the band parameters guarantee (see object doc).
     */
   private val minhash: Q = (s, dir) => {
-    val sh = shingles(s, dir)
+    // shingle sets are re-read by the band self-join (x2) and both
+    // verification joins — persist instead of recomputing the scan+
+    // shingling four times
+    val sh = shingles(s, dir).persist()
     val sig = sh.withColumn("sig", minhash_sig(col("sh64"), 32))
     val bands = sig.select(col("doc_id"),
         explode(expr(
           "transform(sequence(0, 15), b -> struct(b AS bidx, xxhash64(element_at(sig, 2*b+1), element_at(sig, 2*b+2)) AS bh))"))
           .as("band"))
       .select(col("doc_id"), col("band.bidx").as("bidx"), col("band.bh").as("bh"))
+      .persist()
     val cand = bands.as("a").join(bands.as("b"),
         col("a.bidx") === col("b.bidx") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -141,7 +148,7 @@ object Dedup {
     * pigeonhole-complete for this radius, so it matches the brute oracle.
     */
   private val simhashPairs: Q = (s, dir) => {
-    val sim = simhashes(s, dir)
+    val sim = simhashes(s, dir).persist()
     val chunks = sim.select(col("doc_id"), col("simhash"),
         explode(expr(
           "transform(sequence(0, 3), c -> struct(c AS cidx, (shiftright(simhash, 15 * c) & 32767) AS cval))"))
@@ -152,10 +159,10 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.simhash").as("sa"), col("b.simhash").as("sb"))
-      .distinct()
       .withColumn("ham", expr("cast(bit_count(sa ^ sb) as int)"))
-      .filter(col("ham") <= 3)
+      .filter(col("ham") <= 3) // filter before distinct: shrink the dedup input
       .select("doc_a", "doc_b", "ham")
+      .distinct()
       .orderBy("doc_a", "doc_b")
   }
 
@@ -169,6 +176,7 @@ object Dedup {
     val e = Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), expr("cast(embedding AS array<double>)").as("v"))
       .withColumn("nrm", sqrt(vec_dot(col("v"), col("v"))))
+      .persist()
     e.as("a").join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos_sim",

@@ -30,10 +30,14 @@ object Sim {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Corpus vectors with precomputed norms — persisted because both the
+    * query side and the candidate side scan it.
+    */
   private def vectors(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), expr("cast(embedding AS array<double>)").as("v"))
       .withColumn("nrm", sqrt(vec_dot(col("v"), col("v"))))
+      .persist()
 
   private val K = 5
 
