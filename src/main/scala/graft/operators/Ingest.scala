@@ -60,11 +60,41 @@ object Ingest {
       .orderBy("l_returnflag")
   }
 
+  /** CSV sink/source round-trip: write nation as headered CSV, re-read
+    * with the original schema (no inference pass — the schema is the
+    * contract), aggregate. Covers the text-format source/sink path.
+    */
+  private val sinkRoundtripCsv: Q = (s, dir) => {
+    val src = Tables(s, dir, "nation")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    src.write.mode("overwrite").option("header", "true").csv(s"$tmp/nation")
+    s.read.option("header", "true").schema(src.schema).csv(s"$tmp/nation")
+      .groupBy("n_regionkey")
+      .agg(count(lit(1)).as("n"), concat_ws(",", array_sort(collect_list("n_name"))).as("names"))
+      .orderBy("n_regionkey")
+  }
+
+  /** JSON-lines sink/source round-trip on supplier (doubles survive via
+    * shortest-round-trip encoding; sums go through Det for order
+    * independence).
+    */
+  private val sinkRoundtripJson: Q = (s, dir) => {
+    val src = Tables(s, dir, "supplier")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_json").toString
+    src.write.mode("overwrite").json(s"$tmp/supplier")
+    s.read.schema(src.schema).json(s"$tmp/supplier")
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n"), dsum(col("s_acctbal")).as("sum_bal"))
+      .orderBy("s_nationkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "scan_project_rename" -> scanProjectRename,
     "scan_schema_cols" -> scanSchemaCols,
     "normalize_json_ts" -> normalizeJsonTs,
     "sink_roundtrip" -> sinkRoundtrip,
+    "sink_roundtrip_csv" -> sinkRoundtripCsv,
+    "sink_roundtrip_json" -> sinkRoundtripJson,
   )
 
   private val lineitemCols = Seq(
@@ -90,5 +120,12 @@ object Ingest {
     "sink_roundtrip" ->
       s"""SELECT l_returnflag, COUNT(*) AS n, ${oSum("l_quantity")} AS sum_qty
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "sink_roundtrip_csv" ->
+      """SELECT n_regionkey, COUNT(*) AS n,
+        | array_to_string(list_sort(list(n_name)), ',') AS names
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "sink_roundtrip_json" ->
+      s"""SELECT s_nationkey, COUNT(*) AS n, ${oSum("s_acctbal")} AS sum_bal
+         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
   )
 }

@@ -237,6 +237,24 @@ object Relational {
       .orderBy("p_brand", "rk")
   }
 
+  /** Same result via the TypedImperativeAggregate topk_by_value
+    * ([[org.apache.spark.sql.graft.TopKByValue]]): bounded heaps as
+    * partial aggregation state, so each map partition ships at most k
+    * rows per group — no per-group full sort, the formulation that wins
+    * when groups are huge. Oracle identical to the window version.
+    */
+  private val topkPerGroupAgg: Q = (s, dir) => {
+    import org.apache.spark.sql.graft.TopKAgg.topk_by_value
+    Tables(s, dir, "part")
+      .groupBy("p_brand")
+      .agg(topk_by_value(col("p_retailprice").cast("double"),
+        col("p_partkey").cast("long"), 3).as("top"))
+      .select(col("p_brand"), posexplode(col("top")))
+      .select(col("p_brand"), (col("pos") + 1).as("rk"),
+        col("col.key").as("p_partkey"), col("col.val").as("p_retailprice"))
+      .orderBy("p_brand", "rk")
+  }
+
   // ---------------------------------------------------------------- set ops
 
   private def custkeysByStatus(s: SparkSession, dir: String, st: String) =
@@ -274,6 +292,7 @@ object Relational {
     "agg_grouping_sets" -> aggGroupingSets,
     "sort_limit" -> sortLimit,
     "topk_per_group" -> topkPerGroup,
+    "topk_per_group_agg" -> topkPerGroupAgg,
     "set_union" -> setUnion,
     "set_intersect" -> setIntersect,
     "set_except" -> setExcept,
@@ -373,6 +392,14 @@ object Relational {
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
     "topk_per_group" ->
       """SELECT p_brand, rk, p_partkey, p_retailprice FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |    row_number() OVER (PARTITION BY p_brand
+        |      ORDER BY p_retailprice DESC, p_partkey) AS rk
+        |  FROM part) t
+        |WHERE rk <= 3 ORDER BY p_brand, rk""".stripMargin,
+    "topk_per_group_agg" ->
+      """SELECT p_brand, rk, p_partkey, CAST(p_retailprice AS DOUBLE) AS p_retailprice
+        |FROM (
         |  SELECT p_brand, p_partkey, p_retailprice,
         |    row_number() OVER (PARTITION BY p_brand
         |      ORDER BY p_retailprice DESC, p_partkey) AS rk
