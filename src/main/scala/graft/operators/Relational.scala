@@ -255,6 +255,43 @@ object Relational {
       .orderBy("p_brand", "rk")
   }
 
+  // ------------------------------------------------------------ skew guards
+
+  /** Two-phase salted aggregation over the skewed events.user_id key
+    * (few users, many events): phase 1 aggregates (user, salt) so every
+    * core shares the hot keys' work; phase 2 merges the 8 partials per
+    * user. Decimal partials keep the final double bit-exact vs the
+    * oracle's direct GROUP BY.
+    */
+  private val aggSkewSalted: Q = (s, dir) => {
+    val e = Tables(s, dir, "events")
+    e.withColumn("salt", pmod(col("event_id"), lit(8)))
+      .groupBy("user_id", "salt")
+      .agg(sum(col("value").cast(Det.Scale)).as("psum"), count(lit(1)).as("pn"))
+      .groupBy("user_id")
+      .agg(sum(col("psum")).cast("double").as("sum_value"), sum(col("pn")).as("n"))
+      .orderBy("user_id")
+  }
+
+  /** Skew-aware salted join: the big (skewed) side gets a salt column,
+    * the small side is replicated across all 8 salt values, and the join
+    * key becomes (key, salt) — the hot key's rows now land on 8
+    * partitions instead of one. AQE's skew-join does this adaptively;
+    * this operator is the explicit, planner-independent form.
+    */
+  private val joinSkewSalted: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events")
+      .withColumn("salt", pmod(col("event_id"), lit(8)))
+    val users = Tables(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .withColumn("salt", explode(sequence(lit(0), lit(7))))
+    ev.join(users,
+        ev("user_id") === users("c_custkey") && ev("salt") === users("salt"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .orderBy("c_mktsegment")
+  }
+
   // ---------------------------------------------------------------- set ops
 
   private def custkeysByStatus(s: SparkSession, dir: String, st: String) =
@@ -296,6 +333,8 @@ object Relational {
     "set_union" -> setUnion,
     "set_intersect" -> setIntersect,
     "set_except" -> setExcept,
+    "agg_skew_salted" -> aggSkewSalted,
+    "join_skew_salted" -> joinSkewSalted,
   )
 
   val oracles: Map[String, String] = Map(
@@ -405,6 +444,13 @@ object Relational {
         |      ORDER BY p_retailprice DESC, p_partkey) AS rk
         |  FROM part) t
         |WHERE rk <= 3 ORDER BY p_brand, rk""".stripMargin,
+    "agg_skew_salted" ->
+      s"""SELECT user_id, ${oSum("value")} AS sum_value, COUNT(*) AS n
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "join_skew_salted" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n_events, ${oSum("value")} AS sum_value
+         |FROM events JOIN customer ON user_id = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "set_union" ->
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
         |UNION

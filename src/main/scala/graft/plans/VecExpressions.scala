@@ -185,4 +185,37 @@ object VecFunctions {
 
   def minhash_sig(hashes: Column, k: Int): Column =
     ExpressionUtils.column(MinHashSig(ex(hashes), k))
+
+  /** Builders for SQL registration (k for minhash_sig comes from a
+    * literal int argument).
+    */
+  private[graft] val sqlBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "vec_dot" -> (args => VecDot(args(0), args(1))),
+    "simhash64" -> (args => SimHash64(args(0))),
+    "minhash_sig" -> (args => MinHashSig(args(0),
+      args(1).eval(null).asInstanceOf[Int])),
+  )
+
+  /** Make the expressions callable from spark.sql on an existing session
+    * (temp functions; idempotent).
+    */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    sqlBuilders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}
+
+/** SparkSessionExtensions injector for cluster deployments:
+  * `--conf spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions`
+  * registers the engine's functions in every session.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    VecFunctions.sqlBuilders.foreach { case (name, builder) =>
+      e.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new ExpressionInfo("org.apache.spark.sql.graft.package", name),
+        builder))
+    }
 }

@@ -72,6 +72,17 @@ class VecExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL registration: vec_dot/simhash64/minhash_sig callable from spark.sql") {
+    VecFunctions.registerAll(spark)
+    val r = spark.sql(
+      "SELECT vec_dot(array(1d, 2d), array(3d, 4d)) AS d, " +
+        "simhash64(array(7L)) AS s, size(minhash_sig(array(7L, 9L), 4)) AS k")
+      .collect().head
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getLong(1) == 7L) // single hash: its bits are the majority
+    assert(r.getInt(2) == 4)
+  }
+
   test("codegen and interpreted paths agree through DataFrame eval") {
     val df = Seq(
       (Array(1.0, 2.0, 3.0), Array(0.5, -1.0, 2.0)),
