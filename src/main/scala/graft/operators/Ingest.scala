@@ -88,6 +88,23 @@ object Ingest {
       .orderBy("s_nationkey")
   }
 
+  /** Hive-style partitioned write + partition-pruned read: orders land in
+    * one directory per o_orderstatus; the re-read filter prunes to a
+    * single partition (PartitionFilters in explain, the other directories
+    * are never opened). At 100 TB this is the difference between
+    * scanning one partition and the whole table.
+    */
+  private val sinkPartitioned: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Tables(s, dir, "orders")
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(s"$tmp/orders")
+    s.read.parquet(s"$tmp/orders")
+      .filter(col("o_orderstatus") === "F")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, Q] = Map(
     "scan_project_rename" -> scanProjectRename,
     "scan_schema_cols" -> scanSchemaCols,
@@ -95,6 +112,7 @@ object Ingest {
     "sink_roundtrip" -> sinkRoundtrip,
     "sink_roundtrip_csv" -> sinkRoundtripCsv,
     "sink_roundtrip_json" -> sinkRoundtripJson,
+    "sink_partitioned" -> sinkPartitioned,
   )
 
   private val lineitemCols = Seq(
@@ -127,5 +145,9 @@ object Ingest {
     "sink_roundtrip_json" ->
       s"""SELECT s_nationkey, COUNT(*) AS n, ${oSum("s_acctbal")} AS sum_bal
          |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "sink_partitioned" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n, ${oSum("o_totalprice")} AS sum_price
+         |FROM orders WHERE o_orderstatus = 'F'
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
   )
 }
