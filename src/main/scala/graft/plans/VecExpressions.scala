@@ -173,6 +173,58 @@ case class MinHashSig(child: Expression, k: Int)
     copy(newChild, k)
 }
 
+/** Squared L2 norm — what VecDot(x, x) computes with half the array
+  * reads. Produced by [[VecSelfDotRule]], not written by hand.
+  */
+case class VecNormSq(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_norm_sq"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var s = 0.0
+    var i = 0
+    while (i < x.numElements()) { val v = x.getDouble(i); s += v * v; i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val v = ctx.freshName("v")
+      s"""
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  double $v = $a.getDouble($i);
+         |  $s += $v * $v;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): VecNormSq =
+    copy(newChild)
+}
+
+/** Optimizer rule: VecDot(x, x) -> VecNormSq(x) when both sides are
+  * semantically the same expression — one array traversal instead of a
+  * paired one. Injected by [[GraftExtensions]] (or
+  * spark.experimental.extraOptimizations on an existing session).
+  */
+object VecSelfDotRule
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  override def apply(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+    plan.transformAllExpressions {
+      case VecDot(a, b) if a.semanticEquals(b) => VecNormSq(a)
+    }
+}
+
 /** Column-level API for the graft engine (importable from graft code). */
 object VecFunctions {
   private def ex(c: Column): Expression = ExpressionUtils.expression(c)
@@ -211,11 +263,13 @@ object VecFunctions {
   * registers the engine's functions in every session.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     VecFunctions.sqlBuilders.foreach { case (name, builder) =>
       e.injectFunction((
         org.apache.spark.sql.catalyst.FunctionIdentifier(name),
         new ExpressionInfo("org.apache.spark.sql.graft.package", name),
         builder))
     }
+    e.injectOptimizerRule(_ => VecSelfDotRule)
+  }
 }

@@ -83,6 +83,19 @@ class VecExpressionsSpec extends AnyFunSuite {
     assert(r.getInt(2) == 4)
   }
 
+  test("optimizer rule rewrites vec_dot(x, x) to vec_norm_sq and preserves values") {
+    import org.apache.spark.sql.graft.VecSelfDotRule
+    if (!spark.experimental.extraOptimizations.contains(VecSelfDotRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ VecSelfDotRule
+    // non-literal source so constant folding can't collapse the project
+    val df = spark.range(1)
+      .select(array(col("id").cast("double") + 3.0, lit(4.0)).as("v"))
+      .select(VecFunctions.vec_dot(col("v"), col("v")).as("n2"))
+    assert(df.queryExecution.optimizedPlan.toString.contains("vec_norm_sq"))
+    assert(df.collect().head.getDouble(0) == 25.0)
+  }
+
   test("codegen and interpreted paths agree through DataFrame eval") {
     val df = Seq(
       (Array(1.0, 2.0, 3.0), Array(0.5, -1.0, 2.0)),
