@@ -107,9 +107,46 @@ object Sim {
       .orderBy("q_id", "rk")
   }
 
+  /** IVF-style approximate top-k: coarse quantizer = per-cell centroids
+    * (the label column is the cell id here; in production, k-means).
+    * Every corpus vector is indexed under its own cell; each query probes
+    * its nprobe=3 nearest centroids and scores only those cells' vectors. At
+    * 100 TB: centroids are a broadcast table, the corpus is partitioned
+    * by cell id, and a query touches nprobe/ncells of the data.
+    */
+  private val ivfTopk: Q = (s, dir) => {
+    val e = vectors(s, dir)
+    // centroids: elementwise mean per cell (10 cells x 64 dims -> tiny)
+    val cent = e.select(col("label"), posexplode(col("v")))
+      .groupBy("label", "pos").agg(avg(col("col")).as("cx"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cx))), p -> p.cx)").as("cv"))
+      .select(col("label").as("cell"), col("cv"),
+        sqrt(vec_dot(col("cv"), col("cv"))).as("cn"))
+    // queries probe their 3 nearest centroids
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val qCells = q.crossJoin(broadcast(cent))
+      .withColumn("ccos", vec_dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("ccos").desc, col("cell"))))
+      .filter(col("crk") <= 3)
+      .select(col("q_id"), col("qv"), col("qn"), col("cell"))
+    // score only vectors in the probed cells (corpus side keyed by label)
+    val scored = broadcast(qCells).join(e, col("cell") === col("label"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos_sim", cosine(col("qv"), col("qn"), col("v"), col("nrm")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= K)
+      .select(col("q_id"), col("rk"), col("vec_id").as("cand_id"), col("cos_sim"))
+      .orderBy("q_id", "rk")
+  }
+
   val queries: Map[String, Q] = Map(
     "sim_cosine_topk" -> bruteTopk,
     "sim_cosine_topk_lsh" -> lshTopk,
+    "sim_cosine_topk_ivf" -> ivfTopk,
   )
 
   val oracles: Map[String, String] = Map(
@@ -123,7 +160,8 @@ object Sim {
         |  FROM q JOIN v ON q.q_id <> v.vec_id),
         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id) AS rk FROM s)
         |SELECT q_id, rk, cand_id, cos_sim FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
-    // sim_cosine_topk_lsh: intentionally no oracle — approximate candidate
-    // set; recall vs brute force is asserted in SimSpec instead.
+    // sim_cosine_topk_lsh / sim_cosine_topk_ivf: intentionally no oracle —
+    // approximate candidate sets; recall vs brute force is asserted in
+    // DedupSimSpec instead.
   )
 }

@@ -46,6 +46,12 @@ class DedupSimSpec extends AnyFunSuite {
     // usable fraction, far above the 5/16 touched-corpus baseline
     assert(recall >= 0.35, s"recall=$recall")
     assert(lsh.forall { case (q, c) => q != c })
+
+    val ivf = pairs("sim_cosine_topk_ivf")
+    val ivfRecall = (brute & ivf).size.toDouble / brute.size
+    // 3-of-10 cells probed; label cells are weak clusters, so expect
+    // clearly above the 0.3 random-cells baseline
+    assert(ivfRecall >= 0.35, s"ivfRecall=$ivfRecall")
   }
 
   test("dedup queries are deterministic across runs") {
