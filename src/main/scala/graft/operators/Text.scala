@@ -128,7 +128,33 @@ object Text {
       .orderBy("lang")
   }
 
+  /** End-to-end training-data pipeline in one composed plan: quality
+    * filter -> exact dedup (keep lowest doc_id per normalized
+    * fingerprint) -> per-language corpus stats. The shape every cleaning
+    * job has; here it is a single Catalyst plan, so pushdown/pruning
+    * apply across stage boundaries.
+    */
+  private val pipelineCleanCorpus: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val kept = Tables(s, dir, "documents")
+      .withColumn("tk", expr(toksExpr))
+      .filter(expr("size(tk) BETWEEN 10 AND 10000 AND size(array_distinct(tk)) > 5"))
+      .withColumn("fp", md5(expr("trim(regexp_replace(lower(text), '[^a-z0-9]+', ' '))")))
+    val deduped = kept
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("fp").orderBy("doc_id")))
+      .filter(col("rn") === 1)
+    deduped.groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(expr("cast(size(tk) as bigint)")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        expr("cast(sum(n_chars) as double) / sum(size(tk))").as("chars_per_token"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, Q] = Map(
+    "pipeline_clean_corpus" -> pipelineCleanCorpus,
     "text_tokenize_stats" -> tokenizeStats,
     "text_token_count" -> tokenCount,
     "text_quality" -> quality,
@@ -140,6 +166,21 @@ object Text {
   private val oToks = "list_filter(string_split(text, ' '), t -> len(t) > 0)"
 
   val oracles: Map[String, String] = Map(
+    "pipeline_clean_corpus" ->
+      s"""WITH kept AS (
+         |  SELECT *, $oToks AS tk,
+         |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+         |  FROM documents
+         |  WHERE len($oToks) BETWEEN 10 AND 10000
+         |    AND len(list_distinct($oToks)) > 5),
+         |dd AS (
+         |  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+         |  FROM kept)
+         |SELECT lang, COUNT(*) AS n_docs, SUM(len(tk)) AS n_tokens,
+         |  SUM(n_chars) AS n_chars,
+         |  CAST(SUM(n_chars) AS DOUBLE) / SUM(len(tk)) AS chars_per_token
+         |FROM dd WHERE rn = 1
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     "text_tokenize_stats" ->
       s"""SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
          |FROM (SELECT doc_id, unnest($oToks) AS token FROM documents)
