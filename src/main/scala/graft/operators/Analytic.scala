@@ -66,13 +66,32 @@ object Analytic {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Distribution window functions: percent_rank and cume_dist are
+    * (k-1)/(n-1) and k/n rational values — exact in both engines.
+    */
+  private val winDistribution: Q = (s, dir) => {
+    val byBal = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal"))
+    Tables(s, dir, "customer")
+      .select(
+        col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+        percent_rank().over(byBal).as("pr"),
+        cume_dist().over(byBal).as("cd"))
+      .orderBy("c_nationkey", "c_custkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "win_rank" -> winRank,
     "win_analytic" -> winAnalytic,
     "win_frame" -> winFrame,
+    "win_distribution" -> winDistribution,
   )
 
   val oracles: Map[String, String] = Map(
+    "win_distribution" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal,
+        | percent_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal) AS pr,
+        | cume_dist() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal) AS cd
+        |FROM customer ORDER BY c_nationkey, c_custkey""".stripMargin,
     "win_rank" ->
       """SELECT c_nationkey, c_custkey, c_acctbal,
         | rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS rk,

@@ -255,6 +255,23 @@ object Relational {
       .orderBy("p_brand", "rk")
   }
 
+  /** Exact percentiles (sort-based `percentile`, linear interpolation —
+    * same definition as the oracle's quantile_cont) plus the approximate
+    * sketch variant for the plan shape comparison. Values round(.,6) to
+    * absorb interpolation-arithmetic ulps.
+    */
+  private val aggPercentile: Q = (s, dir) => {
+    val li = Tables(s, dir, "lineitem")
+    li.groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99"),
+        round(min(col("l_extendedprice")), 6).as("p0"),
+        round(max(col("l_extendedprice")), 6).as("p100"))
+      .orderBy("l_returnflag")
+  }
+
   // ------------------------------------------------------------ skew guards
 
   /** Two-phase salted aggregation over the skewed events.user_id key
@@ -335,6 +352,7 @@ object Relational {
     "set_except" -> setExcept,
     "agg_skew_salted" -> aggSkewSalted,
     "join_skew_salted" -> joinSkewSalted,
+    "agg_percentile" -> aggPercentile,
   )
 
   val oracles: Map[String, String] = Map(
@@ -444,6 +462,14 @@ object Relational {
         |      ORDER BY p_retailprice DESC, p_partkey) AS rk
         |  FROM part) t
         |WHERE rk <= 3 ORDER BY p_brand, rk""".stripMargin,
+    "agg_percentile" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+        | round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+        | round(quantile_cont(l_extendedprice, 0.99), 6) AS p99,
+        | round(min(l_extendedprice), 6) AS p0,
+        | round(max(l_extendedprice), 6) AS p100
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_skew_salted" ->
       s"""SELECT user_id, ${oSum("value")} AS sum_value, COUNT(*) AS n
          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
