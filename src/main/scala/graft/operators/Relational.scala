@@ -255,6 +255,35 @@ object Relational {
       .orderBy("p_brand", "rk")
   }
 
+  /** Correlated scalar subquery through the SQL surface: Catalyst
+    * decorrelates it into an aggregate + join (no per-row re-execution).
+    * The inner average goes through the decimal route so the comparison
+    * boundary is identical in both engines.
+    */
+  private val sqlCorrelatedSubquery: Q = (s, dir) => {
+    Tables(s, dir, "orders").createOrReplaceTempView("orders_sq")
+    s.sql(s"""
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders_sq o
+      WHERE o_totalprice > 2 * (
+        SELECT ${Det.oAvg("o2.o_totalprice")}
+        FROM orders_sq o2 WHERE o2.o_custkey = o.o_custkey)
+      ORDER BY o_orderkey""")
+  }
+
+  /** collect_list / collect_set surfaced deterministically: sorted and
+    * re-joined to strings so the compare is representation-free.
+    */
+  private val aggCollect: Q = (s, dir) => {
+    val li = Tables(s, dir, "lineitem")
+    li.groupBy("l_returnflag")
+      .agg(
+        concat_ws(",", array_sort(collect_set(col("l_linestatus")))).as("statuses"),
+        expr("cast(size(collect_list(l_linestatus)) as bigint)").as("n_vals"),
+        concat_ws(",", array_sort(collect_set(col("l_linenumber").cast("string")))).as("line_nos"))
+      .orderBy("l_returnflag")
+  }
+
   /** Exact percentiles (sort-based `percentile`, linear interpolation —
     * same definition as the oracle's quantile_cont) plus the approximate
     * sketch variant for the plan shape comparison. Values round(.,6) to
@@ -353,6 +382,8 @@ object Relational {
     "agg_skew_salted" -> aggSkewSalted,
     "join_skew_salted" -> joinSkewSalted,
     "agg_percentile" -> aggPercentile,
+    "sql_correlated_subquery" -> sqlCorrelatedSubquery,
+    "agg_collect" -> aggCollect,
   )
 
   val oracles: Map[String, String] = Map(
@@ -462,6 +493,19 @@ object Relational {
         |      ORDER BY p_retailprice DESC, p_partkey) AS rk
         |  FROM part) t
         |WHERE rk <= 3 ORDER BY p_brand, rk""".stripMargin,
+    "sql_correlated_subquery" ->
+      s"""SELECT o_orderkey, o_custkey, o_totalprice
+         |FROM orders o
+         |WHERE o_totalprice > 2 * (
+         |  SELECT ${Det.oAvg("o2.o_totalprice")}
+         |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+         |ORDER BY o_orderkey""".stripMargin,
+    "agg_collect" ->
+      """SELECT l_returnflag,
+        | array_to_string(list_sort(list_distinct(list(l_linestatus))), ',') AS statuses,
+        | COUNT(l_linestatus) AS n_vals,
+        | array_to_string(list_sort(list_distinct(list(CAST(l_linenumber AS VARCHAR)))), ',') AS line_nos
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_percentile" ->
       """SELECT l_returnflag,
         | round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
