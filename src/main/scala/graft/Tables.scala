@@ -20,12 +20,31 @@ object Tables {
     * default. Read nanos as long and floor-divide to a microsecond
     * timestamp — the same ns->us truncation DuckDB applies, so oracle
     * comparisons on ts agree.
+    *
+    * Deliberate trade-off: the legacy flag is session config (Spark has
+    * no per-read option for it), and the driver owns the session, so it
+    * is set here at plan-build time. Only nanos columns are affected and
+    * events is the only nanos table in the corpus.
     */
   private def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/events.parquet")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
+}
+
+/** Session-scoped cache of persisted intermediate frames. Pair-generating
+  * dedup/similarity queries reference their shingle/signature/vector
+  * tables several times per plan AND across queries; persisting each call
+  * separately would pile up duplicate cached copies for the session
+  * lifetime. One shared entry per (session, sf-dir, key) instead.
+  */
+object Cached {
+  private val entries =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  def of(s: SparkSession, dir: String, key: String)(build: => DataFrame): DataFrame =
+    entries.computeIfAbsent((s, dir, key), _ => build.persist())
 }
 
 /** Determinism helpers so Spark results hash-match the DuckDB oracle.

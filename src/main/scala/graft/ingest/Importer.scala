@@ -115,10 +115,11 @@ object Importer {
           out.write.mode(mode).parquet(s"$d/$table")
         }
     }
-    val rows = sinkDir match {
-      case Some(d) => spark.read.parquet(s"$d/$table").count()
-      case None => out.count()
-    }
+    // rows imported by THIS run (the reference's ImportResult semantics):
+    // count the written frame, not the sink table — an Append import must
+    // not report pre-existing rows, and a JDBC write has no sinkDir to
+    // re-read.
+    val rows = out.count()
     ImportResult(path, table, rows, (System.nanoTime() - t0) / 1e9)
   }
 }

@@ -46,9 +46,11 @@ object Dedup {
     * matches exactly.
     */
   private def shingles(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
-      .select(col("doc_id"), expr(shingleExpr).as("sh"))
-      .select(col("doc_id"), expr("transform(sh, s0 -> xxhash64(s0))").as("sh64"))
+    graft.Cached.of(s, dir, "dedup.sh64") {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), expr(shingleExpr).as("sh"))
+        .select(col("doc_id"), expr("transform(sh, s0 -> xxhash64(s0))").as("sh64"))
+    }
 
   // ------------------------------------------------------------------ exact
 
@@ -77,7 +79,7 @@ object Dedup {
     // the filtered postings list feeds both sides of the self-join:
     // materialize it once (at cluster scale this is the posting-list
     // table you would checkpoint before the pair-generation stage)
-    val exf = ex.join(rare, "s").persist()
+    val exf = graft.Cached.of(s, dir, "dedup.postings")(ex.join(rare, "s"))
     exf.as("a").join(exf.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -98,16 +100,17 @@ object Dedup {
     */
   private val minhash: Q = (s, dir) => {
     // shingle sets are re-read by the band self-join (x2) and both
-    // verification joins — persist instead of recomputing the scan+
+    // verification joins — cached instead of recomputing the scan+
     // shingling four times
-    val sh = shingles(s, dir).persist()
+    val sh = shingles(s, dir)
     val sig = sh.withColumn("sig", minhash_sig(col("sh64"), 32))
-    val bands = sig.select(col("doc_id"),
-        explode(expr(
-          "transform(sequence(0, 15), b -> struct(b AS bidx, xxhash64(element_at(sig, 2*b+1), element_at(sig, 2*b+2)) AS bh))"))
-          .as("band"))
-      .select(col("doc_id"), col("band.bidx").as("bidx"), col("band.bh").as("bh"))
-      .persist()
+    val bands = graft.Cached.of(s, dir, "dedup.minhash.bands") {
+      sig.select(col("doc_id"),
+          explode(expr(
+            "transform(sequence(0, 15), b -> struct(b AS bidx, xxhash64(element_at(sig, 2*b+1), element_at(sig, 2*b+2)) AS bh))"))
+            .as("band"))
+        .select(col("doc_id"), col("band.bidx").as("bidx"), col("band.bh").as("bh"))
+    }
     val cand = bands.as("a").join(bands.as("b"),
         col("a.bidx") === col("b.bidx") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -148,7 +151,7 @@ object Dedup {
     * pigeonhole-complete for this radius, so it matches the brute oracle.
     */
   private val simhashPairs: Q = (s, dir) => {
-    val sim = simhashes(s, dir).persist()
+    val sim = graft.Cached.of(s, dir, "dedup.simhash")(simhashes(s, dir))
     val chunks = sim.select(col("doc_id"), col("simhash"),
         explode(expr(
           "transform(sequence(0, 3), c -> struct(c AS cidx, (shiftright(simhash, 15 * c) & 32767) AS cval))"))
@@ -173,10 +176,11 @@ object Dedup {
     * precomputed before the join.
     */
   private val embedding: Q = (s, dir) => {
-    val e = Tables(s, dir, "embeddings")
-      .select(col("vec_id"), col("label"), expr("cast(embedding AS array<double>)").as("v"))
-      .withColumn("nrm", sqrt(vec_dot(col("v"), col("v"))))
-      .persist()
+    val e = graft.Cached.of(s, dir, "vectors") {
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), expr("cast(embedding AS array<double>)").as("v"))
+        .withColumn("nrm", sqrt(vec_dot(col("v"), col("v"))))
+    }
     e.as("a").join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos_sim",

@@ -45,7 +45,12 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  /** Imperative per-partition decode over the binary payload. */
+  /** Imperative per-partition decode over the binary payload.
+    * Oracle caveat: the DuckDB side sums per-character code points while
+    * this side sums UTF-8 bytes — identical only for ASCII corpora (the
+    * test data is all-ASCII; a non-ASCII corpus would need a byte-wise
+    * oracle).
+    */
   private val decodeStub: Q = (s, dir) => {
     import s.implicits._
     val ds = Tables(s, dir, "documents")

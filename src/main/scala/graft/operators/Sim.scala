@@ -30,14 +30,16 @@ object Sim {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Corpus vectors with precomputed norms — persisted because both the
-    * query side and the candidate side scan it.
+  /** Corpus vectors with precomputed norms — session-cached (shared with
+    * Dedup.embedding) because the query side and candidate side both
+    * scan it, across several queries.
     */
   private def vectors(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "embeddings")
-      .select(col("vec_id"), col("label"), expr("cast(embedding AS array<double>)").as("v"))
-      .withColumn("nrm", sqrt(vec_dot(col("v"), col("v"))))
-      .persist()
+    graft.Cached.of(s, dir, "vectors") {
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), expr("cast(embedding AS array<double>)").as("v"))
+        .withColumn("nrm", sqrt(vec_dot(col("v"), col("v"))))
+    }
 
   private val K = 5
 

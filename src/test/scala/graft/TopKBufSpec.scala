@@ -14,7 +14,6 @@ class TopKBufSpec extends AnyFunSuite {
       val xs = Seq.fill(30)((rnd.nextInt(10).toDouble, rnd.nextLong().abs))
       val bb = new TopKBuffer(5)
       xs.foreach { case (v, k) => bb.add(v, k) }
-      val want = xs.distinct.sortBy { case (v, k) => (-v, k) }.take(5)
       // note: buffer keeps duplicates; compare against non-distinct sort
       val wantDup = xs.sortBy { case (v, k) => (-v, k) }.take(5)
       assert(bb.sorted == wantDup, s"xs=$xs")
