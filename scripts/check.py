@@ -7,7 +7,7 @@ Loads each <verifyOutDir>/<name> parquet result (written by graft.Verify),
 runs the matching oracle SQL from oracle_sql.json in DuckDB over the same
 source tables, sorts columns by name, and compares values exactly.
 """
-import json, math, sys, glob, os
+import decimal, json, math, sys, glob, os
 import duckdb
 import pyarrow.parquet as pq
 import pyarrow as pa
@@ -23,6 +23,11 @@ def norm(v):
         if math.isnan(v):
             return "NaN"
         return v
+    # Distinguish Decimal from int: the driver hashes raw values, so a
+    # DuckDB HUGEINT/DECIMAL (e.g. uncast SUM(BIGINT)) must NOT silently
+    # compare equal to a Spark int64 (r01 pipeline_clean_corpus lesson).
+    if isinstance(v, decimal.Decimal):
+        return ("decimal", str(v))
     return v
 
 def cells(tbl):
