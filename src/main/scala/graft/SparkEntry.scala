@@ -24,7 +24,11 @@ object SparkEntry {
       operators.Dedup.queries ++
       operators.Sim.queries ++
       operators.Udf.queries ++
-      operators.Multimodal.queries
+      operators.Multimodal.queries ++
+      operators.Sample.queries ++
+      operators.Reshape.queries ++
+      operators.Flow.queries ++
+      operators.Bucketed.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -39,5 +43,9 @@ object SparkEntry {
       operators.Dedup.oracles ++
       operators.Sim.oracles ++
       operators.Udf.oracles ++
-      operators.Multimodal.oracles
+      operators.Multimodal.oracles ++
+      operators.Sample.oracles ++
+      operators.Reshape.oracles ++
+      operators.Flow.oracles ++
+      operators.Bucketed.oracles
 }

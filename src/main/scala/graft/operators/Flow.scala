@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dataflow-pipeline operators: CDC upsert (MERGE-style apply-changes)
+  * and event-funnel conversion — the two composed shapes incremental
+  * data-platform jobs run constantly.
+  *
+  * Scale notes:
+  *  - upsert: one full-outer join keyed on the primary key. On a real
+  *    cluster the base table would be bucketed by key so the periodic
+  *    merge is shuffle-free on the (large) base side; the changes side is
+  *    small and shuffles cheaply. Coalesce-per-column implements
+  *    "update wins, insert appends, untouched rows pass through".
+  *  - funnel: per-user min-timestamp aggregations chained with strictly-
+  *    after joins. All three stages shuffle by user_id only once each,
+  *    carrying one timestamp per user — state is O(users), not O(events).
+  */
+object Flow {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Deterministic synthetic change set: price bump + status 'U' for every
+    * 7th order (updates), plus a shifted-key copy of every 13th order
+    * (inserts).
+    */
+  private def changes(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+    val updates = o.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), lit("U").as("o_orderstatus"),
+        (col("o_totalprice") * 1.05).as("o_totalprice"))
+    val inserts = o.filter(col("o_orderkey") % 13 === 0)
+      .select((col("o_orderkey") + 10000000L).as("o_orderkey"), col("o_custkey"),
+        lit("N").as("o_orderstatus"), col("o_totalprice"))
+    updates.unionAll(inserts)
+  }
+
+  /** MERGE emulation: base FULL OUTER changes on the key; change columns
+    * win via coalesce. Result is the post-merge table.
+    */
+  private val cdcUpsert: Q = (s, dir) => {
+    val b = Tables(s, dir, "orders").select(
+      col("o_orderkey").as("b_key"), col("o_custkey").as("b_cust"),
+      col("o_orderstatus").as("b_st"), col("o_totalprice").as("b_price"))
+    val c = changes(s, dir).select(
+      col("o_orderkey").as("c_key"), col("o_custkey").as("c_cust"),
+      col("o_orderstatus").as("c_st"), col("o_totalprice").as("c_price"))
+    b.join(c, col("b_key") === col("c_key"), "full_outer")
+      .select(
+        coalesce(col("c_key"), col("b_key")).as("o_orderkey"),
+        coalesce(col("c_cust"), col("b_cust")).as("o_custkey"),
+        coalesce(col("c_st"), col("b_st")).as("o_orderstatus"),
+        coalesce(col("c_price"), col("b_price")).as("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  /** view → click → purchase funnel with strict event-order semantics:
+    * a user converts at stage N only with an event strictly after their
+    * stage-N-1 conversion time. Single summary row; ratios are single
+    * int/int→double divisions (bit-identical across engines).
+    */
+  private val funnel: Q = (s, dir) => {
+    val e = Tables(s, dir, "events")
+    def stage(of: DataFrame, evt: String, after: Option[DataFrame]): DataFrame = {
+      val base = of.filter(col("event_type") === evt)
+      val scoped = after match {
+        case Some(prev) => base.join(prev, "user_id").filter(col("ts") > col("t_prev"))
+        case None => base
+      }
+      scoped.groupBy("user_id").agg(min(col("ts")).as("t_prev"))
+    }
+    val v = stage(e, "view", None)
+    val c = stage(e, "click", Some(v))
+    val p = stage(e, "purchase", Some(c))
+    val counts = v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_click")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+    counts.select(
+      col("n_view"), col("n_click"), col("n_purchase"),
+      (col("n_click").cast("double") / col("n_view")).as("cr_click"),
+      (col("n_purchase").cast("double") / col("n_click")).as("cr_purchase"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "cdc_upsert" -> cdcUpsert,
+    "funnel_conversion" -> funnel,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "cdc_upsert" ->
+      """WITH ch AS (
+        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+        |         o_totalprice * 1.05 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice
+        |  FROM orders WHERE o_orderkey % 13 = 0)
+        |SELECT
+        |  coalesce(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |  coalesce(c.o_custkey, b.o_custkey) AS o_custkey,
+        |  coalesce(c.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+        |  coalesce(c.o_totalprice, b.o_totalprice) AS o_totalprice
+        |FROM orders b FULL OUTER JOIN ch c ON b.o_orderkey = c.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "funnel_conversion" ->
+      """WITH v AS (SELECT user_id, MIN(ts) AS t_prev FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS t_prev FROM events e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.t_prev
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS t_prev FROM events e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t_prev
+        |      GROUP BY e.user_id)
+        |SELECT (SELECT COUNT(*) FROM v) AS n_view,
+        |  (SELECT COUNT(*) FROM c) AS n_click,
+        |  (SELECT COUNT(*) FROM p) AS n_purchase,
+        |  CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
+        |    / (SELECT COUNT(*) FROM v) AS cr_click,
+        |  CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+        |    / (SELECT COUNT(*) FROM c) AS cr_purchase""".stripMargin,
+  )
+}

@@ -129,6 +129,32 @@ object Relational {
       .orderBy("p_brand")
   }
 
+  /** Banded range join via binning — the scale path for pure range
+    * predicates (no equi conjunct). A naive `o_totalprice BETWEEN
+    * c_acctbal ± 100` join is a cartesian product at cluster scale;
+    * mapping both sides to width-200 bins (each ±100 window spans ≤ 2
+    * bins) turns it into an ordinary hash equi-join on the bin id with an
+    * exact residual filter — O(n) shuffle, no cross product. The oracle
+    * is the plain BETWEEN join, proving the binning preserves semantics.
+    */
+  private val joinRangeBinned: Q = (s, dir) => {
+    val bw = 200.0
+    val c = Tables(s, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"))
+      .withColumn("bin", explode(array_distinct(array(
+        floor((col("c_acctbal") - 100.0) / bw).cast("long"),
+        floor((col("c_acctbal") + 100.0) / bw).cast("long")))))
+    val o = Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .withColumn("bin", floor(col("o_totalprice") / bw).cast("long"))
+    c.join(o, "bin")
+      .filter(col("o_totalprice").between(
+        col("c_acctbal") - 100.0, col("c_acctbal") + 100.0))
+      .groupBy("c_custkey")
+      .agg(count(lit(1)).as("n_near"), dsum(col("o_totalprice")).as("sum_near"))
+      .orderBy("c_custkey")
+  }
+
   // ------------------------------------------------------------- aggregates
 
   /** Flagship: TPC-H Q1 shape — scan, filter, hash agg (partial+final),
@@ -367,6 +393,7 @@ object Relational {
     "join_semi" -> joinSemi,
     "join_anti" -> joinAnti,
     "join_theta" -> joinTheta,
+    "join_range_binned" -> joinRangeBinned,
     "agg_hash" -> aggHash,
     "agg_distinct" -> aggDistinct,
     "agg_approx_distinct" -> aggApproxDistinct,
@@ -436,6 +463,12 @@ object Relational {
          |FROM lineitem JOIN part
          |  ON l_partkey = p_partkey AND l_quantity > p_size
          |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "join_range_binned" ->
+      s"""SELECT c_custkey, COUNT(*) AS n_near,
+         |  ${oSum("o_totalprice")} AS sum_near
+         |FROM customer JOIN orders
+         |  ON o_totalprice BETWEEN c_acctbal - 100.0 AND c_acctbal + 100.0
+         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
     "agg_hash" ->
       s"""SELECT l_returnflag, l_linestatus,
          | ${oSum("l_quantity")} AS sum_qty,

@@ -136,10 +136,17 @@ object Text {
     */
   private val pipelineCleanCorpus: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
+    // Project to (doc_id, lang, n_chars, n_tok, fp) BEFORE the dedup
+    // window: the shuffle on fp then carries ~50 bytes/row instead of the
+    // full text + token array — at 100 TB that is the difference between
+    // a metadata-sized exchange and re-shuffling the whole corpus.
     val kept = Tables(s, dir, "documents")
       .withColumn("tk", expr(toksExpr))
       .filter(expr("size(tk) BETWEEN 10 AND 10000 AND size(array_distinct(tk)) > 5"))
-      .withColumn("fp", md5(expr("trim(regexp_replace(lower(text), '[^a-z0-9]+', ' '))")))
+      .select(
+        col("doc_id"), col("lang"), col("n_chars"),
+        expr("cast(size(tk) as bigint)").as("n_tok"),
+        md5(expr("trim(regexp_replace(lower(text), '[^a-z0-9]+', ' '))")).as("fp"))
     val deduped = kept
       .withColumn("rn", row_number().over(
         Window.partitionBy("fp").orderBy("doc_id")))
@@ -147,14 +154,42 @@ object Text {
     deduped.groupBy("lang")
       .agg(
         count(lit(1)).as("n_docs"),
-        sum(expr("cast(size(tk) as bigint)")).as("n_tokens"),
+        sum(col("n_tok")).as("n_tokens"),
         sum(col("n_chars")).as("n_chars"),
-        expr("cast(sum(n_chars) as double) / sum(size(tk))").as("chars_per_token"))
+        expr("cast(sum(n_chars) as double) / sum(n_tok)").as("chars_per_token"))
       .orderBy("lang")
+  }
+
+  /** TF-IDF top-5 terms per document. Ranking is by the integer triple
+    * (tf desc, df asc, token) — deterministic across engines — while the
+    * tfidf score itself is the usual tf·ln(N/df), rounded to 6 places for
+    * cross-engine float agreement.
+    *
+    * Scale shape: two hash aggregations (tf by (doc,token), df by token)
+    * + a broadcast of the single-row corpus count + one window by doc_id.
+    * Nothing holds corpus-level state; all shuffles are on natural keys.
+    */
+  private val tfidf: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(s, dir, "documents")
+    val tok = docs.select(col("doc_id"), explode(expr(toksExpr)).as("token"))
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(df, "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      .withColumn("rn", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(col("tf").desc, col("df").asc, col("token"))))
+      .filter(col("rn") <= 5)
+      .select("doc_id", "token", "tf", "df", "tfidf", "rn")
+      .orderBy("doc_id", "rn")
   }
 
   val queries: Map[String, Q] = Map(
     "pipeline_clean_corpus" -> pipelineCleanCorpus,
+    "text_tfidf" -> tfidf,
     "text_tokenize_stats" -> tokenizeStats,
     "text_token_count" -> tokenCount,
     "text_quality" -> quality,
@@ -176,11 +211,24 @@ object Text {
          |dd AS (
          |  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
          |  FROM kept)
-         |SELECT lang, COUNT(*) AS n_docs, SUM(len(tk)) AS n_tokens,
-         |  SUM(n_chars) AS n_chars,
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(len(tk)) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
          |  CAST(SUM(n_chars) AS DOUBLE) / SUM(len(tk)) AS chars_per_token
          |FROM dd WHERE rn = 1
          |GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_tfidf" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($oToks) AS token FROM documents),
+         |tfq AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+         |dfq AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |sc AS (SELECT tfq.doc_id, tfq.token, tfq.tf, dfq.df,
+         |  round(tfq.tf * ln(CAST(n_docs AS DOUBLE) / dfq.df), 6) AS tfidf,
+         |  row_number() OVER (PARTITION BY tfq.doc_id
+         |    ORDER BY tfq.tf DESC, dfq.df ASC, tfq.token) AS rn
+         |FROM tfq JOIN dfq USING (token) CROSS JOIN n)
+         |SELECT doc_id, token, tf, df, tfidf, rn FROM sc
+         |WHERE rn <= 5 ORDER BY doc_id, rn""".stripMargin,
     "text_tokenize_stats" ->
       s"""SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
          |FROM (SELECT doc_id, unnest($oToks) AS token FROM documents)
