@@ -42,14 +42,19 @@ object Udf {
   /** Typed Aggregator: geometric mean via sum-of-logs (partial-mergeable,
     * so Spark plans it as partial + final aggregation like any builtin).
     */
-  private case class GeoBuf(var sumLog: Double, var n: Long)
+  /** MUST be public: Spark's generated projection code instantiates the
+    * buffer class and calls its accessors from janino-compiled Java — a
+    * `private` buffer compiles but silently falls back to interpreted
+    * projections on every aggregation batch (found via ERROR CodeGenerator
+    * in the r2 verify log).
+    */
+  case class GeoBuf(sumLog: Double, n: Long)
 
-  private object GeoMean extends Aggregator[Double, GeoBuf, Double] {
+  object GeoMean extends Aggregator[Double, GeoBuf, Double] {
     def zero: GeoBuf = GeoBuf(0.0, 0L)
-    def reduce(b: GeoBuf, x: Double): GeoBuf = {
-      if (x > 0) { b.sumLog += math.log(x); b.n += 1 }; b
-    }
-    def merge(a: GeoBuf, b: GeoBuf): GeoBuf = { a.sumLog += b.sumLog; a.n += b.n; a }
+    def reduce(b: GeoBuf, x: Double): GeoBuf =
+      if (x > 0) GeoBuf(b.sumLog + math.log(x), b.n + 1) else b
+    def merge(a: GeoBuf, b: GeoBuf): GeoBuf = GeoBuf(a.sumLog + b.sumLog, a.n + b.n)
     def finish(b: GeoBuf): Double = if (b.n == 0) 0.0 else math.exp(b.sumLog / b.n)
     def bufferEncoder = Encoders.product[GeoBuf]
     def outputEncoder = Encoders.scalaDouble
