@@ -76,9 +76,28 @@ object Multimodal {
     }.toDF().orderBy("doc_id")
   }
 
+  /** Frame sampling: each payload is treated as a video of `n_frames`
+    * (stub: bytes/100) frames; emit at most 8 evenly-spaced frame indices
+    * per doc. This is the exact Spark plumbing (metadata → per-row index
+    * array → explode) a real video pipeline uses to fan frame-decode work
+    * out across executors; only the n_frames derivation is stubbed.
+    */
+  private val frameSample: Q = (s, dir) => {
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        (octet_length(col("text")).cast("bigint") / lit(100)).cast("bigint").as("n_frames"))
+      .filter(col("n_frames") > 0)
+      .withColumn("step", greatest(lit(1L), (col("n_frames") / 8L).cast("bigint") +
+        when(col("n_frames") % 8 === 0, 0L).otherwise(1L)))
+      .select(col("doc_id"), col("n_frames"),
+        explode(expr("sequence(0, n_frames - 1, step)")).as("frame_idx"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   val queries: Map[String, Q] = Map(
     "mm_binary_meta" -> binaryMeta,
     "mm_decode_stub" -> decodeStub,
+    "mm_frame_sample" -> frameSample,
   )
 
   val oracles: Map[String, String] = Map(
@@ -97,5 +116,15 @@ object Multimodal {
         | 64 + octet_length(encode(text)) % 512 AS fake_w,
         | 64 + (octet_length(encode(text)) * 7) % 512 AS fake_h
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_frame_sample" ->
+      """WITH f AS (SELECT doc_id, octet_length(encode(text)) // 100 AS n_frames
+        |           FROM documents),
+        |s AS (SELECT doc_id, n_frames,
+        |        greatest(1, (n_frames // 8) +
+        |          CASE WHEN n_frames % 8 = 0 THEN 0 ELSE 1 END) AS step
+        |      FROM f WHERE n_frames > 0)
+        |SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+        |  CAST(unnest(range(0, n_frames, step)) AS BIGINT) AS frame_idx
+        |FROM s ORDER BY doc_id, frame_idx""".stripMargin,
   )
 }

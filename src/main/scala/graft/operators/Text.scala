@@ -187,9 +187,35 @@ object Text {
       .orderBy("doc_id", "rn")
   }
 
+  /** Eval-set decontamination: flag corpus documents sharing any token
+    * 3-gram with a "benchmark" set (stand-in: every 97th doc). The
+    * canonical pre-training hygiene op.
+    *
+    * Scale shape: the benchmark side is tiny (1/97th of the corpus, then
+    * distinct grams) so Spark broadcasts it and the corpus side never
+    * shuffles its gram explosion — at 100 TB the corpus stays
+    * map-side-only until the final per-doc count.
+    */
+  private val decontaminate: Q = (s, dir) => {
+    val gramsExpr =
+      s"""transform(sequence(1, greatest(size(tk) - 2, 0)),
+         |  i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2)))""".stripMargin
+    val grams = Tables(s, dir, "documents")
+      .withColumn("tk", expr(toksExpr))
+      .select(col("doc_id"), explode(expr(gramsExpr)).as("gram"))
+    val bench = grams.filter(col("doc_id") % 97 === 0)
+      .select(col("gram")).distinct()
+    grams.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(bench), "gram")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gram")).as("n_shared_grams"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "pipeline_clean_corpus" -> pipelineCleanCorpus,
     "text_tfidf" -> tfidf,
+    "text_decontaminate" -> decontaminate,
     "text_tokenize_stats" -> tokenizeStats,
     "text_token_count" -> tokenCount,
     "text_quality" -> quality,
@@ -217,6 +243,17 @@ object Text {
          |  CAST(SUM(n_chars) AS DOUBLE) / SUM(len(tk)) AS chars_per_token
          |FROM dd WHERE rn = 1
          |GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_decontaminate" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, unnest(list_transform(
+         |    range(1, greatest(len(tk) - 1, 1)),
+         |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS gram
+         |  FROM (SELECT doc_id, $oToks AS tk FROM documents)),
+         |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+         |SELECT doc_id, COUNT(DISTINCT gram) AS n_shared_grams
+         |FROM g JOIN bench USING (gram)
+         |WHERE doc_id % 97 <> 0
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_tfidf" ->
       s"""WITH tok AS (SELECT doc_id, unnest($oToks) AS token FROM documents),
          |tfq AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
