@@ -16,6 +16,11 @@ import org.apache.spark.sql.graft.VecFunctions.{minhash_sig, simhash64, vec_dot}
   *    dropped (document frequency cap) BEFORE the join — without the cap
   *    the join is quadratic in the hottest shingle's df. This is the
   *    CCNet/Gopher "common n-gram" guard.
+  *  - ALL pair-generating operators collapse identical content (or
+  *    identical signatures) to one representative BEFORE candidate
+  *    generation and expand back to doc pairs at the end — candidate
+  *    joins scale with distinct near-dup content, not with copy counts
+  *    (see [[contentGroups]]).
   *  - minhash: candidates come ONLY from LSH band collisions (32 hashes,
   *    16 bands x 2 rows), so join cost is O(near-dups), not O(n^2); exact
   *    Jaccard then verifies candidates. P(miss | J>=0.8) = (1-J^2)^16
@@ -48,8 +53,25 @@ object Dedup {
   private def shingles(s: SparkSession, dir: String): DataFrame =
     graft.Cached.of(s, dir, "dedup.sh64") {
       Tables(s, dir, "documents")
-        .select(col("doc_id"), expr(shingleExpr).as("sh"))
-        .select(col("doc_id"), expr("transform(sh, s0 -> xxhash64(s0))").as("sh64"))
+        .select(col("doc_id"), md5(col("text")).as("ckey"), expr(shingleExpr).as("sh"))
+        .select(col("doc_id"), col("ckey"),
+          expr("transform(sh, s0 -> xxhash64(s0))").as("sh64"))
+    }
+
+  /** One representative per distinct content (`ckey` = md5(text)): all
+    * similarity pair generation below runs on representatives, never raw
+    * docs. On duplicate-heavy corpora (every real crawl) LSH buckets are
+    * otherwise quadratic in the COPY count of their hottest content —
+    * collapsing first makes candidate generation quadratic only in
+    * distinct near-dup content, and doc-level pairs are recovered by an
+    * output-bound expansion join at the end.
+    */
+  private def contentGroups(s: SparkSession, dir: String): DataFrame =
+    graft.Cached.of(s, dir, "dedup.groups") {
+      shingles(s, dir)
+        .groupBy("ckey")
+        .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("cnt"),
+          first(col("sh64")).as("sh64"))
     }
 
   // ------------------------------------------------------------------ exact
@@ -73,22 +95,41 @@ object Dedup {
     * with a df<=50 frequent-shingle cap (cost guard, mirrored in oracle).
     */
   private val ngramJaccard: Q = (s, dir) => {
-    val ex = shingles(s, dir)
-      .select(col("doc_id"), expr("cast(size(sh64) as bigint)").as("n"), explode(col("sh64")).as("s"))
-    val rare = ex.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= 50).select("s")
-    // the filtered postings list feeds both sides of the self-join:
-    // materialize it once (at cluster scale this is the posting-list
-    // table you would checkpoint before the pair-generation stage)
+    val sh = shingles(s, dir)
+    val g = contentGroups(s, dir)
+    // rep-level postings; document frequency still counts COPIES (sum of
+    // group sizes) so the df<=50 cap matches the doc-level oracle exactly
+    val ex = g.select(col("ckey"), expr("cast(size(sh64) as bigint)").as("n"),
+      col("cnt"), explode(col("sh64")).as("s"))
+    val rare = ex.groupBy("s").agg(sum(col("cnt")).as("df"))
+      .filter(col("df") <= 50).select("s")
     val exf = graft.Cached.of(s, dir, "dedup.postings")(ex.join(rare, "s"))
-    exf.as("a").join(exf.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // inter-group: rare-shingle join between distinct contents
+    val interG = exf.as("a").join(exf.as("b"),
+        col("a.s") === col("b.s") && col("a.ckey") < col("b.ckey"))
+      .groupBy(col("a.ckey").as("ka"), col("b.ckey").as("kb"))
       .agg(count(lit(1)).as("shared"), first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
       .withColumn("jaccard",
         col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
       .filter(col("jaccard") >= 0.6)
-      .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
+    val inter = interG
+      .join(sh.select(col("ckey").as("ka"), col("doc_id").as("id_a")), "ka")
+      .join(sh.select(col("ckey").as("kb"), col("doc_id").as("id_b")), "kb")
+      .select(least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"), col("jaccard"))
+    // intra-group (identical text): J = sr / (2n - sr) over the group's
+    // rare-shingle count sr — same formula the doc-level oracle computes
+    val intraG = exf.groupBy("ckey")
+      .agg(count(lit(1)).as("sr"), first(col("n")).as("n"))
+      .withColumn("jaccard",
+        col("sr").cast("double") / (col("n") * 2 - col("sr")))
+      .filter(col("jaccard") >= 0.6)
+    val intra = intraG
+      .join(sh.select(col("ckey"), col("doc_id").as("id_a")), "ckey")
+      .join(sh.select(col("ckey"), col("doc_id").as("id_b")), "ckey")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("jaccard"))
+    inter.unionAll(intra).orderBy("doc_a", "doc_b")
   }
 
   // ---------------------------------------------------------------- minhash
@@ -99,32 +140,42 @@ object Dedup {
     * this threshold, which the band parameters guarantee (see object doc).
     */
   private val minhash: Q = (s, dir) => {
-    // shingle sets are re-read by the band self-join (x2) and both
-    // verification joins — cached instead of recomputing the scan+
-    // shingling four times
     val sh = shingles(s, dir)
-    val sig = sh.withColumn("sig", minhash_sig(col("sh64"), 32))
+    val g = contentGroups(s, dir)
+    // signatures + LSH bands on DISTINCT contents only
+    val sig = g.withColumn("sig", minhash_sig(col("sh64"), 32))
     val bands = graft.Cached.of(s, dir, "dedup.minhash.bands") {
-      sig.select(col("doc_id"),
+      sig.select(col("ckey"),
           explode(expr(
             "transform(sequence(0, 15), b -> struct(b AS bidx, xxhash64(element_at(sig, 2*b+1), element_at(sig, 2*b+2)) AS bh))"))
             .as("band"))
-        .select(col("doc_id"), col("band.bidx").as("bidx"), col("band.bh").as("bh"))
+        .select(col("ckey"), col("band.bidx").as("bidx"), col("band.bh").as("bh"))
     }
     val cand = bands.as("a").join(bands.as("b"),
         col("a.bidx") === col("b.bidx") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          col("a.ckey") < col("b.ckey"))
+      .select(col("a.ckey").as("ka"), col("b.ckey").as("kb"))
       .distinct()
-    cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh64").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh64").as("sh_b")), "doc_b")
+    // exact Jaccard verification once per candidate CONTENT pair
+    val interG = cand
+      .join(g.select(col("ckey").as("ka"), col("sh64").as("sh_a")), "ka")
+      .join(g.select(col("ckey").as("kb"), col("sh64").as("sh_b")), "kb")
       .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", col("shared").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("shared")))
       .filter(col("jaccard") >= 0.8)
-      .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
+      .select("ka", "kb", "jaccard")
+    val inter = interG
+      .join(sh.select(col("ckey").as("ka"), col("doc_id").as("id_a")), "ka")
+      .join(sh.select(col("ckey").as("kb"), col("doc_id").as("id_b")), "kb")
+      .select(least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"), col("jaccard"))
+    // identical-content pairs: J is exactly n/n = 1.0 in both engines
+    val intra = sh.as("a").join(sh.as("b"),
+        col("a.ckey") === col("b.ckey") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        lit(1.0).as("jaccard"))
+    inter.unionAll(intra).orderBy("doc_a", "doc_b")
   }
 
   // ---------------------------------------------------------------- simhash
@@ -152,21 +203,32 @@ object Dedup {
     */
   private val simhashPairs: Q = (s, dir) => {
     val sim = graft.Cached.of(s, dir, "dedup.simhash")(simhashes(s, dir))
-    val chunks = sim.select(col("doc_id"), col("simhash"),
+    // collapse to DISTINCT signatures before banding: duplicate-heavy
+    // corpora otherwise make every 15-bit chunk bucket quadratic in the
+    // copy count (see contentGroups doc)
+    val reps = sim.select(col("simhash")).distinct()
+    val chunks = reps.select(col("simhash"),
         explode(expr(
           "transform(sequence(0, 3), c -> struct(c AS cidx, (shiftright(simhash, 15 * c) & 32767) AS cval))"))
           .as("ch"))
-      .select(col("doc_id"), col("simhash"), col("ch.cidx").as("cidx"), col("ch.cval").as("cval"))
-    chunks.as("a").join(chunks.as("b"),
+      .select(col("simhash"), col("ch.cidx").as("cidx"), col("ch.cval").as("cval"))
+    val candSig = chunks.as("a").join(chunks.as("b"),
         col("a.cidx") === col("b.cidx") && col("a.cval") === col("b.cval") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
-      .withColumn("ham", expr("cast(bit_count(sa ^ sb) as int)"))
-      .filter(col("ham") <= 3) // filter before distinct: shrink the dedup input
-      .select("doc_a", "doc_b", "ham")
+          col("a.simhash") < col("b.simhash"))
+      .select(col("a.simhash").as("sa"), col("b.simhash").as("sb"))
       .distinct()
-      .orderBy("doc_a", "doc_b")
+      .withColumn("ham", expr("cast(bit_count(sa ^ sb) as int)"))
+      .filter(col("ham") <= 3)
+    val inter = candSig
+      .join(sim.select(col("simhash").as("sa"), col("doc_id").as("id_a")), "sa")
+      .join(sim.select(col("simhash").as("sb"), col("doc_id").as("id_b")), "sb")
+      .select(least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"), col("ham"))
+    val intra = sim.as("a").join(sim.as("b"),
+        col("a.simhash") === col("b.simhash") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        lit(0).as("ham"))
+    inter.unionAll(intra).orderBy("doc_a", "doc_b")
   }
 
   // ------------------------------------------------------------- embeddings
