@@ -212,10 +212,36 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** PII redaction: mask emails and phone-shaped tokens. The corpus is
+    * synthetic (no real PII), so the query first APPENDS deterministic
+    * fake PII derived from doc_id, then proves the masking removes it —
+    * the redaction regexes are the operator under test. Patterns avoid
+    * lookarounds so Java regex (Spark) and RE2 (DuckDB) agree.
+    */
+  private val piiRedact: Q = (s, dir) => {
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]+"
+    val phoneRe = "555-[0-9]{4}"
+    Tables(s, dir, "documents")
+      .withColumn("aug", concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com or 555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+      .withColumn("red",
+        regexp_replace(regexp_replace(col("aug"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>"))
+      .select(
+        col("doc_id"),
+        expr(s"cast(size(regexp_extract_all(aug, '$emailRe', 0)) as int)").as("n_email"),
+        expr(s"cast(size(regexp_extract_all(aug, '$phoneRe', 0)) as int)").as("n_phone"),
+        md5(col("red")).as("red_md5"),
+        (length(col("aug")) - length(col("red"))).cast("bigint").as("chars_removed"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "pipeline_clean_corpus" -> pipelineCleanCorpus,
     "text_tfidf" -> tfidf,
     "text_decontaminate" -> decontaminate,
+    "text_pii_redact" -> piiRedact,
     "text_tokenize_stats" -> tokenizeStats,
     "text_token_count" -> tokenCount,
     "text_quality" -> quality,
@@ -243,6 +269,22 @@ object Text {
          |  CAST(SUM(n_chars) AS DOUBLE) / SUM(len(tk)) AS chars_per_token
          |FROM dd WHERE rn = 1
          |GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_pii_redact" ->
+      """WITH a AS (
+        |  SELECT doc_id, text || ' contact user' || doc_id ||
+        |    '@example.com or 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS aug
+        |  FROM documents),
+        |r AS (SELECT doc_id, aug,
+        |  regexp_replace(
+        |    regexp_replace(aug, '[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]+', '<EMAIL>', 'g'),
+        |    '555-[0-9]{4}', '<PHONE>', 'g') AS red
+        |  FROM a)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(aug, '[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]+')) AS INT) AS n_email,
+        |  CAST(len(regexp_extract_all(aug, '555-[0-9]{4}')) AS INT) AS n_phone,
+        |  md5(red) AS red_md5,
+        |  CAST(length(aug) - length(red) AS BIGINT) AS chars_removed
+        |FROM r ORDER BY doc_id""".stripMargin,
     "text_decontaminate" ->
       s"""WITH g AS (
          |  SELECT doc_id, unnest(list_transform(
