@@ -237,11 +237,32 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Within-document repetition scoring (the Gopher repetition filter):
+    * fraction of duplicated token 3-grams per doc. High rep_ratio marks
+    * boilerplate/spam. Pure per-row expressions — no shuffle at all.
+    */
+  private val repetition: Q = (s, dir) => {
+    val gramsExpr =
+      s"""transform(sequence(1, greatest(size(tk) - 2, 0)),
+         |  i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2)))""".stripMargin
+    Tables(s, dir, "documents")
+      .withColumn("tk", expr(toksExpr))
+      .withColumn("g", expr(gramsExpr))
+      .filter(size(col("g")) > 0)
+      .select(
+        col("doc_id"),
+        expr("cast(size(g) as bigint)").as("n_grams"),
+        expr("cast(size(array_distinct(g)) as bigint)").as("n_uniq"),
+        expr("1.0 - cast(size(array_distinct(g)) as double) / size(g)").as("rep_ratio"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "pipeline_clean_corpus" -> pipelineCleanCorpus,
     "text_tfidf" -> tfidf,
     "text_decontaminate" -> decontaminate,
     "text_pii_redact" -> piiRedact,
+    "text_repetition" -> repetition,
     "text_tokenize_stats" -> tokenizeStats,
     "text_token_count" -> tokenCount,
     "text_quality" -> quality,
@@ -269,6 +290,15 @@ object Text {
          |  CAST(SUM(n_chars) AS DOUBLE) / SUM(len(tk)) AS chars_per_token
          |FROM dd WHERE rn = 1
          |GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_repetition" ->
+      s"""SELECT doc_id, CAST(len(g) AS BIGINT) AS n_grams,
+         |  CAST(len(list_distinct(g)) AS BIGINT) AS n_uniq,
+         |  1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g) AS rep_ratio
+         |FROM (SELECT doc_id, list_transform(
+         |    range(1, greatest(len(tk) - 1, 1)),
+         |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS g
+         |  FROM (SELECT doc_id, $oToks AS tk FROM documents))
+         |WHERE len(g) > 0 ORDER BY doc_id""".stripMargin,
     "text_pii_redact" ->
       """WITH a AS (
         |  SELECT doc_id, text || ' contact user' || doc_id ||
