@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the physical-plan properties PLANS.md documents — the properties
+  * that make these operators viable at 100 TB. A regression here (a lost
+  * pushdown, a broadcast that became a shuffle, a top-k that became a
+  * global sort) would pass every row-level oracle while silently
+  * destroying cluster-scale behavior, so it is pinned in CI instead.
+  */
+class PlanEvidenceSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
+  private lazy val s = TestSpark.spark
+  private val dir = TestSpark.sf
+
+  private def planString(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filter_pushdown reaches the parquet scan and prunes columns") {
+    val p = planString(operators.Relational.queries("filter_pushdown")(s, dir))
+    assert(p.contains("PushedFilters: ["), p)
+    assert(!p.contains("PushedFilters: []"), "predicate did not reach the scan")
+    // only the 5 projected + filtered columns are decoded, not all 11
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("l_tax"), s"unprojected column decoded: $read")
+  }
+
+  test("dimension joins broadcast instead of shuffling the fact side") {
+    val p = planString(operators.Relational.queries("join_inner_hash")(s, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("sort_limit plans TakeOrderedAndProject, not a global sort") {
+    val p = planString(operators.Relational.queries("sort_limit")(s, dir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("agg_hash does partial (map-side) aggregation before the exchange") {
+    val df = operators.Relational.queries("agg_hash")(s, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p)
+  }
+
+  test("AQE re-plans a small sort-merge join into a broadcast join") {
+    import org.apache.spark.sql.functions._
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try {
+      // force the static planner to pick SMJ, then let AQE see the real
+      // (tiny) stage size and flip it to broadcast at runtime
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10MB")
+      val n = Tables(s, dir, "nation")
+      val c = Tables(s, dir, "customer")
+      val df = c.join(n, c("c_nationkey") === n("n_nationkey"))
+        .groupBy("n_name").count()
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"),
+        s"AQE should have converted SMJ to broadcast:\n$p")
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      s.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+}
