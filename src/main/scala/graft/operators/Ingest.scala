@@ -105,7 +105,23 @@ object Ingest {
       .orderBy("o_orderpriority")
   }
 
+  /** File-provenance via the hidden `_metadata` column: per-input-file
+    * row counts. At 100 TB this is the lineage primitive (which of the
+    * million input files produced this row) — free from the scan, no
+    * join against a manifest. The oracle states the expected relational
+    * result (one file per table in the test corpus).
+    */
+  private val scanFileMetadata: Q = (s, dir) => {
+    def one(t: String) =
+      Tables(s, dir, t)
+        .select(col("_metadata.file_name").as("fname"))
+        .groupBy("fname").agg(count(lit(1)).as("n_rows"))
+    one("customer").unionAll(one("lineitem")).unionAll(one("orders"))
+      .orderBy("fname")
+  }
+
   val queries: Map[String, Q] = Map(
+    "scan_file_metadata" -> scanFileMetadata,
     "scan_project_rename" -> scanProjectRename,
     "scan_schema_cols" -> scanSchemaCols,
     "normalize_json_ts" -> normalizeJsonTs,
@@ -121,6 +137,11 @@ object Ingest {
     "l_shipdate")
 
   val oracles: Map[String, String] = Map(
+    "scan_file_metadata" ->
+      """SELECT 'customer.parquet' AS fname, COUNT(*) AS n_rows FROM customer
+        |UNION ALL SELECT 'lineitem.parquet', COUNT(*) FROM lineitem
+        |UNION ALL SELECT 'orders.parquet', COUNT(*) FROM orders
+        |ORDER BY fname""".stripMargin,
     "scan_project_rename" ->
       """SELECT l_orderkey AS okey, l_linenumber AS line_no, l_quantity AS qty,
         | CAST(NULL AS VARCHAR) AS missing_col
