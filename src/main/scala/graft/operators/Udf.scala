@@ -128,11 +128,33 @@ object Udf {
       .orderBy("event_id")
   }
 
+  /** Same as-of semantics through the native custom operator
+    * (AsOfJoinNode → AsOfJoinStrategy → AsOfJoinExec streaming merge,
+    * plans/AsOfJoin.scala) instead of the union+window emulation. Both
+    * share one oracle; `AsOfJoinSpec` additionally pins plan shape and
+    * result equality between the two.
+    */
+  private val joinAsofNative: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val or = Tables(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"), col("o_totalprice"))
+    org.apache.spark.sql.graft.AsOfJoin(
+        ev, or, "user_id", "ts", "o_custkey", "o_orderdate", "o_orderkey",
+        Seq("o_orderkey", "o_totalprice"))
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+        col("o_orderkey").as("asof_orderkey"),
+        col("o_totalprice").as("asof_totalprice"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "fn_udf_scalar" -> udfScalar,
     "agg_udaf_geomean" -> udafGeomean,
     "fn_udtf_bigrams" -> udtfBigrams,
     "join_asof" -> joinAsof,
+    "join_asof_native" -> joinAsofNative,
   )
 
   val oracles: Map[String, String] = Map(
@@ -154,6 +176,15 @@ object Udf {
         |SELECT bigram, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS nd
         |FROM bg GROUP BY bigram HAVING COUNT(*) >= 10
         |ORDER BY n DESC, bigram""".stripMargin,
+    "join_asof_native" ->
+      """SELECT e.event_id, e.user_id,
+        | strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        | o.o_orderkey AS asof_orderkey, o.o_totalprice AS asof_totalprice
+        |FROM events e LEFT JOIN LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = e.user_id AND o_orderdate <= e.ts
+        |  ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) o ON true
+        |ORDER BY e.event_id""".stripMargin,
     "join_asof" ->
       """SELECT e.event_id, e.user_id,
         | strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts,

@@ -271,5 +271,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         builder))
     }
     e.injectOptimizerRule(_ => VecSelfDotRule)
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }
