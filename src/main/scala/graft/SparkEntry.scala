@@ -28,7 +28,8 @@ object SparkEntry {
       operators.Sample.queries ++
       operators.Reshape.queries ++
       operators.Flow.queries ++
-      operators.Bucketed.queries
+      operators.Bucketed.queries ++
+      operators.Sql.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -47,5 +48,6 @@ object SparkEntry {
       operators.Sample.oracles ++
       operators.Reshape.oracles ++
       operators.Flow.oracles ++
-      operators.Bucketed.oracles
+      operators.Bucketed.oracles ++
+      operators.Sql.oracles
 }
