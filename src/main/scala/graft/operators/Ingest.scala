@@ -120,7 +120,20 @@ object Ingest {
       .orderBy("fname")
   }
 
+  /** Custom DataSourceV2 connector (sources/SeqDataSource.scala): the
+    * pushed `id < 50000` bound narrows the GENERATED range at the source
+    * (rows past the bound never exist), the modulo residual is applied
+    * post-scan, and the source plans its own 8 input partitions.
+    */
+  private val scanDsv2: Q = (s, _) => {
+    s.read.format("graft.sources.SeqDataSource")
+      .option("rows", "100000").option("partitions", "8").load()
+      .filter(col("id") < 50000 && col("id") % 1000 < 10)
+      .orderBy("id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "scan_dsv2_source" -> scanDsv2,
     "scan_file_metadata" -> scanFileMetadata,
     "scan_project_rename" -> scanProjectRename,
     "scan_schema_cols" -> scanSchemaCols,
@@ -137,6 +150,13 @@ object Ingest {
     "l_shipdate")
 
   val oracles: Map[String, String] = Map(
+    "scan_dsv2_source" ->
+      """SELECT id,
+        |  CAST((id * 7919) % 10007 AS DOUBLE) / CAST(10007 AS DOUBLE) AS v,
+        |  't' || CAST(id % 5 AS VARCHAR) AS tag
+        |FROM range(100000) t(id)
+        |WHERE id < 50000 AND id % 1000 < 10
+        |ORDER BY id""".stripMargin,
     "scan_file_metadata" ->
       """SELECT 'customer.parquet' AS fname, COUNT(*) AS n_rows FROM customer
         |UNION ALL SELECT 'lineitem.parquet', COUNT(*) FROM lineitem
