@@ -8,7 +8,9 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
+import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Deterministic synthetic-sequence DataSourceV2 — the engine's custom
@@ -132,6 +134,52 @@ class SeqReaderFactory(required: StructType) extends PartitionReaderFactory {
         new GenericInternalRow(vals)
       }
       override def close(): Unit = ()
+    }
+  }
+
+  /** Vectorized path: fill 4K-row ColumnarBatches directly — the scan
+    * stays columnar until Spark's ColumnarToRow boundary, like the
+    * built-in parquet reader. PartitionReaderFactory advertises it via
+    * supportColumnarReads, so Spark picks this over the row reader.
+    */
+  override def supportColumnarReads(partition: InputPartition): Boolean = true
+
+  override def createColumnarReader(
+      partition: InputPartition): PartitionReader[ColumnarBatch] = {
+    val SeqRange(lo, hi) = partition.asInstanceOf[SeqRange]
+    val batchSize = 4096
+    new PartitionReader[ColumnarBatch] {
+      private var cursor = lo
+      private var batch: ColumnarBatch = _
+
+      override def next(): Boolean = {
+        if (cursor >= hi) return false
+        val n = math.min(batchSize.toLong, hi - cursor).toInt
+        val vectors = required.fields.map(f => new OnHeapColumnVector(n, f.dataType))
+        var i = 0
+        while (i < n) {
+          val id = cursor + i
+          var c = 0
+          while (c < required.fields.length) {
+            required.fields(c).name match {
+              case "id" => vectors(c).putLong(i, id)
+              case "v" => vectors(c).putDouble(i, ((id * 7919L) % 10007L).toDouble / 10007.0)
+              case "tag" =>
+                val b = ("t" + (id % 5)).getBytes("UTF-8")
+                vectors(c).putByteArray(i, b, 0, b.length)
+            }
+            c += 1
+          }
+          i += 1
+        }
+        if (batch != null) batch.close()
+        batch = new ColumnarBatch(vectors.toArray[ColumnVector], n)
+        cursor += n
+        true
+      }
+
+      override def get(): ColumnarBatch = batch
+      override def close(): Unit = if (batch != null) batch.close()
     }
   }
 }

@@ -37,6 +37,19 @@ class SeqSourceSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(scan.scan.description().contains("cols=tag"), scan.scan.description())
   }
 
+  test("scan runs the vectorized path (columnar until ColumnarToRow)") {
+    val df = seq(10000, 2).select("id", "v", "tag")
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val scan = collectWithSubqueries(plan) { case b: BatchScanExec => b }.head
+    assert(scan.supportsColumnar, "batch scan should advertise columnar output")
+    assert(plan.toString.contains("ColumnarToRow"), plan.toString)
+    // values identical to the row path's contract
+    val r = df.filter(col("id") === 9999).collect()(0)
+    assert(r.getDouble(1) == ((9999L * 7919L) % 10007L).toDouble / 10007.0)
+    assert(r.getString(2) == "t4")
+  }
+
   test("source plans its own partitions and respects bounds across them") {
     val df = seq(100, 8).filter(col("id") >= 90)
     assert(df.count() == 10)
