@@ -22,6 +22,34 @@ class AsOfJoinSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(native.exists(_.isNullAt(3)) || native.forall(!_.isNullAt(3)))
   }
 
+  test("edge cases: empty right side, no prior match, tied times") {
+    import s.implicits._
+    import org.apache.spark.sql.graft.AsOfJoin
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val left = Seq((1L, ts(10), "a"), (1L, ts(20), "b"), (2L, ts(10), "c"))
+      .toDF("k", "t", "lbl")
+
+    // empty right side -> all payloads null, all left rows survive
+    val emptyRight = Seq.empty[(Long, java.sql.Timestamp, Long, Double)]
+      .toDF("rk", "rt", "tie", "pay")
+    val r0 = AsOfJoin(left, emptyRight, "k", "t", "rk", "rt", "tie", Seq("pay"))
+      .orderBy("k", "t").collect()
+    assert(r0.length == 3 && r0.forall(_.isNullAt(3)))
+
+    // key 1: one row before 10:10 and two TIED rows at 10:15 (tie-break
+    // must pick the larger tie value); key 2 has no prior row
+    val right = Seq(
+      (1L, ts(5), 100L, 1.0), (1L, ts(15), 200L, 2.0), (1L, ts(15), 300L, 3.0),
+      (2L, ts(30), 400L, 4.0))
+      .toDF("rk", "rt", "tie", "pay")
+    val r1 = AsOfJoin(left, right, "k", "t", "rk", "rt", "tie", Seq("pay"))
+      .orderBy("k", "t").collect()
+    assert(r1.length == 3)
+    assert(r1(0).getDouble(3) == 1.0) // (1, 10:10) -> row at 10:05
+    assert(r1(1).getDouble(3) == 3.0) // (1, 10:20) -> tied 10:15, max tie wins
+    assert(r1(2).isNullAt(3))         // (2, 10:10) -> nothing at or before
+  }
+
   test("plans through AsOfJoinExec with clustered+sorted children") {
     val df = operators.Udf.queries("join_asof_native")(s, dir)
     df.collect()
