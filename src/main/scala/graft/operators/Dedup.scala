@@ -15,7 +15,11 @@ import org.apache.spark.sql.graft.VecFunctions.{minhash_sig, simhash64, vec_dot}
   *  - ngram-jaccard: exploded shingle self-join. Frequent shingles are
   *    dropped (document frequency cap) BEFORE the join — without the cap
   *    the join is quadratic in the hottest shingle's df. This is the
-  *    CCNet/Gopher "common n-gram" guard.
+  *    CCNet/Gopher "common n-gram" guard. The cap here is an absolute
+  *    constant (df <= 50) because the oracle must mirror it exactly; a
+  *    production corpus would set it as a quantile of the df
+  *    distribution so it tracks corpus size (at 8x duplication the
+  *    absolute cap prunes everything — see BASELINE.md scale-up table).
   *  - ALL pair-generating operators collapse identical content (or
   *    identical signatures) to one representative BEFORE candidate
   *    generation and expand back to doc pairs at the end — candidate
