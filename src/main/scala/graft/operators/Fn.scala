@@ -115,7 +115,43 @@ object Fn {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Ordered string aggregation (Spark 4 listagg WITHIN GROUP ≡ DuckDB
+    * string_agg ORDER BY) — deterministic only because the order clause
+    * is total over the distinct values.
+    */
+  private val aggListagg: Q = (s, dir) => {
+    Tables(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("listagg(DISTINCT l_linestatus, ',') WITHIN GROUP (ORDER BY l_linestatus)")
+          .as("statuses"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Error-safe function semantics: try_divide / try_cast / try_add /
+    * try_element_at return NULL instead of failing the job — the ANSI-
+    * mode-safe forms a production pipeline uses so one malformed row
+    * cannot kill a 100 TB pass.
+    */
+  private val fnTry: Q = (s, dir) => {
+    Tables(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 50 === 0)
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_extendedprice"),
+        expr("try_divide(l_extendedprice, CASE WHEN l_linenumber % 3 = 0 THEN 0.0 ELSE 2.0 END)")
+          .as("safe_div"),
+        expr("try_cast(CASE WHEN l_linenumber % 2 = 0 THEN 'x' || l_partkey ELSE CAST(l_partkey AS STRING) END AS INT)")
+          .as("safe_cast"),
+        expr("try_add(9223372036854775807, l_partkey + 1)").as("overflow_add"),
+        expr("try_element_at(array(l_returnflag, l_linestatus), 1)").as("first_el"),
+        expr("try_element_at(array(l_returnflag, l_linestatus), 5)").as("missing_el"))
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice")
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_listagg" -> aggListagg,
+    "fn_try" -> fnTry,
     "fn_string" -> fnString,
     "fn_date" -> fnDate,
     "fn_math" -> fnMath,
@@ -126,6 +162,22 @@ object Fn {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_listagg" ->
+      """SELECT l_returnflag,
+        |  string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "fn_try" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice,
+        |  CASE WHEN l_linenumber % 3 = 0 THEN NULL
+        |       ELSE l_extendedprice / 2.0 END AS safe_div,
+        |  TRY_CAST(CASE WHEN l_linenumber % 2 = 0 THEN 'x' || l_partkey
+        |                ELSE CAST(l_partkey AS VARCHAR) END AS INT) AS safe_cast,
+        |  CAST(NULL AS BIGINT) AS overflow_add,
+        |  ([l_returnflag, l_linestatus])[1] AS first_el,
+        |  ([l_returnflag, l_linestatus])[5] AS missing_el
+        |FROM lineitem WHERE l_orderkey % 50 = 0
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_extendedprice""".stripMargin,
     "fn_string" ->
       """SELECT p_partkey, upper(p_name) AS up_name, lower(p_brand) AS lo_brand,
         | substring(p_type, 1, 5) AS type5,
