@@ -149,9 +149,61 @@ object Fn {
       .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice")
   }
 
+  /** Higher-order array functions beyond transform/filter/aggregate:
+    * zip_with, exists, forall, array_position, slice, reverse-sort,
+    * flatten — the functional-collection surface over array columns.
+    */
+  private val fnHigherOrder: Q = (s, dir) => {
+    Tables(s, dir, "documents")
+      .filter(col("doc_id") % 10 === 0)
+      .withColumn("tk", expr("slice(filter(split(text, ' '), t -> length(t) > 0), 1, 6)"))
+      .filter(expr("size(tk) >= 4")) // argmax/flatten need enough elements
+      .withColumn("lens", expr("transform(tk, t -> length(t))"))
+      .select(
+        col("doc_id"),
+        expr("zip_with(tk, lens, (t, l) -> concat(t, ':', l))").as("tagged"),
+        expr("exists(lens, l -> l > 7)").as("has_long"),
+        expr("forall(lens, l -> l > 0)").as("all_nonempty"),
+        expr("array_position(lens, array_max(lens))").as("argmax_pos"),
+        expr("reverse(array_sort(lens))").as("lens_desc"),
+        expr("flatten(array(slice(tk, 1, 2), slice(tk, 3, 2)))").as("first4"))
+      .orderBy("doc_id")
+  }
+
+  /** Statistical moments computed from EXACT decimal sums (n, Σx, Σx²,
+    * Σxy) instead of streaming corr()/var_samp(): the streaming forms
+    * accumulate floats in partition order and cannot hash-match across
+    * engines; moment arithmetic on order-independent sums is identical
+    * everywhere. This is also the mergeable formulation a distributed
+    * profiler wants at 100 TB (per-partition moment vectors merge by +).
+    */
+  private val aggStatsMoments: Q = (s, dir) => {
+    import graft.Det
+    def dsumSq(c: String) = sum((col(c) * col(c)).cast(Det.Scale)).cast("double")
+    val base = Tables(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        Det.dsum(col("l_quantity")).as("sx"),
+        dsumSq("l_quantity").as("sx2"),
+        Det.dsum(col("l_discount")).as("sy"),
+        sum((col("l_discount") * col("l_discount")).cast(Det.Scale)).cast("double").as("sy2"),
+        sum((col("l_quantity") * col("l_discount")).cast(Det.Scale)).cast("double").as("sxy"))
+    base.select(
+        col("l_returnflag"), col("n").cast("bigint").as("n_rows"),
+        round(col("sx") / col("n"), 6).as("mean_qty"),
+        round((col("sx2") - col("sx") * col("sx") / col("n")) / col("n"), 6).as("var_qty"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sx2") - col("sx") * col("sx")) *
+           sqrt(col("n") * col("sy2") - col("sy") * col("sy"))), 6).as("corr_qty_disc"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
     "agg_listagg" -> aggListagg,
     "fn_try" -> fnTry,
+    "fn_higher_order" -> fnHigherOrder,
+    "agg_stats_moments" -> aggStatsMoments,
     "fn_string" -> fnString,
     "fn_date" -> fnDate,
     "fn_math" -> fnMath,
@@ -162,6 +214,38 @@ object Fn {
   )
 
   val oracles: Map[String, String] = Map(
+    "fn_higher_order" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    (list_filter(string_split(text, ' '), t -> len(t) > 0))[1:6] AS tk
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |u AS (SELECT doc_id, tk, list_transform(tk, t -> len(t)) AS lens
+        |      FROM t WHERE len(tk) >= 4)
+        |SELECT doc_id,
+        |  list_transform(list_zip(tk, lens),
+        |    s -> s[1] || ':' || CAST(s[2] AS VARCHAR)) AS tagged,
+        |  len(list_filter(lens, l -> l > 7)) > 0 AS has_long,
+        |  len(list_filter(lens, l -> NOT (l > 0))) = 0 AS all_nonempty,
+        |  list_position(lens, list_max(lens)) AS argmax_pos,
+        |  list_sort(lens, 'DESC') AS lens_desc,
+        |  flatten([tk[1:2], tk[3:4]]) AS first4
+        |FROM u ORDER BY doc_id""".stripMargin,
+    "agg_stats_moments" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sx2,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(25,6))) AS DOUBLE) AS sy2,
+        |    CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(25,6))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+        |  round(sx / n, 6) AS mean_qty,
+        |  round((sx2 - sx * sx / n) / n, 6) AS var_qty,
+        |  round((n * sxy - sx * sy) /
+        |    (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)), 6) AS corr_qty_disc
+        |FROM m ORDER BY l_returnflag""".stripMargin,
     "agg_listagg" ->
       """SELECT l_returnflag,
         |  string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
