@@ -33,9 +33,12 @@ object Bucketed {
   /** Lay down orders + lineitem bucketed by order key (once per session
     * and scale factor).
     */
-  def prepare(s: SparkSession, dir: String): (String, String) = {
+  def prepare(s: SparkSession, dir: String): (String, String) = synchronized {
     val (ot, lt) = (s"graft_orders_${tag(dir)}", s"graft_lineitem_${tag(dir)}")
-    if (prepared.add((s, dir))) {
+    // mark prepared only AFTER both writes succeed — otherwise one
+    // transient write failure (tmp full, co-tenant I/O error) would
+    // poison every later call with names of tables that don't exist
+    if (!prepared.contains((s, dir))) {
       val base = new java.io.File(
         sys.props("java.io.tmpdir"), s"graft_bucketed_${tag(dir)}").getAbsolutePath
       Tables(s, dir, "orders").write.mode("overwrite")
@@ -44,6 +47,7 @@ object Bucketed {
       Tables(s, dir, "lineitem").write.mode("overwrite")
         .option("path", s"$base/lineitem")
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt)
+      prepared.add((s, dir))
     }
     (ot, lt)
   }

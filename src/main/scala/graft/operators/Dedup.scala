@@ -74,8 +74,7 @@ object Dedup {
     graft.Cached.of(s, dir, "dedup.groups") {
       shingles(s, dir)
         .groupBy("ckey")
-        .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("cnt"),
-          first(col("sh64")).as("sh64"))
+        .agg(count(lit(1)).as("cnt"), first(col("sh64")).as("sh64"))
     }
 
   // ------------------------------------------------------------------ exact

@@ -28,10 +28,12 @@ object Sql {
     val ev = view(s, dir, "events")
     s.sql(
       s"""SELECT event_id,
-         |  variant_get(parse_json(props), '$$.k', 'bigint') AS k_val,
-         |  variant_get(parse_json(props), '$$.k', 'bigint') * 2 AS k_doubled,
-         |  variant_get(try_parse_json(props), '$$.missing', 'bigint') AS absent
-         |FROM $ev WHERE event_id % 20 = 0 ORDER BY event_id""".stripMargin)
+         |  variant_get(pv, '$$.k', 'bigint') AS k_val,
+         |  variant_get(pv, '$$.k', 'bigint') * 2 AS k_doubled,
+         |  variant_get(pv, '$$.missing', 'bigint') AS absent
+         |FROM (SELECT event_id, try_parse_json(props) AS pv
+         |      FROM $ev WHERE event_id % 20 = 0)
+         |ORDER BY event_id""".stripMargin)
   }
 
   /** LATERAL correlated subquery: each customer's single most expensive

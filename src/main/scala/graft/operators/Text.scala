@@ -25,6 +25,17 @@ object Text {
   /** Non-empty whitespace tokens (split on ' ' leaves empties for runs). */
   private val toksExpr = "filter(split(text, ' '), t -> length(t) > 0)"
 
+  /** Token 3-grams over `tk`. The size guard must yield an EMPTY array
+    * for docs under 3 tokens — `sequence(1, greatest(n-2, 0))` would
+    * produce the DESCENDING [1, 0] (Spark sequence steps -1 when start >
+    * stop) and crash element_at on out-of-bounds/zero indices.
+    */
+  private val gramsExpr =
+    s"""CASE WHEN size(tk) < 3 THEN CAST(array() AS array<string>)
+       |ELSE transform(sequence(1, size(tk) - 2),
+       |  i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2)))
+       |END""".stripMargin
+
   /** Tokenize + corpus term stats: term frequency and document frequency. */
   private val tokenizeStats: Q = (s, dir) => {
     Tables(s, dir, "documents")
@@ -197,9 +208,6 @@ object Text {
     * map-side-only until the final per-doc count.
     */
   private val decontaminate: Q = (s, dir) => {
-    val gramsExpr =
-      s"""transform(sequence(1, greatest(size(tk) - 2, 0)),
-         |  i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2)))""".stripMargin
     val grams = Tables(s, dir, "documents")
       .withColumn("tk", expr(toksExpr))
       .select(col("doc_id"), explode(expr(gramsExpr)).as("gram"))
@@ -242,9 +250,6 @@ object Text {
     * boilerplate/spam. Pure per-row expressions — no shuffle at all.
     */
   private val repetition: Q = (s, dir) => {
-    val gramsExpr =
-      s"""transform(sequence(1, greatest(size(tk) - 2, 0)),
-         |  i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2)))""".stripMargin
     Tables(s, dir, "documents")
       .withColumn("tk", expr(toksExpr))
       .withColumn("g", expr(gramsExpr))

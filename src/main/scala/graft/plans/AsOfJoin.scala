@@ -176,10 +176,20 @@ object AsOfJoin {
     def attr(plan: LogicalPlan, name: String): Attribute =
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"no column $name in ${plan.output.map(_.name)}"))
+    // the physical merge reads keys/times/tie as raw longs — fail fast at
+    // resolution time rather than ClassCastException inside executors
+    def longBacked(a: Attribute): Attribute = a.dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => a
+      case other => throw new IllegalArgumentException(
+        s"as-of join column ${a.name} must be bigint/timestamp-backed, got $other")
+    }
     Dataset.ofRows(spark, AsOfJoinNode(
       lPlan, rPlan,
-      attr(lPlan, leftKey), attr(lPlan, leftTime),
-      attr(rPlan, rightKey), attr(rPlan, rightTime), attr(rPlan, rightTie),
+      longBacked(attr(lPlan, leftKey)), longBacked(attr(lPlan, leftTime)),
+      longBacked(attr(rPlan, rightKey)), longBacked(attr(rPlan, rightTime)),
+      longBacked(attr(rPlan, rightTie)),
       payloadCols.map(attr(rPlan, _))))
   }
 }

@@ -18,8 +18,10 @@ class AsOfJoinSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(native.length == emulated.length)
     native.zip(emulated).foreach { case (n, e) => assert(n == e, s"$n != $e") }
     assert(native.length > 0)
-    // at least one event has no prior order -> null payload path exercised
-    assert(native.exists(_.isNullAt(3)) || native.forall(!_.isNullAt(3)))
+    // matched path must occur in corpus data; the null-payload path has
+    // no natural occurrence at sf0.001 (every event has a prior order)
+    // and is pinned by the synthetic edge-case test below instead
+    assert(native.exists(!_.isNullAt(3)), "matched path not exercised")
   }
 
   test("edge cases: empty right side, no prior match, tied times") {

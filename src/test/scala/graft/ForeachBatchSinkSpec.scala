@@ -21,12 +21,14 @@ class ForeachBatchSinkSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Timestamp, Long)]
     val seen = new java.util.concurrent.ConcurrentHashMap[Long, Seq[Long]]()
+    val arrival = new java.util.concurrent.CopyOnWriteArrayList[Long]()
 
     val q = in.toDF().toDF("ts", "id")
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // the idempotent-sink pattern: transactionally write rows keyed
         // by batchId; a replayed batch overwrites, never duplicates
+        arrival.add(batchId)
         seen.put(batchId, batch.select("id").collect().map(_.getLong(0)).toSeq.sorted)
         ()
       }
@@ -37,8 +39,12 @@ class ForeachBatchSinkSpec extends AnyFunSuite {
     in.addData((t(3), 3L)); q.processAllAvailable()
     q.stop()
 
-    val ids = seen.keySet().toArray(Array.empty[java.lang.Long]).map(_.toLong).sorted
-    assert(ids.sameElements(ids.sorted) && ids.length >= 2)
+    // ARRIVAL order (not a re-sorted copy) must be strictly increasing
+    // with no duplicate batch ids — the property idempotent sinks key on
+    val ids = arrival.toArray(Array.empty[java.lang.Long]).map(_.toLong)
+    assert(ids.length >= 2, s"expected >=2 batches, got ${ids.toSeq}")
+    assert(ids.zip(ids.tail).forall { case (a, b) => a < b },
+      s"batch ids not strictly increasing in arrival order: ${ids.toSeq}")
     val all = ids.flatMap(seen.get(_)).sorted
     assert(all.toSeq == Seq(1L, 2L, 3L), s"rows lost or duplicated: ${all.toSeq}")
   }
