@@ -66,6 +66,43 @@ object Analytic {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** INTERVAL range frame over event time: per-user trailing-1-hour
+    * event count and exact-decimal value sum. Range frames on timestamps
+    * are the streaming-adjacent windowing shape (trailing-window
+    * features) — distinct from the row-count and integer-range frames
+    * win_frame covers.
+    */
+  private val winRangeInterval: Q = (s, dir) => {
+    val e = Tables(s, dir, "events")
+    e.createOrReplaceTempView("g_events_wri")
+    s.sql(
+      """SELECT event_id, user_id,
+        |  date_format(ts, 'yyyy-MM-dd HH:mm:ss') AS t,
+        |  COUNT(*) OVER w AS n_1h,
+        |  CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE) AS sum_1h
+        |FROM g_events_wri
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin)
+  }
+
+  /** Deterministic mode: most frequent value per group with an explicit
+    * (count DESC, value ASC) tie-break — built-in mode() is free to pick
+    * any maximal value, which can never hash-match another engine.
+    */
+  private val aggModeManual: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_quantity")
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("rn", row_number().over(Window.partitionBy("l_returnflag")
+        .orderBy(col("n").desc, col("l_quantity").asc)))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("n").as("mode_n"))
+      .orderBy("l_returnflag")
+  }
+
   /** Distribution window functions: percent_rank and cume_dist are
     * (k-1)/(n-1) and k/n rational values — exact in both engines.
     */
@@ -84,9 +121,27 @@ object Analytic {
     "win_analytic" -> winAnalytic,
     "win_frame" -> winFrame,
     "win_distribution" -> winDistribution,
+    "win_range_interval" -> winRangeInterval,
+    "agg_mode_manual" -> aggModeManual,
   )
 
   val oracles: Map[String, String] = Map(
+    "win_range_interval" ->
+      """SELECT event_id, user_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS t,
+        |  COUNT(*) OVER w AS n_1h,
+        |  CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "agg_mode_manual" ->
+      """SELECT l_returnflag, l_quantity AS mode_qty, n AS mode_n FROM (
+        |  SELECT l_returnflag, l_quantity, COUNT(*) AS n,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY COUNT(*) DESC, l_quantity ASC) AS rn
+        |  FROM lineitem GROUP BY l_returnflag, l_quantity)
+        |WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
     "win_distribution" ->
       """SELECT c_nationkey, c_custkey, c_acctbal,
         | percent_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal) AS pr,
