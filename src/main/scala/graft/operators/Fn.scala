@@ -199,7 +199,27 @@ object Fn {
       .orderBy("l_returnflag")
   }
 
+  /** URL parsing (parse_url HOST/PATH/QUERY) and data masking (mask:
+    * upper→X, lower→x, digit→n) over synthesized crawl-style URLs — the
+    * two per-row transforms every web-corpus pipeline runs. The DuckDB
+    * oracle mirrors them with regexes, proving the semantics are plain.
+    */
+  private val fnUrlMask: Q = (s, dir) => {
+    Tables(s, dir, "documents")
+      .filter(col("doc_id") % 10 === 0)
+      .withColumn("url", concat(lit("https://"), col("source"),
+        lit(".example.com/docs/"), col("doc_id"), lit("?lang="), col("lang")))
+      .select(
+        col("doc_id"), col("url"),
+        expr("parse_url(url, 'HOST')").as("host"),
+        expr("parse_url(url, 'PATH')").as("path"),
+        expr("parse_url(url, 'QUERY', 'lang')").as("qlang"),
+        expr("mask(concat(upper(substring(source, 1, 3)), doc_id))").as("masked"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "fn_url_mask" -> fnUrlMask,
     "agg_listagg" -> aggListagg,
     "fn_try" -> fnTry,
     "fn_higher_order" -> fnHigherOrder,
@@ -214,6 +234,20 @@ object Fn {
   )
 
   val oracles: Map[String, String] = Map(
+    "fn_url_mask" ->
+      """WITH u AS (
+        |  SELECT doc_id, source,
+        |    'https://' || source || '.example.com/docs/' || doc_id ||
+        |    '?lang=' || lang AS url
+        |  FROM documents WHERE doc_id % 10 = 0)
+        |SELECT doc_id, url,
+        |  regexp_extract(url, 'https://([^/]+)', 1) AS host,
+        |  regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path,
+        |  regexp_extract(url, 'lang=([a-z]+)', 1) AS qlang,
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    upper(substr(source, 1, 3)) || doc_id,
+        |    '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g') AS masked
+        |FROM u ORDER BY doc_id""".stripMargin,
     "fn_higher_order" ->
       """WITH t AS (
         |  SELECT doc_id,
