@@ -77,7 +77,52 @@ object Reshape {
       .orderBy("l_returnflag")
   }
 
+  /** Equal-width histogram via arithmetic binning (portable to any
+    * engine; Spark's width_bucket has no DuckDB twin). 10 bins over
+    * [0, 500k) order totals.
+    */
+  private val histogram: Q = (s, dir) => {
+    Tables(s, dir, "orders")
+      .withColumn("bin",
+        least(floor(col("o_totalprice") / 50000.0), lit(9.0)).cast("int"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bin")
+  }
+
+  /** unionByName with allowMissingColumns: schema-evolution-tolerant
+    * append (new files gain columns, old rows get NULLs) — the ingest
+    * reality of any long-lived corpus.
+    */
+  private val unionByNameMissing: Q = (s, dir) => {
+    val v1 = Tables(s, dir, "orders").filter(col("o_orderkey") % 100 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val v2 = Tables(s, dir, "orders").filter(col("o_orderkey") % 100 === 50)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    v1.unionByName(v2, allowMissingColumns = true)
+      .orderBy("o_orderkey")
+  }
+
+  /** SQL FILTER clause on aggregates: per-group conditional aggregation
+    * without CASE scaffolding (one pass, many conditions).
+    */
+  private val filterClause: Q = (s, dir) => {
+    val li = Tables(s, dir, "lineitem")
+    li.createOrReplaceTempView("g_lineitem_fc")
+    s.sql(
+      s"""SELECT l_returnflag,
+         |  COUNT(*) AS n,
+         |  COUNT(*) FILTER (WHERE l_quantity > 25) AS n_heavy,
+         |  COUNT(*) FILTER (WHERE l_discount >= 0.05) AS n_discounted,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6)))
+         |       FILTER (WHERE l_quantity > 25) AS DOUBLE) AS heavy_revenue
+         |FROM g_lineitem_fc GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_histogram" -> histogram,
+    "set_union_by_name" -> unionByNameMissing,
+    "agg_filter_clause" -> filterClause,
     "reshape_unpivot" -> unpivot,
     "fn_map_struct" -> mapStruct,
     "fn_null_semantics" -> nullSemantics,
@@ -85,6 +130,25 @@ object Reshape {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_histogram" ->
+      """SELECT CAST(least(floor(o_totalprice / 50000.0), 9.0) AS INT) AS bin,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY bin""".stripMargin,
+    "set_union_by_name" ->
+      """SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority
+        |FROM orders WHERE o_orderkey % 100 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice, o_orderpriority
+        |FROM orders WHERE o_orderkey % 100 = 50
+        |ORDER BY o_orderkey""".stripMargin,
+    "agg_filter_clause" ->
+      """SELECT l_returnflag,
+        |  COUNT(*) AS n,
+        |  COUNT(*) FILTER (WHERE l_quantity > 25) AS n_heavy,
+        |  COUNT(*) FILTER (WHERE l_discount >= 0.05) AS n_discounted,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6)))
+        |       FILTER (WHERE l_quantity > 25) AS DOUBLE) AS heavy_revenue
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "reshape_unpivot" ->
       """SELECT l_orderkey, l_linenumber, name AS metric, value AS val
         |FROM (
