@@ -262,7 +262,38 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Training-mix weighting: after quality filter + exact dedup, compute
+    * each language's token share and the up/down-sampling weight needed
+    * to hit a uniform 20% target mix — the data-composition step between
+    * corpus cleaning and training. One extra single-row broadcast (the
+    * total) on top of the cleaning plan; weights are round(target *
+    * total / tokens, 6) with the identical expression shape in the
+    * oracle.
+    */
+  private val trainMix: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val kept = Tables(s, dir, "documents")
+      .withColumn("tk", expr(toksExpr))
+      .filter(expr("size(tk) BETWEEN 10 AND 10000 AND size(array_distinct(tk)) > 5"))
+      .select(col("doc_id"), col("lang"),
+        expr("cast(size(tk) as bigint)").as("n_tok"),
+        md5(expr("trim(regexp_replace(lower(text), '[^a-z0-9]+', ' '))")).as("fp"))
+    val deduped = kept
+      .withColumn("rn", row_number().over(Window.partitionBy("fp").orderBy("doc_id")))
+      .filter(col("rn") === 1)
+    val perLang = deduped.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val total = perLang.agg(sum(col("n_tokens")).as("total_tokens"))
+    perLang.crossJoin(broadcast(total))
+      .select(
+        col("lang"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("total_tokens"), 6).as("tok_frac"),
+        round(lit(0.2) * col("total_tokens") / col("n_tokens"), 6).as("mix_weight"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, Q] = Map(
+    "pipeline_train_mix" -> trainMix,
     "pipeline_clean_corpus" -> pipelineCleanCorpus,
     "text_tfidf" -> tfidf,
     "text_decontaminate" -> decontaminate,
@@ -279,6 +310,23 @@ object Text {
   private val oToks = "list_filter(string_split(text, ' '), t -> len(t) > 0)"
 
   val oracles: Map[String, String] = Map(
+    "pipeline_train_mix" ->
+      s"""WITH kept AS (
+         |  SELECT doc_id, lang, len($oToks) AS n_tok,
+         |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+         |  FROM documents
+         |  WHERE len($oToks) BETWEEN 10 AND 10000
+         |    AND len(list_distinct($oToks)) > 5),
+         |dd AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+         |       FROM kept),
+         |pl AS (SELECT lang, COUNT(*) AS n_docs,
+         |         CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+         |       FROM dd WHERE rn = 1 GROUP BY lang),
+         |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM pl)
+         |SELECT lang, n_docs, n_tokens,
+         |  round(CAST(n_tokens AS DOUBLE) / total_tokens, 6) AS tok_frac,
+         |  round(0.2 * total_tokens / n_tokens, 6) AS mix_weight
+         |FROM pl CROSS JOIN t ORDER BY lang""".stripMargin,
     "pipeline_clean_corpus" ->
       s"""WITH kept AS (
          |  SELECT *, $oToks AS tk,
