@@ -34,10 +34,11 @@ object Bench {
         }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    // 3-decimal values keep the whole line well under the driver's output
+    // 2-decimal values keep the whole line well under the driver's output
     // tail window (r01's full-precision line was truncated mid-line there
-    // and recorded as parsed:null).
-    def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // and recorded as parsed:null; at 100 queries 3 decimals left <200
+    // chars of margin).
+    def f(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
