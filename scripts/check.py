@@ -26,8 +26,11 @@ def norm(v):
     # Distinguish Decimal from int: the driver hashes raw values, so a
     # DuckDB HUGEINT/DECIMAL (e.g. uncast SUM(BIGINT)) must NOT silently
     # compare equal to a Spark int64 (r01 pipeline_clean_corpus lesson).
+    # normalize() drops scale formatting (1.50 -> 1.5) so only genuine type
+    # drift (Decimal vs int) fails, not a scale-only difference like
+    # DECIMAL(38,6) vs DECIMAL(25,6) of the same value
     if isinstance(v, decimal.Decimal):
-        return ("decimal", str(v))
+        return ("decimal", str(v.normalize()))
     return v
 
 def cells(tbl):

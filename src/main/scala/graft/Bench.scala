@@ -1,13 +1,39 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main: one JSON line with per-query and total seconds at the
-  * sf dir given by SPARK_GRAFT_SF_DIR. A warm-up pass (table counts + one
-  * shuffle) precedes timing so per-query numbers measure the query, not
-  * JVM/codegen/scan-infrastructure cold start; queries then run in sorted
-  * name order for run-to-run comparability.
+/** Benchmark main: one SHORT JSON line (total seconds + a fixed headline
+  * subset of per-query times) at the sf dir given by SPARK_GRAFT_SF_DIR,
+  * plus the FULL per-query map written to BENCH_DETAIL.json in the working
+  * directory.
+  *
+  * The stdout line must stay well under ~1.9 KB: the driver records only the
+  * last 2000 chars of the run's stdout, and sbt appends a ~75-char success
+  * line after ours. r01 (full precision) and r02 (2-decimal, all 100
+  * queries, ~2.3 KB) both overflowed that window and were recorded as
+  * parsed:null. Hence: headline subset on stdout, everything in the detail
+  * file.
+  *
+  * A warm-up pass (table counts + one shuffle) precedes timing so per-query
+  * numbers measure the query, not JVM/codegen/scan cold start; queries then
+  * run in sorted name order for run-to-run comparability. The line carries
+  * /proc/loadavg so a co-tenant-contended run is recognizable (this machine
+  * shows 2-3x noise bursts; see BASELINE.md).
   */
 object Bench {
+  /** Fixed representative subset printed on stdout — one-plus per operator
+    * group, biased toward the heaviest (pair-generating dedup, tfidf). */
+  private val headline: Seq[String] = Seq(
+    "agg_hash", "agg_grouping_sets", "join_inner_hash", "join_sortmerge",
+    "join_bucketed", "join_asof_native", "join_skew_salted", "win_rank",
+    "win_frame", "topk_per_group", "sort_limit", "filter_pushdown",
+    "fn_array", "fn_json", "stream_session", "cdc_upsert",
+    "dedup_exact", "dedup_minhash", "dedup_simhash_pairs",
+    "dedup_ngram_jaccard", "sim_cosine_topk", "text_tfidf",
+    "text_tokenize_stats", "text_quality", "pipeline_clean_corpus",
+    "scan_dsv2_source")
+
+  private def f(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -34,15 +60,23 @@ object Bench {
         }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    // 2-decimal values keep the whole line well under the driver's output
-    // tail window (r01's full-precision line was truncated mid-line there
-    // and recorded as parsed:null; at 100 queries 3 decimals left <200
-    // chars of margin).
-    def f(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fails = results.count(_._2 < 0)
+    val load = try {
+      scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ").head
+    } catch { case _: Throwable => "-1" }
+    val byName = results.toMap
+    val qs = headline.filter(byName.contains)
+      .map(k => "\"" + k + "\":" + f(byName(k))).mkString("{", ",", "}")
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
+      .mkString("{", ",", "}")
+    try {
+      val detail = s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"fail":$fails,"load":$load,"queries":$fullQs,"sf":"$sfDir"}"""
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(sys.props("user.dir"), "BENCH_DETAIL.json"),
+        (detail + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"[bench] detail write: ${e.getMessage}") }
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"fail":$fails,"load":$load,"queries":$qs,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -146,7 +146,10 @@ object Fn {
         expr("try_add(9223372036854775807, l_partkey + 1)").as("overflow_add"),
         expr("try_element_at(array(l_returnflag, l_linestatus), 1)").as("first_el"),
         expr("try_element_at(array(l_returnflag, l_linestatus), 5)").as("missing_el"))
-      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice")
+      // (l_orderkey, l_linenumber) is not unique in the synthetic data, so
+      // the sort must also cover the flag columns the outputs derive from
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice",
+        "l_returnflag", "l_linestatus")
   }
 
   /** Higher-order array functions beyond transform/filter/aggregate:
@@ -159,14 +162,20 @@ object Fn {
       .withColumn("tk", expr("slice(filter(split(text, ' '), t -> length(t) > 0), 1, 6)"))
       .filter(expr("size(tk) >= 4")) // argmax/flatten need enough elements
       .withColumn("lens", expr("transform(tk, t -> length(t))"))
+      // array outputs are serialized with array_join: the driver's compare
+      // sorts rows in pandas, which cannot hash raw array cells (r02
+      // recorded this query as unverified for exactly that reason)
       .select(
         col("doc_id"),
-        expr("zip_with(tk, lens, (t, l) -> concat(t, ':', l))").as("tagged"),
+        expr("array_join(zip_with(tk, lens, (t, l) -> concat(t, ':', l)), ',')")
+          .as("tagged"),
         expr("exists(lens, l -> l > 7)").as("has_long"),
         expr("forall(lens, l -> l > 0)").as("all_nonempty"),
         expr("array_position(lens, array_max(lens))").as("argmax_pos"),
-        expr("reverse(array_sort(lens))").as("lens_desc"),
-        expr("flatten(array(slice(tk, 1, 2), slice(tk, 3, 2)))").as("first4"))
+        expr("array_join(transform(reverse(array_sort(lens)), l -> cast(l AS string)), ',')")
+          .as("lens_desc"),
+        expr("array_join(flatten(array(slice(tk, 1, 2), slice(tk, 3, 2))), ',')")
+          .as("first4"))
       .orderBy("doc_id")
   }
 
@@ -256,13 +265,14 @@ object Fn {
         |u AS (SELECT doc_id, tk, list_transform(tk, t -> len(t)) AS lens
         |      FROM t WHERE len(tk) >= 4)
         |SELECT doc_id,
-        |  list_transform(list_zip(tk, lens),
-        |    s -> s[1] || ':' || CAST(s[2] AS VARCHAR)) AS tagged,
+        |  array_to_string(list_transform(list_zip(tk, lens),
+        |    s -> s[1] || ':' || CAST(s[2] AS VARCHAR)), ',') AS tagged,
         |  len(list_filter(lens, l -> l > 7)) > 0 AS has_long,
         |  len(list_filter(lens, l -> NOT (l > 0))) = 0 AS all_nonempty,
         |  list_position(lens, list_max(lens)) AS argmax_pos,
-        |  list_sort(lens, 'DESC') AS lens_desc,
-        |  flatten([tk[1:2], tk[3:4]]) AS first4
+        |  array_to_string(list_transform(list_sort(lens, 'DESC'),
+        |    x -> CAST(x AS VARCHAR)), ',') AS lens_desc,
+        |  array_to_string(flatten([tk[1:2], tk[3:4]]), ',') AS first4
         |FROM u ORDER BY doc_id""".stripMargin,
     "agg_stats_moments" ->
       """WITH m AS (
@@ -295,7 +305,8 @@ object Fn {
         |  ([l_returnflag, l_linestatus])[1] AS first_el,
         |  ([l_returnflag, l_linestatus])[5] AS missing_el
         |FROM lineitem WHERE l_orderkey % 50 = 0
-        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_extendedprice""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_extendedprice,
+        |  l_returnflag, l_linestatus""".stripMargin,
     "fn_string" ->
       """SELECT p_partkey, upper(p_name) AS up_name, lower(p_brand) AS lo_brand,
         | substring(p_type, 1, 5) AS type5,

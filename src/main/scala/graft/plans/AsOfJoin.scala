@@ -168,9 +168,14 @@ object AsOfJoin {
       rightKey: String, rightTime: String, rightTie: String,
       payloadCols: Seq[String]): DataFrame = {
     val spark = leftDf.sparkSession.asInstanceOf[ClassicSession]
-    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    // GraftExtensions already injects the strategy for sessions built with
+    // the extension; this covers plain sessions. Registration mutates
+    // session-global state, so check-then-act must be atomic.
+    AsOfJoinStrategy.synchronized {
+      if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    }
     val lPlan = leftDf.queryExecution.analyzed
     val rPlan = rightDf.queryExecution.analyzed
     def attr(plan: LogicalPlan, name: String): Attribute =
