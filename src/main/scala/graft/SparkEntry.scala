@@ -29,7 +29,8 @@ object SparkEntry {
       operators.Reshape.queries ++
       operators.Flow.queries ++
       operators.Bucketed.queries ++
-      operators.Sql.queries
+      operators.Sql.queries ++
+      operators.Train.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -49,5 +50,6 @@ object SparkEntry {
       operators.Reshape.oracles ++
       operators.Flow.oracles ++
       operators.Bucketed.oracles ++
-      operators.Sql.oracles
+      operators.Sql.oracles ++
+      operators.Train.oracles
 }

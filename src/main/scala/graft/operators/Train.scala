@@ -1,0 +1,331 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data preparation pack (north-star extension beyond the
+  * reference's import pipeline, which ends at the sink —
+  * `/root/reference/src/ParquetImporter.php:54-75`): the operations that
+  * sit between a cleaned corpus and a training run. Sequence packing,
+  * RAG chunking, stratified train/val splitting, token-entropy scoring,
+  * URL canonicalization dedup, per-domain crawl stats, length-decile
+  * clipping, and int8 embedding quantization.
+  *
+  * Determinism rules (see Text.scala): ratios are single int/int double
+  * divisions; float chains end in round(..., 6); order-dependent double
+  * sums route through a fixed-scale decimal; hashing is md5; every query
+  * ends in a total ordering.
+  *
+  * Scale notes: everything here is per-row expressions plus hash
+  * aggregations/windows keyed by lang/domain/doc — the embarrassingly
+  * parallel shapes. The one exception is text_length_clip's global NTILE
+  * (see its doc for the 100 TB variant).
+  */
+object Train {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val toksExpr = "filter(split(text, ' '), t -> length(t) > 0)"
+
+  /** Concat-and-chunk sequence packing: docs in (lang, doc_id) order are
+    * laid head-to-tail and cut into 2048-token context windows; a doc
+    * belongs to the window its first token lands in. Pure integer window
+    * arithmetic (running sum per language) — exact in both engines, and
+    * at 100 TB the running sum shuffles once on the partition key (lang)
+    * with only (doc_id, n_tok) ints flowing through the exchange.
+    */
+  private val packSequences: Q = (s, dir) => {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        expr(s"cast(size($toksExpr) as bigint)").as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("seq_id", expr("(cum - n_tok) div 2048"))
+      .groupBy("lang", "seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy("lang", "seq_id")
+  }
+
+  /** Sliding-window RAG chunking: 64-token chunks at stride 48 (16-token
+    * overlap), one output row per chunk with its md5 fingerprint. The
+    * start-offset fan-out is a per-row explode — no shuffle before the
+    * final presentation sort.
+    */
+  private val chunkSliding: Q = (s, dir) => {
+    Tables(s, dir, "documents")
+      .filter(col("doc_id") % 20 === 0)
+      .withColumn("tk", expr(toksExpr))
+      .filter(size(col("tk")) > 0)
+      .select(col("doc_id"), col("tk"),
+        explode(expr(
+          "transform(sequence(0, cast(floor((size(tk) - 1) / 48.0) as int)), g -> 1 + 48 * g)"))
+          .as("st"))
+      .select(col("doc_id"), col("st"),
+        expr("cast(size(slice(tk, st, 64)) as bigint)").as("n_tok_chunk"),
+        md5(expr("array_join(slice(tk, st, 64), ' ')")).as("chunk_fp"))
+      .orderBy("doc_id", "st")
+  }
+
+  /** Deterministic stratified train/val split: within each language,
+    * order docs by md5 of a salted id and send the first ceil(90%) to
+    * train. Hash-ordering makes the split reproducible across runs and
+    * engines; the per-language window is the same single shuffle as any
+    * grouped ranking.
+    */
+  private val splitStratified: Q = (s, dir) => {
+    val byLang = Window.partitionBy("lang")
+    val d = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        expr(s"cast(size($toksExpr) as bigint)").as("n_tok"),
+        md5(concat(lit("split:"), col("doc_id"))).as("h"))
+      .withColumn("rn", row_number().over(byLang.orderBy("h", "doc_id")))
+      .withColumn("n", count(lit(1)).over(byLang))
+      .withColumn("split",
+        when(col("rn") <= ceil(col("n") * lit(0.9)), lit("train")).otherwise(lit("val")))
+    d.groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .orderBy("lang", "split")
+  }
+
+  /** Token-level Shannon entropy per doc (natural log) — low entropy
+    * marks repetitive/boilerplate text. The order-dependent double sum
+    * of p*ln(p) terms routes through DECIMAL(28,18) so partial/final
+    * aggregation order cannot change the result (see graft.Det).
+    */
+  private val textEntropy: Q = (s, dir) => {
+    val tf = Tables(s, dir, "documents")
+      .filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id"), explode(expr(toksExpr)).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+    val tot = tf.groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tok"), count(lit(1)).as("n_uniq"))
+    tf.join(tot, "doc_id")
+      .withColumn("p", col("c").cast("double") / col("n_tok").cast("double"))
+      .groupBy("doc_id")
+      .agg(max(col("n_tok")).as("n_tok"), max(col("n_uniq")).as("n_uniq"),
+        round(sum(expr("cast(-p * ln(p) as decimal(28,18))")).cast("double"), 6)
+          .as("entropy"))
+      .orderBy("doc_id")
+  }
+
+  /** URL canonicalization dedup: synthesized crawl URLs with www./query/
+    * fragment/trailing-slash variants collapse to a canonical form
+    * (lowercase, strip www., strip ?query and #fragment, strip trailing
+    * slash); keep the lowest doc_id per canonical URL. Hash-groupBy on
+    * the canonical string — the same shape as dedup_exact.
+    */
+  private val dedupUrl: Q = (s, dir) => {
+    val urlExpr =
+      """concat(CASE WHEN doc_id % 3 = 0 THEN 'https://WWW.' ELSE 'https://' END,
+        | source, '.example.com/page/', cast(doc_id % 700 as string),
+        | CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END,
+        | CASE WHEN doc_id % 7 = 0 THEN '?utm_source=feed' ELSE '' END,
+        | CASE WHEN doc_id % 11 = 0 THEN '#frag' ELSE '' END)""".stripMargin
+    Tables(s, dir, "documents")
+      .withColumn("url", expr(urlExpr))
+      .withColumn("canon",
+        expr("""regexp_replace(replace(lower(regexp_replace(url, '[?#].*$', '')),
+               |'://www.', '://'), '/$', '')""".stripMargin))
+      .groupBy("canon")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_urls"),
+        countDistinct(col("url")).as("n_distinct_urls"))
+      .orderBy("canon")
+  }
+
+  /** Per-domain crawl stats: doc counts, distinct-content counts, token
+    * volume, and duplication rate per synthesized domain. dup_rate is a
+    * single int/int double division (bit-identical across engines).
+    */
+  private val domainStats: Q = (s, dir) => {
+    Tables(s, dir, "documents")
+      .withColumn("domain", concat(col("source"), lit(".example.com")))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_distinct"),
+        sum(expr(s"cast(size($toksExpr) as bigint)")).as("n_tokens"))
+      .select(col("domain"), col("n_docs"), col("n_distinct"), col("n_tokens"),
+        ((col("n_docs") - col("n_distinct")).cast("double") / col("n_docs"))
+          .as("dup_rate"))
+      .orderBy("domain")
+  }
+
+  /** Length-decile clipping table: exact NTILE(10) over token counts
+    * (total order: n_tok, doc_id) with per-decile bounds; deciles 1 and
+    * 10 are the clip candidates. The global NTILE needs a total order —
+    * here it runs on a 2-int projection (metadata-sized, like
+    * sort_limit); the 100 TB variant replaces it with approx_percentile
+    * boundaries broadcast back for classification.
+    */
+  private val lengthClip: Q = (s, dir) => {
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), expr(s"cast(size($toksExpr) as bigint)").as("n_tok"))
+      .withColumn("decile", ntile(10).over(Window.orderBy("n_tok", "doc_id")))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"), min(col("n_tok")).as("lo"),
+        max(col("n_tok")).as("hi"))
+      .withColumn("clip",
+        when(col("decile") === 1, lit("low"))
+          .when(col("decile") === 10, lit("high")).otherwise(lit("keep")))
+      .orderBy("decile")
+  }
+
+  /** Symmetric int8 quantization of embedding vectors: per-vector scale
+    * maxabs/127, quantize with floor(x/scale + 0.5) (well-defined in
+    * both engines — no round-half tie ambiguity), report the first 4
+    * quantized values and the L1 reconstruction error. All math in
+    * double (the float32 source is cast up first so both engines run
+    * identical IEEE ops); the in-array error sum is a sequential left
+    * fold in array order on both sides.
+    */
+  private val embQuantize: Q = (s, dir) => {
+    Tables(s, dir, "embeddings")
+      .filter(col("vec_id") % 10 === 0)
+      .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("maxabs", expr("array_max(transform(v, x -> abs(x)))"))
+      .filter(col("maxabs") > 0)
+      .select(col("vec_id"),
+        expr("cast(size(v) as bigint)").as("n_dims"),
+        round(col("maxabs"), 6).as("maxabs_r"),
+        expr("""array_join(transform(slice(v, 1, 4),
+               |x -> cast(cast(floor(x * 127.0 / maxabs + 0.5) as int) as string)), ',')"""
+          .stripMargin).as("q4"),
+        round(expr(
+          """aggregate(transform(v, x -> abs(x - floor(x * 127.0 / maxabs + 0.5) * maxabs / 127.0)),
+            |cast(0 as double), (a, x) -> a + x)""".stripMargin), 6).as("l1_err"))
+      .orderBy("vec_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "pack_sequences" -> packSequences,
+    "chunk_sliding" -> chunkSliding,
+    "sample_split_stratified" -> splitStratified,
+    "text_entropy" -> textEntropy,
+    "dedup_url" -> dedupUrl,
+    "text_domain_stats" -> domainStats,
+    "text_length_clip" -> lengthClip,
+    "emb_quantize" -> embQuantize,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_tok,
+        |    SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT lang, CAST((cum - n_tok) // 2048 AS BIGINT) AS seq_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM c GROUP BY lang, seq_id ORDER BY lang, seq_id""".stripMargin,
+    "chunk_sliding" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
+        |  FROM documents WHERE doc_id % 20 = 0),
+        |c AS (
+        |  SELECT doc_id, tk, CAST(1 + 48 * g AS INT) AS st
+        |  FROM t, LATERAL (SELECT unnest(generate_series(0,
+        |    CAST(floor((len(tk) - 1) / 48.0) AS BIGINT))) AS g)
+        |  WHERE len(tk) > 0)
+        |SELECT doc_id, st,
+        |  CAST(len(tk[st:st+63]) AS BIGINT) AS n_tok_chunk,
+        |  md5(array_to_string(tk[st:st+63], ' ')) AS chunk_fp
+        |FROM c ORDER BY doc_id, st""".stripMargin,
+    "sample_split_stratified" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS n_tok,
+        |    md5('split:' || doc_id) AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang, n_tok,
+        |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY lang) AS n
+        |  FROM t)
+        |SELECT lang,
+        |  CASE WHEN rn <= ceil(n * 0.9) THEN 'train' ELSE 'val' END AS split,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        |FROM r GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+    "text_entropy" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS token
+        |  FROM documents WHERE doc_id % 20 = 0),
+        |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM tok GROUP BY doc_id, token),
+        |tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
+        |          CAST(COUNT(*) AS BIGINT) AS n_uniq
+        |        FROM tf GROUP BY doc_id),
+        |j AS (SELECT tf.doc_id, n_tok, n_uniq,
+        |        CAST(c AS DOUBLE) / CAST(n_tok AS DOUBLE) AS p
+        |      FROM tf JOIN tot ON tf.doc_id = tot.doc_id)
+        |SELECT doc_id, MAX(n_tok) AS n_tok, MAX(n_uniq) AS n_uniq,
+        |  round(CAST(SUM(CAST(-p * ln(p) AS DECIMAL(28,18))) AS DOUBLE), 6) AS entropy
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dedup_url" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'https://WWW.' ELSE 'https://' END ||
+        |     source || '.example.com/page/' || CAST(doc_id % 700 AS VARCHAR) ||
+        |     CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END ||
+        |     CASE WHEN doc_id % 7 = 0 THEN '?utm_source=feed' ELSE '' END ||
+        |     CASE WHEN doc_id % 11 = 0 THEN '#frag' ELSE '' END) AS url
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, url,
+        |    regexp_replace(replace(lower(regexp_replace(url, '[?#].*$', '')),
+        |      '://www.', '://'), '/$', '') AS canon
+        |  FROM u)
+        |SELECT canon, MIN(doc_id) AS keep_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_urls,
+        |  CAST(COUNT(DISTINCT url) AS BIGINT) AS n_distinct_urls
+        |FROM c GROUP BY canon ORDER BY canon""".stripMargin,
+    "text_domain_stats" ->
+      """WITH t AS (
+        |  SELECT source || '.example.com' AS domain, md5(text) AS fp,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |g AS (
+        |  SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_distinct,
+        |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        |  FROM t GROUP BY domain)
+        |SELECT domain, n_docs, n_distinct, n_tokens,
+        |  CAST(n_docs - n_distinct AS DOUBLE) / n_docs AS dup_rate
+        |FROM g ORDER BY domain""".stripMargin,
+    "text_length_clip" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |d AS (SELECT doc_id, n_tok,
+        |        ntile(10) OVER (ORDER BY n_tok, doc_id) AS decile
+        |      FROM t)
+        |SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  MIN(n_tok) AS lo, MAX(n_tok) AS hi,
+        |  CASE WHEN decile = 1 THEN 'low' WHEN decile = 10 THEN 'high'
+        |       ELSE 'keep' END AS clip
+        |FROM d GROUP BY decile ORDER BY decile""".stripMargin,
+    "emb_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings WHERE vec_id % 10 = 0),
+        |m AS (SELECT vec_id, v,
+        |        list_max(list_transform(v, x -> abs(x))) AS maxabs
+        |      FROM e)
+        |SELECT vec_id, CAST(len(v) AS BIGINT) AS n_dims,
+        |  round(maxabs, 6) AS maxabs_r,
+        |  array_to_string(list_transform(v[1:4],
+        |    x -> CAST(CAST(floor(x * 127.0 / maxabs + 0.5) AS INT) AS VARCHAR)), ',') AS q4,
+        |  round(list_sum(list_transform(v,
+        |    x -> abs(x - floor(x * 127.0 / maxabs + 0.5) * maxabs / 127.0))), 6) AS l1_err
+        |FROM m WHERE maxabs > 0 ORDER BY vec_id""".stripMargin,
+  )
+}
