@@ -121,7 +121,7 @@ object Train {
   private val dedupUrl: Q = (s, dir) => {
     val urlExpr =
       """concat(CASE WHEN doc_id % 3 = 0 THEN 'https://WWW.' ELSE 'https://' END,
-        | source, '.example.com/page/', cast(doc_id % 700 as string),
+        | source, '.example.com/page/', cast(doc_id % 300 as string),
         | CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END,
         | CASE WHEN doc_id % 7 = 0 THEN '?utm_source=feed' ELSE '' END,
         | CASE WHEN doc_id % 11 = 0 THEN '#frag' ELSE '' END)""".stripMargin
@@ -273,7 +273,7 @@ object Train {
       """WITH u AS (
         |  SELECT doc_id,
         |    (CASE WHEN doc_id % 3 = 0 THEN 'https://WWW.' ELSE 'https://' END ||
-        |     source || '.example.com/page/' || CAST(doc_id % 700 AS VARCHAR) ||
+        |     source || '.example.com/page/' || CAST(doc_id % 300 AS VARCHAR) ||
         |     CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END ||
         |     CASE WHEN doc_id % 7 = 0 THEN '?utm_source=feed' ELSE '' END ||
         |     CASE WHEN doc_id % 11 = 0 THEN '#frag' ELSE '' END) AS url
