@@ -250,10 +250,16 @@ object Text {
     * boilerplate/spam. Pure per-row expressions — no shuffle at all.
     */
   private val repetition: Q = (s, dir) => {
+    // The doc filter is expressed on the token count, NOT on size(g):
+    // `filter(size(g) > 0)` gets pushed below the tk/g projections, which
+    // inlines the full token expression into every element_at inside the
+    // gram lambda — re-tokenizing the doc once per gram index (O(n^2) per
+    // doc; measured 4.6 s vs 0.5 s at sf0.1). `size(toks) >= 3` is the
+    // same predicate and evaluates the tokenizer once per row.
     Tables(s, dir, "documents")
+      .filter(expr(s"size($toksExpr) >= 3"))
       .withColumn("tk", expr(toksExpr))
       .withColumn("g", expr(gramsExpr))
-      .filter(size(col("g")) > 0)
       .select(
         col("doc_id"),
         expr("cast(size(g) as bigint)").as("n_grams"),
