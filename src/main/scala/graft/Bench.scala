@@ -37,6 +37,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // read load BEFORE we generate any ourselves: this is the co-tenant
+    // contention signal (this machine shows 2-3x noise bursts)
+    val load = try {
+      scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ").head
+    } catch { case _: Throwable => "-1" }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -62,9 +67,6 @@ object Bench {
     }
     val total = results.map(_._2).sum
     val fails = results.count(_._2 < 0)
-    val load = try {
-      scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ").head
-    } catch { case _: Throwable => "-1" }
     val byName = results.toMap
     val qs = headline.filter(byName.contains)
       .map(k => "\"" + k + "\":" + f(byName(k))).mkString("{", ",", "}")

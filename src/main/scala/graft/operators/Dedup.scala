@@ -56,7 +56,16 @@ object Dedup {
     */
   private def shingles(s: SparkSession, dir: String): DataFrame =
     graft.Cached.of(s, dir, "dedup.sh64") {
+      // The driver-generated parquet is one row group per file, so the scan
+      // is a single task; shingling is the most expensive per-row expression
+      // in the engine (~1 ms/doc), so spread the rows BEFORE computing it.
+      // On a real cluster the scan already has thousands of splits — this
+      // repartition recreates that parallelism for the local single-file
+      // layout at the cost of shuffling the raw text once (tiny, and the
+      // result is persisted).
       Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), md5(col("text")).as("ckey"), expr(shingleExpr).as("sh"))
         .select(col("doc_id"), col("ckey"),
           expr("transform(sh, s0 -> xxhash64(s0))").as("sh64"))
