@@ -48,6 +48,22 @@ object Analytic {
       .orderBy("user_id", "event_id")
   }
 
+  /** nth_value over running and whole-partition frames — the remaining
+    * offset analytic beyond lag/lead/first/last. Values pass through
+    * unchanged (no float arithmetic), so hash-match is exact.
+    */
+  private val winNthValue: Q = (s, dir) => {
+    val e = Tables(s, dir, "events")
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val whole = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    e.select(
+        col("user_id"), col("event_id"), col("value"),
+        nth_value(col("value"), 3).over(whole).as("third_v"),
+        nth_value(col("value"), 2)
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)).as("second_so_far"))
+      .orderBy("user_id", "event_id")
+  }
+
   private val winFrame: Q = (s, dir) => {
     val o = Tables(s, dir, "orders")
     val dec = col("o_totalprice").cast(DecimalType(25, 6))
@@ -119,6 +135,7 @@ object Analytic {
   val queries: Map[String, Q] = Map(
     "win_rank" -> winRank,
     "win_analytic" -> winAnalytic,
+    "win_nth_value" -> winNthValue,
     "win_frame" -> winFrame,
     "win_distribution" -> winDistribution,
     "win_range_interval" -> winRangeInterval,
@@ -162,6 +179,13 @@ object Analytic {
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_v,
         | last_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS final_v
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "win_nth_value" ->
+      """SELECT user_id, event_id, value,
+        | nth_value(value, 3) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS third_v,
+        | nth_value(value, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_so_far
         |FROM events ORDER BY user_id, event_id""".stripMargin,
     "win_frame" ->
       """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS od,

@@ -382,6 +382,35 @@ object Relational {
     custkeysByStatus(s, dir, "F").except(custkeysByStatus(s, dir, "O"))
       .orderBy("o_custkey")
 
+  /** Multiset variants: EXCEPT ALL / INTERSECT ALL keep duplicate
+    * multiplicity (Spark plans these as a specialized aggregate over
+    * per-row counts — one shuffle, no join).
+    */
+  private val setExceptAll: Q = (s, dir) =>
+    custkeysByStatus(s, dir, "F").exceptAll(custkeysByStatus(s, dir, "O"))
+      .orderBy("o_custkey")
+
+  private val setIntersectAll: Q = (s, dir) =>
+    custkeysByStatus(s, dir, "F").intersectAll(custkeysByStatus(s, dir, "O"))
+      .orderBy("o_custkey")
+
+  /** Arg-max/arg-min aggregates (max_by/min_by) plus count_if. The by-key
+    * is made UNIQUE per group (exact decimal price scaled + orderkey) so
+    * ties cannot make the winner engine-dependent.
+    */
+  private val aggMinmaxBy: Q = (s, dir) => {
+    Tables(s, dir, "lineitem")
+      .withColumn("uk",
+        expr("cast(l_extendedprice as decimal(20,2)) * 1000000000 + l_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(
+        expr("max_by(l_orderkey, uk)").as("top_order"),
+        expr("min_by(l_orderkey, uk)").as("bottom_order"),
+        expr("cast(count_if(l_discount > 0.05) as bigint)").as("n_discounted"),
+        max(col("uk")).as("max_uk"))
+      .orderBy("l_returnflag")
+  }
+
   // ------------------------------------------------------------------- maps
 
   val queries: Map[String, Q] = Map(
@@ -406,6 +435,9 @@ object Relational {
     "set_union" -> setUnion,
     "set_intersect" -> setIntersect,
     "set_except" -> setExcept,
+    "set_except_all" -> setExceptAll,
+    "set_intersect_all" -> setIntersectAll,
+    "agg_minmax_by" -> aggMinmaxBy,
     "agg_skew_salted" -> aggSkewSalted,
     "join_skew_salted" -> joinSkewSalted,
     "agg_percentile" -> aggPercentile,
@@ -569,5 +601,26 @@ object Relational {
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
         |ORDER BY o_custkey""".stripMargin,
+    "set_except_all" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT ALL
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin,
+    "set_intersect_all" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT ALL
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin,
+    "agg_minmax_by" ->
+      """WITH t AS (
+        |  SELECT l_returnflag, l_orderkey, l_discount,
+        |    CAST(l_extendedprice AS DECIMAL(20,2)) * 1000000000 + l_orderkey AS uk
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  arg_max(l_orderkey, uk) AS top_order,
+        |  arg_min(l_orderkey, uk) AS bottom_order,
+        |  CAST(COUNT(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_discounted,
+        |  MAX(uk) AS max_uk
+        |FROM t GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }
