@@ -31,6 +31,21 @@ object Tables {
     spark.read.parquet(s"$dir/events.parquet")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
+
+  /** `documents` spread across the session's cores and persisted. The
+    * driver parquet is one row group per file, so a direct scan is a
+    * single task; queries whose per-row expressions are expensive
+    * (tokenize+explode, regex chains, shingling) serialize on that one
+    * core. On a real cluster the scan already has thousands of splits —
+    * this shared cached repartition recreates that parallelism locally,
+    * paid once per session. Queries that need scan-level evidence
+    * (pushdown, `_metadata`) must keep using `Tables(...)` directly.
+    */
+  def docsSpread(spark: SparkSession, dir: String): DataFrame =
+    Cached.of(spark, dir, "docs.spread") {
+      apply(spark, dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+    }
 }
 
 /** Session-scoped cache of persisted intermediate frames. Pair-generating

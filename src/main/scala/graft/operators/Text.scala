@@ -182,7 +182,7 @@ object Text {
     */
   private val tfidf: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables(s, dir, "documents")
+    val docs = Tables.docsSpread(s, dir)
     val tok = docs.select(col("doc_id"), explode(expr(toksExpr)).as("token"))
     val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val df = tok.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
@@ -208,7 +208,7 @@ object Text {
     * map-side-only until the final per-doc count.
     */
   private val decontaminate: Q = (s, dir) => {
-    val grams = Tables(s, dir, "documents")
+    val grams = Tables.docsSpread(s, dir)
       .withColumn("tk", expr(toksExpr))
       .select(col("doc_id"), explode(expr(gramsExpr)).as("gram"))
     val bench = grams.filter(col("doc_id") % 97 === 0)

@@ -119,13 +119,14 @@ object Train {
     * the canonical string — the same shape as dedup_exact.
     */
   private val dedupUrl: Q = (s, dir) => {
+    // regex chain per row is the cost — run it spread (see Tables.docsSpread)
     val urlExpr =
       """concat(CASE WHEN doc_id % 3 = 0 THEN 'https://WWW.' ELSE 'https://' END,
         | source, '.example.com/page/', cast(doc_id % 300 as string),
         | CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END,
         | CASE WHEN doc_id % 7 = 0 THEN '?utm_source=feed' ELSE '' END,
         | CASE WHEN doc_id % 11 = 0 THEN '#frag' ELSE '' END)""".stripMargin
-    Tables(s, dir, "documents")
+    Tables.docsSpread(s, dir)
       .withColumn("url", expr(urlExpr))
       .withColumn("canon",
         expr("""regexp_replace(replace(lower(regexp_replace(url, '[?#].*$', '')),
