@@ -396,7 +396,11 @@ object Relational {
 
   /** Arg-max/arg-min aggregates (max_by/min_by) plus count_if. The by-key
     * is made UNIQUE per group (exact decimal price scaled + orderkey) so
-    * ties cannot make the winner engine-dependent.
+    * ties cannot make the winner engine-dependent. `uk` is integral by
+    * construction (price has scale 2, scaled by 1e9), so the output is
+    * cast to BIGINT on both sides — Spark and DuckDB assign different
+    * decimal precision/scale to the same arithmetic, which drifts the
+    * hashed string form even when values are numerically equal.
     */
   private val aggMinmaxBy: Q = (s, dir) => {
     Tables(s, dir, "lineitem")
@@ -407,7 +411,7 @@ object Relational {
         expr("max_by(l_orderkey, uk)").as("top_order"),
         expr("min_by(l_orderkey, uk)").as("bottom_order"),
         expr("cast(count_if(l_discount > 0.05) as bigint)").as("n_discounted"),
-        max(col("uk")).as("max_uk"))
+        expr("cast(max(uk) as bigint)").as("max_uk"))
       .orderBy("l_returnflag")
   }
 
@@ -620,7 +624,7 @@ object Relational {
         |  arg_max(l_orderkey, uk) AS top_order,
         |  arg_min(l_orderkey, uk) AS bottom_order,
         |  CAST(COUNT(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_discounted,
-        |  MAX(uk) AS max_uk
+        |  CAST(MAX(uk) AS BIGINT) AS max_uk
         |FROM t GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }
