@@ -20,8 +20,8 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes: everything here is per-row expressions plus hash
   * aggregations/windows keyed by lang/domain/doc — the embarrassingly
-  * parallel shapes. The one exception is text_length_clip's global NTILE
-  * (see its doc for the 100 TB variant).
+  * parallel shapes. text_length_clip's decile boundaries come from a
+  * value-domain-bounded histogram, not a global window (see its doc).
   */
 object Train {
 
@@ -154,17 +154,33 @@ object Train {
       .orderBy("domain")
   }
 
-  /** Length-decile clipping table: exact NTILE(10) over token counts
-    * (total order: n_tok, doc_id) with per-decile bounds; deciles 1 and
-    * 10 are the clip candidates. The global NTILE needs a total order —
-    * here it runs on a 2-int projection (metadata-sized, like
-    * sort_limit); the 100 TB variant replaces it with approx_percentile
-    * boundaries broadcast back for classification.
+  /** Length-decile clipping table via value-based deciles with NO global
+    * window: a hash-aggregated token-count histogram (size bounded by the
+    * value domain — distinct token counts per doc — not by corpus size),
+    * cumulative counts from a triangular self-join on that histogram
+    * (O(d²) on a metadata-sized table, constant as the corpus grows),
+    * and the per-value decile broadcast back onto the docs for the final
+    * hash agg. A doc's decile is `floor(10 * rows_below / n) + 1` where
+    * rows_below counts docs with strictly smaller n_tok — all ties share
+    * a decile, deciles can be skipped under heavy ties, and the result
+    * is exact and deterministic in both engines. Deciles 1 / 10 are the
+    * clip candidates. Replaces the round-3 global-NTILE formulation,
+    * whose single-partition WindowExec moved every row to one task
+    * (PlanEvidenceSpec pins WindowExec absence).
     */
   private val lengthClip: Q = (s, dir) => {
-    Tables(s, dir, "documents")
+    val t = Tables(s, dir, "documents")
       .select(col("doc_id"), expr(s"cast(size($toksExpr) as bigint)").as("n_tok"))
-      .withColumn("decile", ntile(10).over(Window.orderBy("n_tok", "doc_id")))
+    val h = t.groupBy("n_tok").agg(count(lit(1)).as("c"))
+    val tot = h.agg(sum(col("c")).as("n"))
+    val dec = h.as("a")
+      .join(h.as("b"), col("b.n_tok") < col("a.n_tok"), "left")
+      .groupBy(col("a.n_tok").as("n_tok"))
+      .agg(coalesce(sum(col("b.c")), lit(0L)).as("below"))
+      .crossJoin(broadcast(tot))
+      .select(col("n_tok"),
+        expr("cast((below * 10) div n as int) + 1").as("decile"))
+    t.join(broadcast(dec), "n_tok")
       .groupBy("decile")
       .agg(count(lit(1)).as("n_docs"), min(col("n_tok")).as("lo"),
         max(col("n_tok")).as("hi"))
@@ -306,9 +322,14 @@ object Train {
         |  SELECT doc_id,
         |    CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS n_tok
         |  FROM documents),
-        |d AS (SELECT doc_id, n_tok,
-        |        ntile(10) OVER (ORDER BY n_tok, doc_id) AS decile
-        |      FROM t)
+        |h AS (SELECT n_tok, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY n_tok),
+        |tot AS (SELECT SUM(c) AS n FROM h),
+        |dec AS (
+        |  SELECT a.n_tok,
+        |    CAST((COALESCE(SUM(b.c), 0) * 10) // (SELECT n FROM tot) AS INT) + 1 AS decile
+        |  FROM h a LEFT JOIN h b ON b.n_tok < a.n_tok
+        |  GROUP BY a.n_tok),
+        |d AS (SELECT t.doc_id, t.n_tok, dec.decile FROM t JOIN dec USING (n_tok))
         |SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  MIN(n_tok) AS lo, MAX(n_tok) AS hi,
         |  CASE WHEN decile = 1 THEN 'low' WHEN decile = 10 THEN 'high'

@@ -45,6 +45,12 @@ class PlanEvidenceSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(p.contains("partial_sum") || p.contains("partial_count"), p)
   }
 
+  test("text_length_clip plans no window at all (decile by broadcast histogram)") {
+    val p = planString(operators.Train.queries("text_length_clip")(s, dir))
+    assert(!p.contains("Window"), s"global window crept back into text_length_clip:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "decile classification should broadcast")
+  }
+
   test("AQE re-plans a small sort-merge join into a broadcast join") {
     import org.apache.spark.sql.functions._
     val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
