@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
   *
   *   runMain graft.ingest.Import <path> <table> \
   *     [--map=src=target,src2=target2] [--sink-dir=DIR] [--jdbc-url=URL] \
-  *     [--batch=N] [--truncate] [--normalize]
+  *     [--copy-dir=DIR] [--batch=N] [--truncate] [--normalize]
   *
   * Malformed --map pairs are warned about and skipped, matching the
   * reference's behavior (ImportParquetCommand.php:52-66).
@@ -45,6 +45,7 @@ object Import {
         normalizeValues = opts.contains("--normalize"),
         sinkDir = opt("sink-dir"),
         jdbcUrl = opt("jdbc-url"),
+        copyDir = opt("copy-dir"),
         batchSize = opt("batch").map(_.toInt).getOrElse(5000))
       println(s"Imported ${res.rowsImported} rows from ${res.sourcePath} " +
         f"into ${res.table} in ${res.durationSeconds}%.2f s")

@@ -85,7 +85,9 @@ object Importer {
     * sink. `sinkDir` receives one parquet "table" per target name; when
     * `jdbcUrl` is set the same frame goes through the JDBC batch writer
     * instead (truncate flag maps to SaveMode.Overwrite + truncate, the
-    * reference's TRUNCATE-then-COPY).
+    * reference's TRUNCATE-then-COPY); `copyDir` writes the reference's
+    * primary path — COPY text format (tab / `\N` / escaped, see
+    * [[CopySink]]) — as one streamable part-file per partition.
     */
   def importParquet(
       spark: SparkSession,
@@ -96,6 +98,7 @@ object Importer {
       normalizeValues: Boolean = false,
       sinkDir: Option[String] = None,
       jdbcUrl: Option[String] = None,
+      copyDir: Option[String] = None,
       batchSize: Int = 5000): ImportResult = {
     assertSafeTable(table)
     val t0 = System.nanoTime()
@@ -111,6 +114,9 @@ object Importer {
           .option("batchsize", batchSize.toString)
           .jdbc(url, quoteIdentifier(table), new java.util.Properties())
       case None =>
+        copyDir.foreach { d =>
+          CopySink.writeCopyFiles(out, s"$d/$table", truncate)
+        }
         sinkDir.foreach { d =>
           out.write.mode(mode).parquet(s"$d/$table")
         }

@@ -132,7 +132,30 @@ object Ingest {
       .orderBy("id")
   }
 
+  /** R6+R8: the COPY value codec as data — null -> `\N`, bool -> 1/0,
+    * backslash-first escaping of `\` `\t` `\r` `\n` (reference
+    * ParquetImporter.php:151-179) — over doc rows with injected tab /
+    * backslash / NULL edge cases, so the exact line bytes handed to
+    * `COPY ... FROM STDIN` are pinned against an independent engine.
+    */
+  private val sinkCopyFormat: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, lit(null).cast("string"))
+          .otherwise(concat(col("lang"), lit("\t"),
+            substring(col("text"), 1, 20), lit("\\"))).as("sval"),
+        (col("doc_id") % 2 === 0).as("bval"),
+        col("n_chars"))
+    val payload = org.apache.spark.sql.types.StructType(
+      d.schema.fields.filter(_.name != "doc_id"))
+    d.select(col("doc_id"),
+        graft.ingest.CopySink.lineExpr(payload).as("copy_line"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "sink_copy_format" -> sinkCopyFormat,
     "scan_dsv2_source" -> scanDsv2,
     "scan_file_metadata" -> scanFileMetadata,
     "scan_project_rename" -> scanProjectRename,
@@ -150,6 +173,22 @@ object Ingest {
     "l_shipdate")
 
   val oracles: Map[String, String] = Map(
+    // single-quoted SQL strings: backslash is literal in DuckDB, so '\'
+    // is one backslash and '\\' two; tabs spelled chr(9) to keep the
+    // oracle JSON clean
+    "sink_copy_format" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN NULL
+        |         ELSE lang || chr(9) || substr(text, 1, 20) || '\' END AS sval,
+        |    doc_id % 2 = 0 AS bval, n_chars
+        |  FROM documents WHERE doc_id % 10 = 0)
+        |SELECT doc_id,
+        |  COALESCE(replace(replace(replace(replace(sval,
+        |      '\', '\\'), chr(9), '\t'), chr(13), '\r'), chr(10), '\n'), '\N')
+        |  || chr(9) || (CASE WHEN bval THEN '1' ELSE '0' END)
+        |  || chr(9) || CAST(n_chars AS VARCHAR) AS copy_line
+        |FROM t ORDER BY doc_id""".stripMargin,
     "scan_dsv2_source" ->
       """SELECT id,
         |  CAST((id * 7919) % 10007 AS DOUBLE) / CAST(10007 AS DOUBLE) AS v,

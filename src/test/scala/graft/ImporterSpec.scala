@@ -41,6 +41,25 @@ class ImporterSpec extends AnyFunSuite {
     assert(row.getString(2) == "2024-01-02 03:04:05.123456+00:00")
   }
 
+  test("importParquet JDBC branch round-trips through embedded Derby") {
+    // Spark ships Derby for the Hive metastore; use it as the offline
+    // stand-in warehouse so the write.jdbc branch (batchsize, quoting,
+    // mode) executes for real. Skips cleanly when no driver is present.
+    val hasDerby =
+      try { Class.forName("org.apache.derby.jdbc.EmbeddedDriver"); true }
+      catch { case _: ClassNotFoundException => false }
+    assume(hasDerby, "no embedded JDBC driver on classpath")
+    System.setProperty("derby.stream.error.file", "/tmp/derby.log")
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val res = Importer.importParquet(spark, s"${TestSpark.sf}/region.parquet",
+      "region_jdbc", jdbcUrl = Some(url), batchSize = 2)
+    assert(res.rowsImported == 5)
+    val back = spark.read.jdbc(url, Importer.quoteIdentifier("region_jdbc"),
+      new java.util.Properties())
+    assert(back.count() == 5)
+    assert(back.select("r_name").as[String].collect().sorted.head == "AFRICA")
+  }
+
   test("importParquet round-trips rows through a parquet sink table") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_imp").toString
     val res = Importer.importParquet(spark, s"${TestSpark.sf}/region.parquet",
