@@ -145,6 +145,26 @@ object Sim {
       .orderBy("q_id", "rk")
   }
 
+  /** Recall@5 of the LSH path against the brute-force truth, per query —
+    * the quantitative ANN gate as data. Both top-5 sets are recomputed
+    * here (they are cheap at probe scale) and intersected; the DuckDB
+    * oracle reproduces the ENTIRE pipeline — including the hyperplane
+    * buckets, whose ±1 plane vectors are embedded in the SQL as literals
+    * (they are deterministic constants, see [[planes]]) — so the recall
+    * number is pinned cross-engine, not just thresholded in a spec.
+    */
+  private val lshRecall: Q = (s, dir) => {
+    val brute = bruteTopk(s, dir).select(col("q_id"), col("cand_id"))
+    val approx = lshTopk(s, dir)
+      .select(col("q_id").as("aq"), col("cand_id").as("ac"))
+    brute.join(approx,
+        col("q_id") === col("aq") && col("cand_id") === col("ac"), "left")
+      .groupBy("q_id")
+      .agg(expr("cast(count(ac) as bigint)").as("n_hit"))
+      .withColumn("recall_at_5", col("n_hit").cast("double") / 5)
+      .orderBy("q_id")
+  }
+
   /** Materialize the shared corpus-vector cache (see [[vectors]]) so bench
     * queries measure scoring, not the one-time cast+norm build.
     */
@@ -155,6 +175,7 @@ object Sim {
     "sim_cosine_topk" -> bruteTopk,
     "sim_cosine_topk_lsh" -> lshTopk,
     "sim_cosine_topk_ivf" -> ivfTopk,
+    "sim_lsh_recall" -> lshRecall,
   )
 
   val oracles: Map[String, String] = Map(
@@ -169,7 +190,40 @@ object Sim {
         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id) AS rk FROM s)
         |SELECT q_id, rk, cand_id, cos_sim FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
     // sim_cosine_topk_lsh / sim_cosine_topk_ivf: intentionally no oracle —
-    // approximate candidate sets; recall vs brute force is asserted in
-    // DedupSimSpec instead.
+    // approximate candidate sets; sim_lsh_recall pins the LSH path
+    // quantitatively (full pipeline replayed in DuckDB), DedupSimSpec
+    // thresholds cover IVF.
+    "sim_lsh_recall" -> {
+      def planeLit(p: Seq[Double]): String =
+        p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      val bexpr = planes.zipWithIndex.map { case (p, j) =>
+        s"(CASE WHEN list_sum(list_transform(range(64), i -> v[i+1] * (${planeLit(p)})[i+1])) > 0 THEN ${1 << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |  sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, v, nrm, $bexpr AS bucket FROM v),
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, bucket AS qb0 FROM b WHERE vec_id < 8),
+         |qp AS (SELECT q_id, qv, qn,
+         |  unnest([qb0, xor(qb0, 1), xor(qb0, 2), xor(qb0, 4), xor(qb0, 8)]) AS qb FROM q),
+         |ls AS (SELECT qp.q_id, b.vec_id AS cand_id,
+         |  round(list_sum(list_transform(range(64), i -> qp.qv[i+1] * b.v[i+1])) / (qp.qn * b.nrm), 6) AS cos_sim
+         |  FROM qp JOIN b ON qp.qb = b.bucket AND qp.q_id <> b.vec_id),
+         |lr AS (SELECT q_id, cand_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id) AS rk FROM ls)
+         |  WHERE rk <= 5),
+         |s AS (SELECT q.q_id, w.vec_id AS cand_id,
+         |  round(list_sum(list_transform(range(64), i -> q.qv[i+1] * w.v[i+1])) / (q.qn * w.nrm), 6) AS cos_sim
+         |  FROM q JOIN v w ON q.q_id <> w.vec_id),
+         |r AS (SELECT q_id, cand_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id) AS rk FROM s)
+         |  WHERE rk <= 5),
+         |j AS (SELECT r.q_id, COUNT(lr.cand_id) AS n_hit FROM r
+         |  LEFT JOIN lr ON r.q_id = lr.q_id AND r.cand_id = lr.cand_id
+         |  GROUP BY r.q_id)
+         |SELECT q_id, CAST(n_hit AS BIGINT) AS n_hit,
+         |  CAST(n_hit AS DOUBLE) / 5 AS recall_at_5
+         |FROM j ORDER BY q_id""".stripMargin
+    },
   )
 }
