@@ -52,10 +52,56 @@ object Windowed {
       .orderBy("user_id", "session_start")
   }
 
+  /** Stream-stream interval join in its batch form: each click joined to
+    * the same user's purchases in the following hour. Under Structured
+    * Streaming the identical join (watermarks both sides + this time
+    * bound) runs with bounded state — the time constraint is what lets
+    * the engine expire buffered rows; StreamJoinSpec drives that shape.
+    * At 100 TB both sides shuffle once on user_id and the per-key state
+    * is bounded by the 1 h window.
+    */
+  private val intervalJoin: Q = (s, dir) => {
+    val e = Tables(s, dir, "events")
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("event_id").as("click_id"),
+        col("ts").as("cts"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("purchase_id"),
+        col("ts").as("pts"))
+    c.join(p, col("cu") === col("pu") &&
+        col("pts") > col("cts") &&
+        col("pts") <= col("cts") + expr("INTERVAL 1 HOUR"))
+      .select(col("cu").as("user_id"), col("click_id"), col("purchase_id"),
+        (unix_timestamp(col("pts")) - unix_timestamp(col("cts"))).as("lag_sec"))
+      .orderBy("user_id", "click_id", "purchase_id")
+  }
+
+  /** Watermark-dedup in its batch form: one surviving row per
+    * (user_id, event_type) — the earliest by (ts, event_id) — plus the
+    * collapse count. The streaming twin is dropDuplicates over the same
+    * key behind a watermark (StreamJoinSpec); batch determinism comes
+    * from the total (ts, event_id) tie-break, which a replayed stream
+    * honors only by arrival order — exactly why the batch form pins
+    * VALUES and the streaming spec pins key-set semantics.
+    */
+  private val streamDedup: Q = (s, dir) => {
+    val e = Tables(s, dir, "events")
+    e.groupBy("user_id", "event_type")
+      .agg(min(struct(col("ts"), col("event_id"))).as("f"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("event_type"),
+        col("f.event_id").as("first_event_id"),
+        date_format(col("f.ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("first_ts"),
+        col("n_events"))
+      .orderBy("user_id", "event_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "stream_tumbling" -> tumbling,
     "stream_sliding" -> sliding,
     "stream_session" -> session,
+    "stream_interval_join" -> intervalJoin,
+    "stream_dedup" -> streamDedup,
   )
 
   val oracles: Map[String, String] = Map(
@@ -88,5 +134,25 @@ object Windowed {
          | COUNT(*) AS n_events, ${oSum("value")} AS sum_value
          |FROM g GROUP BY user_id, sid
          |ORDER BY user_id, session_start""".stripMargin,
+    "stream_interval_join" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id, ts AS cts
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id, ts AS pts
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id AS user_id, click_id, purchase_id,
+        |  CAST(floor(epoch(pts)) AS BIGINT) - CAST(floor(epoch(cts)) AS BIGINT) AS lag_sec
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND pts > cts AND pts <= cts + INTERVAL '1 hour'
+        |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
+    "stream_dedup" ->
+      """WITH r AS (SELECT user_id, event_type, event_id, ts,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS rk,
+        |    COUNT(*) OVER (PARTITION BY user_id, event_type) AS n_events
+        |  FROM events)
+        |SELECT user_id, event_type, event_id AS first_event_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS first_ts,
+        |  CAST(n_events AS BIGINT) AS n_events
+        |FROM r WHERE rk = 1 ORDER BY user_id, event_type""".stripMargin,
   )
 }
