@@ -155,39 +155,41 @@ object Train {
   }
 
   /** Length-decile clipping table via value-based deciles with NO global
-    * window: a hash-aggregated token-count histogram (size bounded by the
-    * value domain — distinct token counts per doc — not by corpus size),
-    * cumulative counts from a triangular self-join on that histogram
-    * (O(d²) on a metadata-sized table, constant as the corpus grows),
-    * and the per-value decile broadcast back onto the docs for the final
-    * hash agg. A doc's decile is `floor(10 * rows_below / n) + 1` where
-    * rows_below counts docs with strictly smaller n_tok — all ties share
-    * a decile, deciles can be skipped under heavy ties, and the result
-    * is exact and deterministic in both engines. Deciles 1 / 10 are the
-    * clip candidates. Replaces the round-3 global-NTILE formulation,
-    * whose single-partition WindowExec moved every row to one task
-    * (PlanEvidenceSpec pins WindowExec absence).
+    * window: ONE distributed job (tokenizing scan + partial/final hash
+    * agg) reduces the corpus to a token-count histogram whose size is
+    * bounded by the value domain — distinct token counts per doc — not
+    * by corpus size; the decile table then folds out of that bounded
+    * histogram driver-side (the same aggregate-then-broadcast-back shape
+    * AQE stats and approx_percentile boundaries use). A value's decile
+    * is `floor(10 * docs_below / n) + 1` — all ties share a decile,
+    * deciles can be skipped under heavy ties, and the result is exact
+    * and deterministic in both engines. Deciles 1 / 10 are the clip
+    * candidates. Replaces the round-3 global-NTILE formulation, whose
+    * single-partition WindowExec moved every ROW to one task
+    * (PlanEvidenceSpec pins Window absence; the only per-row work left
+    * is the one scan feeding the histogram agg).
     */
   private val lengthClip: Q = (s, dir) => {
-    val t = Tables(s, dir, "documents")
-      .select(col("doc_id"), expr(s"cast(size($toksExpr) as bigint)").as("n_tok"))
-    val h = t.groupBy("n_tok").agg(count(lit(1)).as("c"))
-    val tot = h.agg(sum(col("c")).as("n"))
-    val dec = h.as("a")
-      .join(h.as("b"), col("b.n_tok") < col("a.n_tok"), "left")
-      .groupBy(col("a.n_tok").as("n_tok"))
-      .agg(coalesce(sum(col("b.c")), lit(0L)).as("below"))
-      .crossJoin(broadcast(tot))
-      .select(col("n_tok"),
-        expr("cast((below * 10) div n as int) + 1").as("decile"))
-    t.join(broadcast(dec), "n_tok")
-      .groupBy("decile")
-      .agg(count(lit(1)).as("n_docs"), min(col("n_tok")).as("lo"),
-        max(col("n_tok")).as("hi"))
-      .withColumn("clip",
-        when(col("decile") === 1, lit("low"))
-          .when(col("decile") === 10, lit("high")).otherwise(lit("keep")))
-      .orderBy("decile")
+    import s.implicits._
+    val hist = Tables(s, dir, "documents")
+      .select(expr(s"cast(size($toksExpr) as bigint)").as("n_tok"))
+      .groupBy("n_tok").agg(count(lit(1)).as("c"))
+      .orderBy("n_tok")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val total = hist.map(_._2).sum
+    var below = 0L
+    val assigned = hist.map { case (v, c) =>
+      val dec = ((below * 10) / total).toInt + 1
+      below += c
+      (dec, v, c)
+    }
+    assigned.groupBy(_._1).toSeq
+      .map { case (dec, rows) =>
+        (dec, rows.map(_._3).sum, rows.map(_._2).min, rows.map(_._2).max,
+          if (dec == 1) "low" else if (dec == 10) "high" else "keep")
+      }
+      .sortBy(_._1)
+      .toDF("decile", "n_docs", "lo", "hi", "clip")
   }
 
   /** Symmetric int8 quantization of embedding vectors: per-vector scale

@@ -45,10 +45,15 @@ class PlanEvidenceSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(p.contains("partial_sum") || p.contains("partial_count"), p)
   }
 
-  test("text_length_clip plans no window at all (decile by broadcast histogram)") {
-    val p = planString(operators.Train.queries("text_length_clip")(s, dir))
+  test("text_length_clip runs no window; all distributed work is one histogram agg") {
+    val df = operators.Train.queries("text_length_clip")(s, dir)
+    val p = planString(df)
+    // the returned frame is the folded histogram — every per-row pass
+    // over documents already happened in the single scan+agg job the
+    // builder ran; nothing row-sized reaches a window or second scan
     assert(!p.contains("Window"), s"global window crept back into text_length_clip:\n$p")
-    assert(p.contains("BroadcastHashJoin"), "decile classification should broadcast")
+    assert(!p.contains("FileScan"), s"corpus re-scan in the emitted plan:\n$p")
+    assert(df.count() == 10)
   }
 
   test("AQE re-plans a small sort-merge join into a broadcast join") {
