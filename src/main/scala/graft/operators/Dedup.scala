@@ -285,6 +285,47 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
+  // ---------------------------------------------------------------- clusters
+
+  /** Connected components over the MinHash near-dup pair graph — what a
+    * production dedup actually consumes: pick one canonical doc per
+    * CLUSTER, not per pair (pairs A-B and B-C must collapse to one
+    * survivor, not two). cluster_id = min doc_id in the component, a
+    * fixpoint independent of algorithm, so the iterative min-label
+    * propagation here and the oracle's recursive transitive closure
+    * agree exactly. Each iteration is one join + hash agg on the edge
+    * list (the standard large-graph CC shape — GraphX does the same);
+    * iterations are bounded by component diameter, which for duplicate
+    * clusters is tiny. Every round materializes via persist+count so
+    * lineage never re-executes the loop from scratch.
+    */
+  private val clusters: Q = (s, dir) => {
+    val pairs = minhash(s, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .persist()
+    var lab = edges.select(col("u").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id")).persist()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 25) {
+      val nbr = edges.join(lab, edges("v") === lab("doc_id"))
+        .groupBy(col("u")).agg(min(col("cluster_id")).as("nl"))
+      val next = lab.as("l").join(nbr, col("l.doc_id") === col("u"), "left")
+        .select(col("l.doc_id").as("doc_id"), col("l.cluster_id").as("old"),
+          least(col("l.cluster_id"), coalesce(col("nl"), col("l.cluster_id")))
+            .as("cluster_id"))
+        .persist()
+      changed = next.filter(col("cluster_id") < col("old")).count()
+      lab = next.select("doc_id", "cluster_id")
+      iter += 1
+    }
+    val sizes = lab.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    lab.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
   /** Force-materialize every shared session cache the dedup pack builds
     * lazily (spread docs, shingles, content groups, rare-shingle postings,
     * MinHash bands, SimHash signatures). Bench calls this in warm-up —
@@ -310,6 +351,7 @@ object Dedup {
     "dedup_simhash" -> simhash,
     "dedup_simhash_pairs" -> simhashPairs,
     "dedup_embedding" -> embedding,
+    "dedup_clusters" -> clusters,
   )
 
   private val oSimhashCte =
@@ -341,6 +383,25 @@ object Dedup {
          |GROUP BY 1, 2
          |HAVING CAST(COUNT(*) AS DOUBLE) / (ANY_VALUE(a.n) + ANY_VALUE(b.n) - COUNT(*)) >= 0.6
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE sh AS (SELECT doc_id, $oShingle AS sh FROM documents),
+         |e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sh),
+         |pairs AS (
+         |  SELECT a.doc_id AS pa, b.doc_id AS pb
+         |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |  HAVING CAST(COUNT(*) AS DOUBLE) / (ANY_VALUE(a.n) + ANY_VALUE(b.n) - COUNT(*)) >= 0.8),
+         |edges AS (SELECT pa AS u, pb AS v FROM pairs UNION SELECT pb, pa FROM pairs),
+         |nodes AS (SELECT DISTINCT u AS id FROM edges),
+         |reach AS (
+         |  SELECT id AS x, id AS y FROM nodes
+         |  UNION
+         |  SELECT reach.x, edges.v FROM reach JOIN edges ON edges.u = reach.y),
+         |lab AS (SELECT x AS doc_id, MIN(y) AS cluster_id FROM reach GROUP BY x),
+         |sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+         |  FROM lab GROUP BY cluster_id)
+         |SELECT lab.doc_id, lab.cluster_id, sz.cluster_size
+         |FROM lab JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin,
     "dedup_minhash" ->
       s"""WITH sh AS (SELECT doc_id, $oShingle AS sh FROM documents),
          |e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sh)

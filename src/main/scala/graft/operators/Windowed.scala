@@ -96,12 +96,51 @@ object Windowed {
       .orderBy("user_id", "event_type")
   }
 
+  /** Time-series resample + gap-fill: per-user daily averages on a dense
+    * day grid (each user's own [min_day, max_day] span, generated with
+    * `sequence`), missing days linearly interpolated between the nearest
+    * present neighbors (last/first ignoreNulls frames). The window is
+    * PARTITIONED BY user — per-key state only, no global ordering — and
+    * the grid explode emits ~span-days rows per user: the shape a 100 TB
+    * metrics store resamples with. Exact decimal day-sums make the
+    * averages engine-identical; interpolation is rounded to 6 places.
+    */
+  private val resampleInterpolate: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables(s, dir, "events")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg((dsum(col("value")) / count(lit(1))).as("v"))
+    val span = daily.groupBy("user_id")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val grid = span.select(col("user_id"),
+      explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val j = grid.join(daily, Seq("user_id", "day"), "left")
+    val wPrev = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(0, Window.unboundedFollowing)
+    j.withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+      .withColumn("pd",
+        last(when(col("v").isNotNull, col("day")), ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+      .withColumn("nd",
+        first(when(col("v").isNotNull, col("day")), ignoreNulls = true).over(wNext))
+      .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        round(when(col("v").isNotNull, col("v"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            (datediff(col("day"), col("pd")).cast("double") /
+              datediff(col("nd"), col("pd")))), 6).as("v"),
+        col("v").isNull.as("interpolated"))
+      .orderBy("user_id", "day")
+  }
+
   val queries: Map[String, Q] = Map(
     "stream_tumbling" -> tumbling,
     "stream_sliding" -> sliding,
     "stream_session" -> session,
     "stream_interval_join" -> intervalJoin,
     "stream_dedup" -> streamDedup,
+    "ts_resample_interpolate" -> resampleInterpolate,
   )
 
   val oracles: Map[String, String] = Map(
@@ -154,5 +193,36 @@ object Windowed {
         |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS first_ts,
         |  CAST(n_events AS BIGINT) AS n_events
         |FROM r WHERE rk = 1 ORDER BY user_id, event_type""".stripMargin,
+    "ts_resample_interpolate" ->
+      s"""WITH daily AS (
+         |  SELECT user_id, CAST(ts AS DATE) AS day,
+         |    ${oSum("value")} / COUNT(*) AS v
+         |  FROM events GROUP BY 1, 2),
+         |span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+         |  FROM daily GROUP BY 1),
+         |grid AS (SELECT user_id,
+         |  CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+         |  FROM span),
+         |j AS (SELECT g.user_id, g.day, d.v
+         |  FROM grid g LEFT JOIN daily d USING (user_id, day)),
+         |w AS (SELECT user_id, day, v,
+         |  LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         |  LAST_VALUE(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+         |    OVER (PARTITION BY user_id ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+         |  FIRST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+         |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         |  FIRST_VALUE(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+         |    OVER (PARTITION BY user_id ORDER BY day
+         |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+         |  FROM j)
+         |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+         |  round(CASE WHEN v IS NOT NULL THEN v
+         |    ELSE pv + (nv - pv) *
+         |      (CAST(date_diff('day', pd, day) AS DOUBLE) / date_diff('day', pd, nd))
+         |    END, 6) AS v,
+         |  v IS NULL AS interpolated
+         |FROM w ORDER BY user_id, day""".stripMargin,
   )
 }
