@@ -4,6 +4,7 @@ import graft.{Det, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.VecFunctions.kmv_distinct
 
 /** Core relational operator pack: scans+filters, all join shapes,
   * hash/distinct/grouping-set aggregation, sort/limit/top-k, set ops.
@@ -417,6 +418,27 @@ object Relational {
 
   // ------------------------------------------------------------------- maps
 
+  /** Mergeable distinct-count sketch: the custom KMV
+    * [[org.apache.spark.sql.graft.KmvDistinct TypedImperativeAggregate]]
+    * (k=64 smallest md5-derived 60-bit hashes) next to the exact count.
+    * Unlike approx_count_distinct's HLL registers, the KMV state is
+    * purely set-determined, so the DuckDB oracle replays the sketch
+    * exactly (sort distinct hashes, apply the same estimator) — a
+    * hash-verified approximate aggregate. Constant k-long state per
+    * group per partition flows through the exchange at 100 TB.
+    */
+  private val aggKmvDistinct: Q = (s, dir) => {
+    Tables(s, dir, "lineitem")
+      .withColumn("h",
+        expr("cast(conv(substr(md5(cast(l_partkey as string)), 1, 15), 16, 10) as bigint)"))
+      .groupBy("l_returnflag")
+      .agg(kmv_distinct(col("h"), 64).as("kmv_raw"),
+        countDistinct(col("h")).as("exact_nd"))
+      .select(col("l_returnflag"), round(col("kmv_raw"), 4).as("kmv_est"),
+        col("exact_nd"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
     "filter_pushdown" -> filterPushdown,
     "join_inner_hash" -> joinInnerHash,
@@ -442,6 +464,7 @@ object Relational {
     "set_except_all" -> setExceptAll,
     "set_intersect_all" -> setIntersectAll,
     "agg_minmax_by" -> aggMinmaxBy,
+    "agg_kmv_distinct" -> aggKmvDistinct,
     "agg_skew_salted" -> aggSkewSalted,
     "join_skew_salted" -> joinSkewSalted,
     "agg_percentile" -> aggPercentile,
@@ -626,5 +649,21 @@ object Relational {
         |  CAST(COUNT(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_discounted,
         |  CAST(MAX(uk) AS BIGINT) AS max_uk
         |FROM t GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT l_returnflag,
+        |    CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM lineitem),
+        |r AS (SELECT l_returnflag, h,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rk,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS nd
+        |  FROM h)
+        |SELECT l_returnflag,
+        |  round(CASE WHEN MAX(nd) < 64 THEN CAST(MAX(nd) AS DOUBLE)
+        |    ELSE 63.0 * 1152921504606846976.0 / MAX(CASE WHEN rk = 64 THEN h END)
+        |    END, 4) AS kmv_est,
+        |  CAST(MAX(nd) AS BIGINT) AS exact_nd
+        |FROM r WHERE rk <= 64
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }

@@ -225,6 +225,93 @@ object VecSelfDotRule
     }
 }
 
+/** Exact k-minimum-values (KMV) distinct sketch as a native
+  * `TypedImperativeAggregate` — the mergeable-sketch surface of the
+  * engine (SURVEY §7's stretch item). State is the set of the k smallest
+  * DISTINCT hash values of the input (a 60-bit hash column): purely
+  * set-determined, so partial aggregation, shuffle order, and merge
+  * order cannot change the result, and — unlike HLL register arrays —
+  * an independent engine can replay the sketch EXACTLY (the DuckDB
+  * oracle sorts distinct hashes per group and applies the same
+  * estimator). Estimate: n < k → exact n; else (k-1) * 2^60 / kth_min
+  * (the classic KMV estimator on hashes uniform in [0, 2^60)).
+  * At 100 TB the partial buffers are k longs per group per partition —
+  * constant-size state flowing through the exchange, the whole point of
+  * sketch aggregation.
+  */
+case class KmvDistinct(
+    child: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+  with ImplicitCastInputTypes
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  require(k >= 2, "kmv_distinct needs k >= 2")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = false
+  override def prettyName: String = "kmv_distinct"
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  override def update(
+      b: java.util.TreeSet[java.lang.Long],
+      input: org.apache.spark.sql.catalyst.InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      b.add(v.asInstanceOf[Long])
+      if (b.size > k) b.pollLast()
+    }
+    b
+  }
+
+  override def merge(
+      b: java.util.TreeSet[java.lang.Long],
+      o: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = o.iterator()
+    while (it.hasNext) {
+      b.add(it.next())
+      if (b.size > k) b.pollLast()
+    }
+    b
+  }
+
+  override def eval(b: java.util.TreeSet[java.lang.Long]): Any =
+    if (b.size < k) b.size.toDouble
+    else (k - 1).toDouble * KmvDistinct.HashSpace / b.last().toDouble
+
+  override def serialize(b: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * b.size)
+    val it = b.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val b = createAggregationBuffer()
+    while (bb.remaining() >= 8) b.add(bb.getLong())
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvDistinct =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvDistinct =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvDistinct =
+    copy(child = newChild)
+}
+
+object KmvDistinct {
+  /** Hash domain: 15 hex chars of md5 = [0, 2^60). */
+  val HashSpace: Double = math.pow(2.0, 60)
+}
+
 /** Column-level API for the graft engine (importable from graft code). */
 object VecFunctions {
   private def ex(c: Column): Expression = ExpressionUtils.expression(c)
@@ -237,6 +324,10 @@ object VecFunctions {
 
   def minhash_sig(hashes: Column, k: Int): Column =
     ExpressionUtils.column(MinHashSig(ex(hashes), k))
+
+  def kmv_distinct(hash: Column, k: Int): Column =
+    ExpressionUtils.column(
+      KmvDistinct(ex(hash), k).toAggregateExpression(isDistinct = false))
 
   /** Builders for SQL registration (k for minhash_sig comes from a
     * literal int argument).

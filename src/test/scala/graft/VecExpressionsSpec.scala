@@ -96,6 +96,38 @@ class VecExpressionsSpec extends AnyFunSuite {
     assert(df.collect().head.getDouble(0) == 25.0)
   }
 
+  test("kmv_distinct: exact below k, estimator above, partition-invariant, partial-agg plan") {
+    import org.apache.spark.sql.graft.KmvDistinct
+    // below k: exact count, regardless of duplication
+    val small = (1L to 40L).flatMap(i => Seq(i, i)).toDF("h")
+      .agg(VecFunctions.kmv_distinct(col("h"), 64)).head().getDouble(0)
+    assert(small == 40.0)
+    // above k: estimator, and the value must not depend on partitioning
+    // (merge of partial TreeSet buffers is set-union — order-free)
+    // estimator assumes hashes uniform in [0, 2^60): mix with xxhash64
+    // and mask to the 60-bit domain, as the query does via md5
+    def est(parts: Int): Double =
+      (1L to 5000L).toDF("x")
+        .select(expr("xxhash64(x) & ((1L << 60) - 1)").as("h"))
+        .repartition(parts)
+        .agg(VecFunctions.kmv_distinct(col("h"), 64)).head().getDouble(0)
+    val e1 = est(1)
+    assert(e1 == est(7) && e1 == est(32), "estimate depends on partitioning")
+    assert(math.abs(e1 - 5000.0) / 5000.0 < 0.5, s"estimate off: $e1")
+    // serialize/deserialize round-trips the buffer
+    val agg = KmvDistinct(litL(Array(1L)), 8)
+    val buf = agg.createAggregationBuffer()
+    Seq(9L, 3L, 7L).foreach(buf.add(_))
+    val back = agg.deserialize(agg.serialize(buf))
+    assert(back == buf)
+    // the plan does map-side partial aggregation of the sketch
+    val df = (1L to 100L).toDF("h").groupBy(lit(1))
+      .agg(VecFunctions.kmv_distinct(col("h"), 8))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_kmv_distinct"), p)
+  }
+
   test("codegen and interpreted paths agree through DataFrame eval") {
     val df = Seq(
       (Array(1.0, 2.0, 3.0), Array(0.5, -1.0, 2.0)),
