@@ -301,13 +301,22 @@ object Dedup {
     */
   private val clusters: Q = (s, dir) => {
     val pairs = minhash(s, dir).select(col("doc_a"), col("doc_b"))
+    // the pair graph is tiny relative to the corpus (near-dup pairs only):
+    // collapse it to a few partitions so each propagation round schedules
+    // a handful of tasks, not shuffle.partitions of them. At 100 TB the
+    // coalesce factor scales with |edges|, not corpus size.
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
-      .persist()
+      .coalesce(4).persist()
     var lab = edges.select(col("u").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id")).persist()
+      .withColumn("cluster_id", col("doc_id")).coalesce(4).persist()
     var changed = 1L
     var iter = 0
+    // the persisted frame backing the CURRENT `lab` (initial labels, then
+    // each round's `next`); superseded rounds are dropped once the new
+    // round materializes — without this the loop leaks one persisted
+    // frame per iteration for the session lifetime
+    var labStore: DataFrame = lab
     while (changed > 0 && iter < 25) {
       val nbr = edges.join(lab, edges("v") === lab("doc_id"))
         .groupBy(col("u")).agg(min(col("cluster_id")).as("nl"))
@@ -317,6 +326,8 @@ object Dedup {
             .as("cluster_id"))
         .persist()
       changed = next.filter(col("cluster_id") < col("old")).count()
+      labStore.unpersist(blocking = false)
+      labStore = next
       lab = next.select("doc_id", "cluster_id")
       iter += 1
     }
