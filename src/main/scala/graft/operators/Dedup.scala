@@ -181,7 +181,14 @@ object Dedup {
         .select(col("ckey"), col("band.bidx").as("bidx"), col("band.bh").as("bh"))
     }
 
-  private val minhash: Q = (s, dir) => {
+  /** The verified near-dup pair table (doc_a, doc_b, jaccard) — a shared
+    * corpus artifact: `dedup_minhash` reports it, `dedup_clusters` walks
+    * it, canonical selection consumes it. Cached like the bands so each
+    * consumer pays candidate generation + exact-Jaccard verification
+    * once per session, not once per query.
+    */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    graft.Cached.of(s, dir, "dedup.minhash.pairs") {
     val sh = shingles(s, dir)
     val g = contentGroups(s, dir)
     val bands = minhashBands(s, dir)
@@ -209,8 +216,11 @@ object Dedup {
         col("a.ckey") === col("b.ckey") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         lit(1.0).as("jaccard"))
-    inter.unionAll(intra).orderBy("doc_a", "doc_b")
+    inter.unionAll(intra)
   }
+
+  private val minhash: Q = (s, dir) =>
+    minhashPairs(s, dir).orderBy("doc_a", "doc_b")
 
   // ---------------------------------------------------------------- simhash
 
@@ -300,7 +310,7 @@ object Dedup {
     * lineage never re-executes the loop from scratch.
     */
   private val clusters: Q = (s, dir) => {
-    val pairs = minhash(s, dir).select(col("doc_a"), col("doc_b"))
+    val pairs = minhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
     // the pair graph is tiny relative to the corpus (near-dup pairs only):
     // collapse it to a few partitions so each propagation round schedules
     // a handful of tasks, not shuffle.partitions of them. At 100 TB the
@@ -352,6 +362,7 @@ object Dedup {
     contentGroups(s, dir).count()
     postings(s, dir).count()
     minhashBands(s, dir).count()
+    minhashPairs(s, dir).count()
     simhashes(s, dir).count()
   }
 
