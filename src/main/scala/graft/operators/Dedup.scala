@@ -313,11 +313,15 @@ object Dedup {
     val pairs = minhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
     // the pair graph is tiny relative to the corpus (near-dup pairs only):
     // collapse it to a few partitions so each propagation round schedules
-    // a handful of tasks, not shuffle.partitions of them. At 100 TB the
-    // coalesce factor scales with |edges|, not corpus size.
+    // a handful of tasks, not shuffle.partitions of them. localCheckpoint
+    // (not persist) CUTS THE LINEAGE: every loop action would otherwise
+    // re-run Catalyst analysis/optimization over the whole LSH pair plan
+    // — 2 converged rounds were spending seconds per action on plan
+    // compilation alone. At 100 TB the coalesce factor scales with
+    // |edges|, not corpus size.
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
-      .coalesce(4).persist()
+      .coalesce(4).localCheckpoint()
     var lab = edges.select(col("u").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id")).coalesce(4).persist()
     var changed = 1L
@@ -341,6 +345,7 @@ object Dedup {
       lab = next.select("doc_id", "cluster_id")
       iter += 1
     }
+    System.err.println(s"[dedup_clusters] converged after $iter rounds")
     val sizes = lab.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
     lab.join(sizes, "cluster_id")
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
