@@ -58,8 +58,24 @@ object Cached {
   private val entries =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
-  def of(s: SparkSession, dir: String, key: String)(build: => DataFrame): DataFrame =
-    entries.computeIfAbsent((s, dir, key), _ => build.persist())
+  /** NOT computeIfAbsent: cache builders call `of` for the caches they
+    * depend on (postings -> contentGroups -> shingles), and a nested
+    * computeIfAbsent on the same map throws IllegalStateException
+    * "Recursive update" — which query hits it first depends on Map
+    * iteration order, so it surfaced as a nondeterministic per-SF verify
+    * failure. get/putIfAbsent allows re-entrancy; if two threads race,
+    * the loser unpersists its duplicate and adopts the winner's frame.
+    */
+  def of(s: SparkSession, dir: String, key: String)(build: => DataFrame): DataFrame = {
+    val k = (s, dir, key)
+    val existing = entries.get(k)
+    if (existing != null) existing
+    else {
+      val built = build.persist()
+      val prev = entries.putIfAbsent(k, built)
+      if (prev != null) { built.unpersist(blocking = false); prev } else built
+    }
+  }
 }
 
 /** Determinism helpers so Spark results hash-match the DuckDB oracle.
