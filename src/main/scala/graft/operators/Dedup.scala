@@ -352,6 +352,24 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** End-to-end canonical selection — the operation the whole dedup pack
+    * exists to serve: keep one representative per near-dup cluster
+    * (cluster_id == doc_id, i.e. the min-id member) plus every doc in no
+    * cluster. Cluster labels are tiny relative to the corpus, so the
+    * classification join broadcasts them; the corpus streams through
+    * map-side.
+    */
+  private val canonical: Q = (s, dir) => {
+    val lab = clusters(s, dir).select(col("doc_id"), col("cluster_id"))
+    Tables(s, dir, "documents")
+      .join(broadcast(lab), Seq("doc_id"), "left")
+      .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        when(col("cluster_id").isNull, lit("unique"))
+          .otherwise(lit("canonical")).as("keep_reason"))
+      .orderBy("doc_id")
+  }
+
   /** Force-materialize every shared session cache the dedup pack builds
     * lazily (spread docs, shingles, content groups, rare-shingle postings,
     * MinHash bands, SimHash signatures). Bench calls this in warm-up —
@@ -379,6 +397,7 @@ object Dedup {
     "dedup_simhash_pairs" -> simhashPairs,
     "dedup_embedding" -> embedding,
     "dedup_clusters" -> clusters,
+    "pipeline_dedup_canonical" -> canonical,
   )
 
   private val oSimhashCte =
@@ -390,6 +409,25 @@ object Dedup {
 
   private val oCos =
     "round(list_sum(list_transform(range(64), i -> a.v[i+1] * b.v[i+1])) / (a.nrm * b.nrm), 6)"
+
+  /** Recursive transitive-closure labels over the brute minhash pair graph
+    * (shared by dedup_clusters and pipeline_dedup_canonical).
+    */
+  private val oClusterCte =
+    s"""sh AS (SELECT doc_id, $oShingle AS sh FROM documents),
+       |e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sh),
+       |pairs AS (
+       |  SELECT a.doc_id AS pa, b.doc_id AS pb
+       |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |  HAVING CAST(COUNT(*) AS DOUBLE) / (ANY_VALUE(a.n) + ANY_VALUE(b.n) - COUNT(*)) >= 0.8),
+       |edges AS (SELECT pa AS u, pb AS v FROM pairs UNION SELECT pb, pa FROM pairs),
+       |nodes AS (SELECT DISTINCT u AS id FROM edges),
+       |reach AS (
+       |  SELECT id AS x, id AS y FROM nodes
+       |  UNION
+       |  SELECT reach.x, edges.v FROM reach JOIN edges ON edges.u = reach.y),
+       |lab AS (SELECT x AS doc_id, MIN(y) AS cluster_id FROM reach GROUP BY x)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -411,24 +449,18 @@ object Dedup {
          |HAVING CAST(COUNT(*) AS DOUBLE) / (ANY_VALUE(a.n) + ANY_VALUE(b.n) - COUNT(*)) >= 0.6
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_clusters" ->
-      s"""WITH RECURSIVE sh AS (SELECT doc_id, $oShingle AS sh FROM documents),
-         |e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sh),
-         |pairs AS (
-         |  SELECT a.doc_id AS pa, b.doc_id AS pb
-         |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2
-         |  HAVING CAST(COUNT(*) AS DOUBLE) / (ANY_VALUE(a.n) + ANY_VALUE(b.n) - COUNT(*)) >= 0.8),
-         |edges AS (SELECT pa AS u, pb AS v FROM pairs UNION SELECT pb, pa FROM pairs),
-         |nodes AS (SELECT DISTINCT u AS id FROM edges),
-         |reach AS (
-         |  SELECT id AS x, id AS y FROM nodes
-         |  UNION
-         |  SELECT reach.x, edges.v FROM reach JOIN edges ON edges.u = reach.y),
-         |lab AS (SELECT x AS doc_id, MIN(y) AS cluster_id FROM reach GROUP BY x),
+      s"""WITH RECURSIVE $oClusterCte,
          |sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
          |  FROM lab GROUP BY cluster_id)
          |SELECT lab.doc_id, lab.cluster_id, sz.cluster_size
          |FROM lab JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin,
+    "pipeline_dedup_canonical" ->
+      s"""WITH RECURSIVE $oClusterCte
+         |SELECT d.doc_id, d.lang, d.source,
+         |  CASE WHEN lab.doc_id IS NULL THEN 'unique' ELSE 'canonical' END AS keep_reason
+         |FROM documents d LEFT JOIN lab ON d.doc_id = lab.doc_id
+         |WHERE lab.doc_id IS NULL OR lab.cluster_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "dedup_minhash" ->
       s"""WITH sh AS (SELECT doc_id, $oShingle AS sh FROM documents),
          |e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sh)
