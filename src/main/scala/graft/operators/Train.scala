@@ -112,6 +112,34 @@ object Train {
       .orderBy("doc_id")
   }
 
+  /** Unigram-LM cross-entropy per doc against the corpus language model —
+    * the CCNet-style perplexity quality filter: boilerplate full of
+    * corpus-frequent tokens scores low, rare-token noise scores high.
+    * The LM is one hash agg over tokens (vocab-sized result, broadcast
+    * back) plus a one-row total; scoring is then map-side per doc. The
+    * order-dependent sum of cnt·ln(p) doubles routes through
+    * DECIMAL(28,18) so aggregation order cannot change the result, and
+    * round(.,6) absorbs any last-ULP ln() difference between engines.
+    * Scoring covers every 20th doc; the LM uses the whole corpus.
+    */
+  private val unigramXent: Q = (s, dir) => {
+    val tk = Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(expr(toksExpr)).as("token"))
+    val td = tk.filter(col("doc_id") % 20 === 0)
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+    val cf = tk.groupBy("token").agg(count(lit(1)).as("cw"))
+    val tot = tk.agg(count(lit(1)).as("n"))
+    td.join(broadcast(cf), "token")
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).as("n_tok"),
+        sum(expr("cast(-cnt * ln(cast(cw as double) / n) as decimal(28,18))"))
+          .as("sx"))
+      .select(col("doc_id"), col("n_tok"),
+        round(col("sx").cast("double") / col("n_tok"), 6).as("xent"))
+      .orderBy("doc_id")
+  }
+
   /** URL canonicalization dedup: synthesized crawl URLs with www./query/
     * fragment/trailing-slash variants collapse to a canonical form
     * (lowercase, strip www., strip ?query and #fragment, strip trailing
@@ -223,6 +251,7 @@ object Train {
     "chunk_sliding" -> chunkSliding,
     "sample_split_stratified" -> splitStratified,
     "text_entropy" -> textEntropy,
+    "text_unigram_xent" -> unigramXent,
     "dedup_url" -> dedupUrl,
     "text_domain_stats" -> domainStats,
     "text_length_clip" -> lengthClip,
@@ -288,6 +317,20 @@ object Train {
         |SELECT doc_id, MAX(n_tok) AS n_tok, MAX(n_uniq) AS n_uniq,
         |  round(CAST(SUM(CAST(-p * ln(p) AS DECIMAL(28,18))) AS DOUBLE), 6) AS entropy
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_unigram_xent" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS token
+        |  FROM documents),
+        |td AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS cnt
+        |       FROM tok WHERE doc_id % 20 = 0 GROUP BY 1, 2),
+        |cf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cw FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok),
+        |x AS (SELECT td.doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tok,
+        |    SUM(CAST(-cnt * ln(CAST(cw AS DOUBLE) / (SELECT n FROM tot)) AS DECIMAL(28,18))) AS sx
+        |  FROM td JOIN cf USING (token) GROUP BY 1)
+        |SELECT doc_id, n_tok,
+        |  round(CAST(sx AS DOUBLE) / n_tok, 6) AS xent
+        |FROM x ORDER BY doc_id""".stripMargin,
     "dedup_url" ->
       """WITH u AS (
         |  SELECT doc_id,
