@@ -30,7 +30,8 @@ object SparkEntry {
       operators.Flow.queries ++
       operators.Bucketed.queries ++
       operators.Sql.queries ++
-      operators.Train.queries
+      operators.Train.queries ++
+      operators.Graph.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -51,5 +52,6 @@ object SparkEntry {
       operators.Flow.oracles ++
       operators.Bucketed.oracles ++
       operators.Sql.oracles ++
-      operators.Train.oracles
+      operators.Train.oracles ++
+      operators.Graph.oracles
 }

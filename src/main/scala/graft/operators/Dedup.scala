@@ -161,6 +161,32 @@ object Dedup {
     inter.unionAll(intra).orderBy("doc_a", "doc_b")
   }
 
+  // ------------------------------------------------------------- token spans
+
+  /** Exact duplicated-span detection (the "exact substring dedup" of
+    * training-data pipelines): every 8-token sliding window, grouped by
+    * md5, kept when it appears in more than one distinct document —
+    * boilerplate, licence headers, and template text surface here even
+    * when whole-doc similarity is low. Shape at 100 TB: one scan, a
+    * per-row window explode (rows ~ tokens, each ~80 B), one hash
+    * aggregation on the span hash with map-side partial collapse; no
+    * joins. The span TEXT never shuffles — only its md5 and counts do.
+    */
+  private val spanDedup: Q = (s, dir) => {
+    Tables.docsSpread(s, dir)
+      .withColumn("tk", expr("filter(split(text, ' '), t -> length(t) > 0)"))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(tk) < 8 THEN CAST(array() AS array<string>)
+          |ELSE transform(sequence(1, size(tk) - 7), i -> md5(concat_ws(' ', slice(tk, i, 8))))
+          |END""".stripMargin)).as("span_h"))
+      .groupBy("span_h")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("n_docs").desc, col("span_h"))
+  }
+
   // ---------------------------------------------------------------- minhash
 
   /** MinHash (32 perms via seeded xxhash64) + LSH banding (16 bands x 2)
@@ -391,6 +417,7 @@ object Dedup {
 
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> exact,
+    "dedup_span" -> spanDedup,
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_minhash" -> minhash,
     "dedup_simhash" -> simhash,
@@ -436,6 +463,16 @@ object Dedup {
         |  UNION ALL SELECT doc_id + 1000000, text FROM documents)
         |SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM dirty GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    "dedup_span" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk FROM documents),
+        |sp AS (SELECT doc_id, unnest(CASE WHEN len(tk) < 8 THEN CAST([] AS VARCHAR[])
+        |    ELSE list_transform(range(1, len(tk) - 6),
+        |      i -> md5(array_to_string(tk[i:i+7], ' '))) END) AS span_h FROM t)
+        |SELECT span_h, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  COUNT(*) AS n_occ, MIN(doc_id) AS first_doc
+        |FROM sp GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 1
+        |ORDER BY n_docs DESC, span_h""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH sh AS (SELECT doc_id, $oShingle AS sh FROM documents),
          |e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sh),

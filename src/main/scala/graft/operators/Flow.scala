@@ -83,9 +83,40 @@ object Flow {
       (col("n_purchase").cast("double") / col("n_click")).as("cr_purchase"))
   }
 
+  /** Batch gap-based sessionization: a new session starts when a user is
+    * idle > 30 minutes. lag + running-sum-of-boundaries is the canonical
+    * two-window formulation; both windows are partitioned by user_id, so
+    * at 100 TB the data shuffles ONCE on user_id and both WindowExecs plus
+    * the final session aggregation run on the same partitioning (a single
+    * exchange in the plan — no global window anywhere). All outputs are
+    * integers/timestamps: no float accumulation to drift across engines.
+    */
+  private val sessionize: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull
+          .or(expr("unix_micros(ts) - unix_micros(prev_ts)") > 1800000000L), 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("is_new")).over(byUser))
+      .groupBy("user_id", "session_seq")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"),
+        min(col("ts")).as("t_start"),
+        max(col("ts")).as("t_end"))
+      .withColumn("dur_s",
+        expr("(unix_micros(t_end) - unix_micros(t_start)) div 1000000"))
+      .orderBy("user_id", "session_seq")
+  }
+
   val queries: Map[String, Q] = Map(
     "cdc_upsert" -> cdcUpsert,
     "funnel_conversion" -> funnel,
+    "sessionize_events" -> sessionize,
   )
 
   val oracles: Map[String, String] = Map(
@@ -122,5 +153,25 @@ object Flow {
         |    / (SELECT COUNT(*) FROM v) AS cr_click,
         |  CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
         |    / (SELECT COUNT(*) FROM c) AS cr_purchase""".stripMargin,
+    "sessionize_events" ->
+      """WITH l AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |b AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |      OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM l),
+        |s AS (
+        |  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM b)
+        |SELECT user_id, session_seq,
+        |  COUNT(*) AS n_events,
+        |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+        |  MIN(ts) AS t_start, MAX(ts) AS t_end,
+        |  (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS dur_s
+        |FROM s GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
   )
 }

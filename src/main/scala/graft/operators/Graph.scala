@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over relational data: triangle counting on the
+  * co-purchase graph (parts that appear in the same order share an edge).
+  *
+  * Triangle counting is THE canonical "naive SQL dies at scale" operator:
+  * the textbook 3-way self-join enumerates every wedge (two-edge path),
+  * and wedge count grows with the SQUARE of hot-node degree — a power-law
+  * crawl graph has celebrity nodes with 10^6 neighbors, i.e. 10^12 wedges
+  * from one node. The fix (Cohen's MapReduce algorithm / GraphX's
+  * approach) is degree orientation: orient every undirected edge from the
+  * lower-(degree, id) endpoint to the higher one. Every triangle then has
+  * exactly ONE source vertex with two out-edges, and out-degree is bounded
+  * by O(sqrt(m)) regardless of skew, so the wedge join is near-linear in
+  * m. The oracle runs the naive 3-way join (fine at sf0.01); the Spark
+  * side runs the oriented algorithm — same count, scale-safe plan.
+  *
+  * All outputs are integers except the clustering coefficient, a single
+  * int/int -> double division (bit-identical across engines).
+  */
+object Graph {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Distinct undirected co-order part edges (u < v). */
+  private def edges(s: SparkSession, dir: String): DataFrame = {
+    val pl = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    pl.as("a").join(pl.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v"))
+      .distinct()
+  }
+
+  private val triangles: Q = (s, dir) => {
+    val e = edges(s, dir)
+    val deg = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("d"))
+    // total order key (degree, id) packed into one long: degree < 2^30 and
+    // partkey < 2^30 in any realistic corpus, so d * 2^30 + id never
+    // collides and never overflows
+    val key = deg.select(col("x"), (col("d") * lit(1073741824L) + col("x")).as("ok"))
+    // orient each edge toward the higher key; carry the target's key so
+    // the wedge join below can order the two out-neighbors without
+    // another lookup
+    val oriented = e
+      .join(key.select(col("x").as("u"), col("ok").as("ku")), "u")
+      .join(key.select(col("x").as("v"), col("ok").as("kv")), "v")
+      .select(
+        when(col("ku") < col("kv"), col("u")).otherwise(col("v")).as("s"),
+        when(col("ku") < col("kv"), col("v")).otherwise(col("u")).as("t"),
+        when(col("ku") < col("kv"), col("kv")).otherwise(col("ku")).as("kt"))
+    // wedges (s; t1 < t2 by key) closed by an oriented edge t1 -> t2
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.s") === col("e2.s") && col("e1.kt") < col("e2.kt"))
+      .select(col("e1.t").as("t1"), col("e2.t").as("t2"))
+    val tri = wedges.join(oriented,
+        col("t1") === col("s") && col("t2") === col("t"))
+      .agg(count(lit(1)).as("t"))
+    val stats = e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(deg.agg(count(lit(1)).as("n_nodes"),
+        sum(expr("(d * (d - 1)) div 2")).as("n_wedges")))
+      .crossJoin(tri)
+    stats.select(
+      col("n_nodes"), col("n_edges"), col("t").as("n_triangles"),
+      ((col("t") * 3).cast("double") / col("n_wedges")).as("clustering"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "graph_triangles" -> triangles,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "graph_triangles" ->
+      """WITH pl AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p),
+        |deg AS (SELECT x, COUNT(*) AS d
+        |  FROM (SELECT u AS x FROM e UNION ALL SELECT v FROM e) GROUP BY x),
+        |tri AS (SELECT COUNT(*) AS t FROM e e1
+        |  JOIN e e2 ON e2.u = e1.v JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |w AS (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS w FROM deg)
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+        |  (SELECT CAST(t AS BIGINT) FROM tri) AS n_triangles,
+        |  CAST((SELECT t FROM tri) * 3 AS DOUBLE) / (SELECT w FROM w) AS clustering""".stripMargin,
+  )
+}

@@ -46,9 +46,35 @@ object Sample {
       .orderBy("lang", "rn")
   }
 
+  /** Weighted priority sample: top-200 lineitem rows by priority
+    * w * u, where u is a 54-bit uniform hash of the row key and w =
+    * l_quantity — rows are selected with probability increasing in their
+    * weight, deterministically (the hash replaces rand()). The priority
+    * stays in exact integer arithmetic (w <= 50 and u < 2^54 keep
+    * w * u < 2^60, no overflow, no float rounding to drift across
+    * engines) and is never emitted, so the output is just rows + rank.
+    * At 100 TB this is a narrow per-row expression + TakeOrderedAndProject
+    * (bounded per-partition heaps, no full sort): the limit(200) runs
+    * BEFORE the rank window, so the only unpartitioned window in the plan
+    * sees exactly 200 rows.
+    */
+  private val weighted: Q = (s, dir) => {
+    val w = Window.orderBy(col("prio").desc, col("l_orderkey"), col("l_linenumber"))
+    Tables(s, dir, "lineitem")
+      .withColumn("u",
+        expr("cast(conv(substr(md5(cast(l_orderkey as string) || '-' || cast(l_linenumber as string)), 1, 15), 16, 10) as bigint) div 64"))
+      .withColumn("prio", floor(col("l_quantity")) * col("u"))
+      .orderBy(col("prio").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(200)
+      .withColumn("rk", row_number().over(w))
+      .select("rk", "l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("rk")
+  }
+
   val queries: Map[String, Q] = Map(
     "sample_hash_bernoulli" -> hashBernoulli,
     "sample_stratified" -> stratified,
+    "sample_weighted" -> weighted,
   )
 
   val oracles: Map[String, String] = Map(
@@ -63,5 +89,15 @@ object Sample {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin,
+    "sample_weighted" ->
+      """WITH p AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity,
+        |    CAST(floor(l_quantity) AS BIGINT)
+        |      * (CAST(('0x' || substr(md5(l_orderkey || '-' || l_linenumber), 1, 15)) AS BIGINT) // 64)
+        |      AS prio
+        |  FROM lineitem)
+        |SELECT row_number() OVER (ORDER BY prio DESC, l_orderkey, l_linenumber) AS rk,
+        |  l_orderkey, l_linenumber, l_quantity
+        |FROM p ORDER BY prio DESC, l_orderkey, l_linenumber LIMIT 200""".stripMargin,
   )
 }
