@@ -298,7 +298,34 @@ object Text {
       .orderBy("lang")
   }
 
+  /** Corpus heavy-hitter tokens via a Misra-Gries sketch + exact re-count
+    * — the sketch-then-verify pattern that makes approximate algorithms
+    * oracle-checkable. Pass 1 aggregates the whole token stream into ONE
+    * k=400-entry MG summary ([[org.apache.spark.sql.graft.MisraGries]]):
+    * constant O(k) state per partition through the exchange, and every
+    * token with frequency > n/401 is guaranteed present in the candidate
+    * array no matter how partitions merge. Pass 2 re-counts ONLY tokens
+    * in the broadcast candidate array and keeps those above n/200 (>
+    * the sketch's guarantee line, so the result is exact). At 100 TB the
+    * expensive exact aggregation runs over ~k distinct groups instead of
+    * the full vocabulary.
+    */
+  private val heavyHitters: Q = (s, dir) => {
+    val toks = graft.Tables.docsSpread(s, dir)
+      .select(explode(expr(toksExpr)).as("token"))
+    val cand = toks.agg(
+      org.apache.spark.sql.graft.VecFunctions.misra_gries(col("token"), 400).as("cands"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    toks.join(broadcast(cand), array_contains(col("cands"), col("token")))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * 200 > col("n_total"))
+      .select(col("token"), col("cnt"), col("n_total"))
+      .orderBy(col("cnt").desc, col("token"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_heavy_hitters" -> heavyHitters,
     "pipeline_train_mix" -> trainMix,
     "pipeline_clean_corpus" -> pipelineCleanCorpus,
     "text_tfidf" -> tfidf,
@@ -316,6 +343,12 @@ object Text {
   private val oToks = "list_filter(string_split(text, ' '), t -> len(t) > 0)"
 
   val oracles: Map[String, String] = Map(
+    "text_heavy_hitters" ->
+      s"""WITH t AS (SELECT unnest($oToks) AS token FROM documents),
+         |n AS (SELECT COUNT(*) AS n_total FROM t)
+         |SELECT token, COUNT(*) AS cnt, (SELECT n_total FROM n) AS n_total
+         |FROM t GROUP BY token HAVING COUNT(*) * 200 > (SELECT n_total FROM n)
+         |ORDER BY cnt DESC, token""".stripMargin,
     "pipeline_train_mix" ->
       s"""WITH kept AS (
          |  SELECT doc_id, lang, len($oToks) AS n_tok,

@@ -312,6 +312,124 @@ object KmvDistinct {
   val HashSpace: Double = math.pow(2.0, 60)
 }
 
+/** Misra-Gries heavy-hitter sketch over a string column, as a mergeable
+  * TypedImperativeAggregate. State is at most k (item, count) pairs;
+  * update decrements all counters when a new item overflows the capacity,
+  * merge sums counters then subtracts the (k+1)-th largest (the mergeable-
+  * summaries reduction of Agarwal et al., PODS'12), which preserves the
+  * deterministic guarantee: every item with true frequency > n/(k+1)
+  * SURVIVES in the candidate set regardless of partition or merge order.
+  * The candidate SET itself is order-dependent (like any MG run), so
+  * queries must re-count candidates exactly and filter on a threshold
+  * above n/(k+1) — the final output is then exact and engine-independent,
+  * which is what lets a DuckDB oracle verify a sketch-powered query.
+  * At 100 TB: constant O(k) state per partition flows through the
+  * exchange; the exact re-count pass touches only rows matching ~k items.
+  */
+case class MisraGries(
+    child: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[java.util.HashMap[String, java.lang.Long]]
+  with ImplicitCastInputTypes
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  require(k >= 1, "misra_gries needs k >= 1")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "misra_gries"
+
+  private type Buf = java.util.HashMap[String, java.lang.Long]
+
+  override def createAggregationBuffer(): Buf = new Buf()
+
+  /** Decrement every counter by d, dropping non-positive entries. */
+  private def decay(b: Buf, d: Long): Unit = {
+    val it = b.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val nv = e.getValue - d
+      if (nv <= 0) it.remove() else e.setValue(nv)
+    }
+  }
+
+  override def update(b: Buf, input: org.apache.spark.sql.catalyst.InternalRow): Buf = {
+    val v = child.eval(input)
+    if (v != null) {
+      val s = v.toString
+      val cur = b.get(s)
+      if (cur != null) b.put(s, cur + 1L)
+      else if (b.size < k) b.put(s, 1L)
+      else decay(b, 1L)
+    }
+    b
+  }
+
+  override def merge(b: Buf, o: Buf): Buf = {
+    val it = o.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val cur = b.get(e.getKey)
+      b.put(e.getKey, if (cur == null) e.getValue else cur + e.getValue)
+    }
+    if (b.size > k) {
+      // subtract the (k+1)-th largest count from everything
+      val counts = new Array[Long](b.size)
+      var i = 0
+      val vit = b.values().iterator()
+      while (vit.hasNext) { counts(i) = vit.next(); i += 1 }
+      java.util.Arrays.sort(counts)
+      decay(b, counts(b.size - k - 1))
+    }
+    b
+  }
+
+  override def eval(b: Buf): Any = {
+    val items = new Array[Any](b.size)
+    var i = 0
+    val it = b.keySet().iterator()
+    while (it.hasNext) {
+      items(i) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next())
+      i += 1
+    }
+    new GenericArrayData(items)
+  }
+
+  override def serialize(b: Buf): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(b.size)
+    val it = b.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out.writeUTF(e.getKey)
+      out.writeLong(e.getValue)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val b = createAggregationBuffer()
+    val n = in.readInt()
+    var i = 0
+    while (i < n) { b.put(in.readUTF(), in.readLong()); i += 1 }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MisraGries =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MisraGries =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): MisraGries =
+    copy(child = newChild)
+}
+
 /** Column-level API for the graft engine (importable from graft code). */
 object VecFunctions {
   private def ex(c: Column): Expression = ExpressionUtils.expression(c)
@@ -328,6 +446,10 @@ object VecFunctions {
   def kmv_distinct(hash: Column, k: Int): Column =
     ExpressionUtils.column(
       KmvDistinct(ex(hash), k).toAggregateExpression(isDistinct = false))
+
+  def misra_gries(item: Column, k: Int): Column =
+    ExpressionUtils.column(
+      MisraGries(ex(item), k).toAggregateExpression(isDistinct = false))
 
   /** Builders for SQL registration (k for minhash_sig comes from a
     * literal int argument).

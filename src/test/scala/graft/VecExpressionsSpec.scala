@@ -128,6 +128,49 @@ class VecExpressionsSpec extends AnyFunSuite {
     assert(p.contains("partial_kmv_distinct"), p)
   }
 
+  test("misra_gries: heavy items always survive, any partitioning; buffer round-trips") {
+    import org.apache.spark.sql.graft.MisraGries
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.StringType
+    // Zipf-ish stream: item i appears 1000/i times, n = sum ~ 7485, k = 9
+    // -> guarantee: freq > n/10 = 748.5, i.e. item "w1" (1000) must survive
+    // every partitioning; items near the line may or may not.
+    val stream = (1 to 20).flatMap(i => Seq.fill(1000 / i)(s"w$i"))
+    val n = stream.size
+    val k = 9
+    val rnd = new scala.util.Random(99)
+    for (trial <- 1 to 20) {
+      val shuffled = rnd.shuffle(stream)
+      val nParts = 1 + rnd.nextInt(8)
+      val agg = MisraGries(BoundReference(0, StringType, nullable = true), k)
+      val parts = shuffled.grouped(math.max(1, n / nParts)).map { chunk =>
+        val b = agg.createAggregationBuffer()
+        chunk.foreach { w =>
+          b // update goes through eval(InternalRow); emulate via direct map ops
+          val row = org.apache.spark.sql.catalyst.InternalRow(
+            org.apache.spark.unsafe.types.UTF8String.fromString(w))
+          agg.update(b, row)
+        }
+        b
+      }.toSeq
+      // random merge order, with serde round-trip on every partial
+      val merged = rnd.shuffle(parts)
+        .map(p => agg.deserialize(agg.serialize(p)))
+        .reduce((a, b) => agg.merge(a, b))
+      val survivors = agg.eval(merged)
+        .asInstanceOf[GenericArrayData].array.map(_.toString).toSet
+      assert(survivors.size <= k, s"trial $trial: ${survivors.size} > k")
+      for (i <- 1 to 20 if 1000 / i > n / (k + 1))
+        assert(survivors.contains(s"w$i"), s"trial $trial lost heavy w$i")
+    }
+    // end-to-end through DataFrame agg: candidates ⊇ heavy hitters
+    val df = stream.toDF("w").repartition(5)
+      .agg(VecFunctions.misra_gries(col("w"), 9).as("c"))
+    val cands = df.collect().head.getSeq[String](0).toSet
+    assert(cands.contains("w1"))
+    assert(df.queryExecution.executedPlan.toString.contains("partial_misra_gries"))
+  }
+
   test("codegen and interpreted paths agree through DataFrame eval") {
     val df = Seq(
       (Array(1.0, 2.0, 3.0), Array(0.5, -1.0, 2.0)),
