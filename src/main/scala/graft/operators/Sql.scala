@@ -65,10 +65,45 @@ object Sql {
          |ORDER BY k""".stripMargin)
   }
 
+  /** TPC-H Q5-shaped star join: revenue per nation for one region and one
+    * order year, across customer ⨝ orders ⨝ lineitem ⨝ supplier ⨝ nation ⨝
+    * region with the local-supplier constraint (c_nationkey = s_nationkey).
+    * Revenue is computed in EXACT integer units of 1e-4 dollars —
+    * cents(price) * (100 - discount_pct) — because the textbook
+    * sum(l_extendedprice * (1 - l_discount)) is a double sum whose value
+    * depends on partition merge order; the integer form is bit-identical
+    * across engines and partitionings. Plan shape at 100 TB: nation +
+    * region + supplier broadcast; orders is filtered by date BEFORE the
+    * orderkey shuffle against lineitem (the one unavoidable big shuffle);
+    * the final agg has 25 groups, all map-side collapsed.
+    */
+  private val starRevenue: Q = (s, dir) => {
+    val li = Tables(s, dir, "lineitem")
+    val o = Tables(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
+    val c = Tables(s, dir, "customer")
+    val su = Tables(s, dir, "supplier")
+    val n = Tables(s, dir, "nation")
+    val r = Tables(s, dir, "region").filter(col("r_name") === "ASIA")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey")
+        && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(expr("cast(round(l_extendedprice * 100, 0) as bigint) * (100 - cast(round(l_discount * 100, 0) as bigint))"))
+          .as("revenue_e4"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue_e4").desc, col("n_name"))
+  }
+
   val queries: Map[String, Q] = Map(
     "fn_variant" -> variant,
     "sql_lateral_topk" -> lateralTopk,
     "sql_recursive_cte" -> recursiveCte,
+    "sql_star_revenue" -> starRevenue,
   )
 
   val oracles: Map[String, String] = Map(
@@ -92,5 +127,20 @@ object Sql {
         |  (SELECT COUNT(*) FROM customer WHERE c_nationkey = k) AS n_cust
         |FROM r JOIN nation ON n_nationkey = k
         |ORDER BY k""".stripMargin,
+    "sql_star_revenue" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue_e4 DESC, n_name""".stripMargin,
   )
 }
