@@ -56,6 +56,30 @@ class PlanEvidenceSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(df.count() == 10)
   }
 
+  test("sessionize_events shuffles once on user_id: both windows + the session agg share it") {
+    val df = operators.Flow.queries("sessionize_events")(s, dir)
+    // AdaptiveSparkPlan.toString prints BOTH "== Final Plan ==" and
+    // "== Initial Plan ==" sections — count exchanges in the final one only
+    val p = planString(df).split("== Initial Plan ==").head
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 1,
+      s"expected exactly 1 hash exchange (user_id reused by lag window, sum window, and agg), got $hashExchanges:\n$p")
+    assert(!p.contains("No Partition Defined"), p)
+  }
+
+  test("sample_weighted plans TakeOrderedAndProject; the rank window sees only 200 rows") {
+    val df = operators.Sample.queries("sample_weighted")(s, dir)
+    val p = planString(df)
+    assert(p.contains("TakeOrderedAndProject"), s"global sort instead of bounded heaps:\n$p")
+  }
+
+  test("sql_star_revenue broadcasts the dimension tables") {
+    val df = operators.Sql.queries("sql_star_revenue")(s, dir)
+    val p = planString(df)
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(bhj >= 3, s"expected supplier/nation/region broadcasts, got $bhj:\n$p")
+  }
+
   test("AQE re-plans a small sort-merge join into a broadcast join") {
     import org.apache.spark.sql.functions._
     val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
