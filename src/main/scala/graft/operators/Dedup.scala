@@ -187,6 +187,49 @@ object Dedup {
       .orderBy(col("n_docs").desc, col("span_h"))
   }
 
+  /** Asymmetric containment near-dup pairs: C(A in B) = |A∩B| / |A| over
+    * the rare-shingle postings, threshold 0.9 on either direction. This is
+    * what Jaccard (and MinHash) structurally miss — a document pasted
+    * inside a larger one has high containment but low Jaccard, the
+    * boilerplate/quote/superset case in crawl dedup. Same candidate
+    * machinery as ngram_jaccard (content-collapse, corpus-relative df cap,
+    * rare-postings self-join — all shared caches), so the 100 TB posture
+    * is identical; intersection counts rare shingles while |A| is the full
+    * set size, mirrored exactly in the doc-level oracle. Containment is
+    * direction-sensitive, so when doc ids flip relative to content-key
+    * order the two containment columns swap with them.
+    */
+  private val containment: Q = (s, dir) => {
+    val sh = shingles(s, dir)
+    val exf = postings(s, dir)
+    val interG = exf.as("a").join(exf.as("b"),
+        col("a.s") === col("b.s") && col("a.ckey") < col("b.ckey"))
+      .groupBy(col("a.ckey").as("ka"), col("b.ckey").as("kb"))
+      .agg(count(lit(1)).as("shared"), first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
+      .withColumn("c_ka", col("shared").cast("double") / col("na"))
+      .withColumn("c_kb", col("shared").cast("double") / col("nb"))
+      .filter(greatest(col("c_ka"), col("c_kb")) >= 0.9)
+    val inter = interG
+      .join(sh.select(col("ckey").as("ka"), col("doc_id").as("id_a")), "ka")
+      .join(sh.select(col("ckey").as("kb"), col("doc_id").as("id_b")), "kb")
+      .select(
+        least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"),
+        when(col("id_a") <= col("id_b"), col("c_ka")).otherwise(col("c_kb")).as("cont_a"),
+        when(col("id_a") <= col("id_b"), col("c_kb")).otherwise(col("c_ka")).as("cont_b"))
+    val intraG = exf.groupBy("ckey")
+      .agg(count(lit(1)).as("sr"), first(col("n")).as("n"))
+      .withColumn("c", col("sr").cast("double") / col("n"))
+      .filter(col("c") >= 0.9)
+    val intra = intraG
+      .join(sh.select(col("ckey"), col("doc_id").as("id_a")), "ckey")
+      .join(sh.select(col("ckey"), col("doc_id").as("id_b")), "ckey")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        col("c").as("cont_a"), col("c").as("cont_b"))
+    inter.unionAll(intra).orderBy("doc_a", "doc_b")
+  }
+
   // ---------------------------------------------------------------- minhash
 
   /** MinHash (32 perms via seeded xxhash64) + LSH banding (16 bands x 2)
@@ -418,6 +461,7 @@ object Dedup {
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> exact,
     "dedup_span" -> spanDedup,
+    "dedup_containment" -> containment,
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_minhash" -> minhash,
     "dedup_simhash" -> simhash,
@@ -473,6 +517,19 @@ object Dedup {
         |  COUNT(*) AS n_occ, MIN(doc_id) AS first_doc
         |FROM sp GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 1
         |ORDER BY n_docs DESC, span_h""".stripMargin,
+    "dedup_containment" ->
+      s"""WITH sh AS (SELECT doc_id, $oShingle AS sh FROM documents),
+         |e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sh),
+         |rare AS (SELECT s FROM e GROUP BY s
+         |  HAVING COUNT(*) <= greatest(50, (SELECT COUNT(*) FROM documents) // 100)),
+         |ef AS (SELECT e.* FROM e JOIN rare USING (s)),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(a.n) AS cont_a,
+         |    CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(b.n) AS cont_b
+         |  FROM ef a JOIN ef b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, cont_a, cont_b FROM p
+         |WHERE greatest(cont_a, cont_b) >= 0.9 ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH sh AS (SELECT doc_id, $oShingle AS sh FROM documents),
          |e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sh),

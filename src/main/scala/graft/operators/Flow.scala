@@ -113,8 +113,35 @@ object Flow {
       .orderBy("user_id", "session_seq")
   }
 
+  /** SCD Type-2 history build from the event stream: per user, each
+    * CHANGE of event_type opens a new version with a validity interval
+    * [valid_from, valid_to) and the latest version stays open
+    * (valid_to NULL, is_current = 1). Three window passes (change
+    * detection via lag, version numbering, interval close via lead) all
+    * share the user_id partitioning — one shuffle total, the same
+    * single-exchange discipline sessionize_events pins in CI. This is the
+    * standard warehouse dimension-history operator; at 100 TB it
+    * shuffles each key's events once and state never leaves the
+    * partition.
+    */
+  private val scd2: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("version", row_number().over(byUser))
+      .withColumn("valid_to", lead(col("ts"), 1).over(byUser))
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("ts").as("valid_from"), col("valid_to"),
+        when(col("valid_to").isNull, 1).otherwise(0).as("is_current"))
+      .orderBy("user_id", "version")
+  }
+
   val queries: Map[String, Q] = Map(
     "cdc_upsert" -> cdcUpsert,
+    "cdc_scd2" -> scd2,
     "funnel_conversion" -> funnel,
     "sessionize_events" -> sessionize,
   )
@@ -173,5 +200,18 @@ object Flow {
         |  (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS dur_s
         |FROM s GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+    "cdc_scd2" ->
+      """WITH c AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |ch AS (SELECT * FROM c WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version,
+        |  event_type, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |  CASE WHEN lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |       THEN 1 ELSE 0 END AS is_current
+        |FROM ch ORDER BY user_id, version""".stripMargin,
   )
 }

@@ -41,12 +41,19 @@ object Graph {
         .distinct()
     }
 
-  /** Symmetric adjacency (both edge directions) over [[edges]]. */
+  /** Symmetric adjacency (both edge directions) over [[edges]], cached
+    * PARTITIONED BY src: every PageRank iteration joins it on src, and a
+    * pre-partitioned edge list means only the node-sized contribution
+    * table moves through each iteration's exchange — the edge list (the
+    * 100 TB-scale side) never reshuffles. This is the Pregel invariant:
+    * partition the graph once, ship messages.
+    */
   private def adjacency(s: SparkSession, dir: String): DataFrame =
     graft.Cached.of(s, dir, "graph.adj") {
       val e = edges(s, dir)
       e.select(col("u").as("src"), col("v").as("dst"))
         .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+        .repartition(s.sparkContext.defaultParallelism, col("src"))
     }
 
   /** Node degrees over [[adjacency]]. */
@@ -81,13 +88,23 @@ object Graph {
         when(col("ku") < col("kv"), col("u")).otherwise(col("v")).as("s"),
         when(col("ku") < col("kv"), col("v")).otherwise(col("u")).as("t"),
         when(col("ku") < col("kv"), col("kv")).otherwise(col("ku")).as("kt"))
-    // wedges (s; t1 < t2 by key) closed by an oriented edge t1 -> t2
-    val wedges = oriented.as("e1").join(oriented.as("e2"),
-        col("e1.s") === col("e2.s") && col("e1.kt") < col("e2.kt"))
-      .select(col("e1.t").as("t1"), col("e2.t").as("t2"))
-    val tri = wedges.join(oriented,
-        col("t1") === col("s") && col("t2") === col("t"))
-      .agg(count(lit(1)).as("t"))
+    // Edge-iterator: a triangle {a,b,c} (a < b < c in key order) orients
+    // to a->b, a->c, b->c and is found exactly once, on edge (a,b), as a
+    // common out-neighbor of a and b. Intersecting out-neighbor LISTS per
+    // edge avoids materializing the wedge set as rows — the node-iterator
+    // wedge join shuffles sum(outdeg^2)/2 rows (~20M at sf0.1, and it is
+    // what made the first version the slowest query in the bench); here
+    // the per-edge intersection work is the same O(deg) but stays inside
+    // codegen, and the only movement is the out-adjacency table (nodes
+    // rows, outdeg-bounded arrays). Orientation caps outdeg at O(sqrt(m)),
+    // so no list is ever celebrity-sized.
+    val adjOut = oriented.groupBy(col("s"))
+      .agg(collect_list(col("t")).as("nbrs"))
+    val tri = oriented
+      .join(adjOut.select(col("s").as("ja"), col("nbrs").as("na")), col("s") === col("ja"))
+      .join(adjOut.select(col("s").as("jb"), col("nbrs").as("nb")), col("t") === col("jb"))
+      .select(expr("cast(size(array_intersect(na, nb)) as bigint)").as("common"))
+      .agg(sum(col("common")).as("t"))
     val stats = e.agg(count(lit(1)).as("n_edges"))
       .crossJoin(deg.agg(count(lit(1)).as("n_nodes"),
         sum(expr("(d * (d - 1)) div 2")).as("n_wedges")))
@@ -118,9 +135,14 @@ object Graph {
         .select(col("src"), expr("r div d").as("c"))
       val incoming = adj.join(contrib, "src")
         .groupBy(col("dst")).agg(sum(col("c")).as("sin"))
+      // rank state is nodes-sized (tiny next to edges): materialize each
+      // round and cut lineage, so round N+1 plans against a leaf instead
+      // of re-optimizing an N-deep join tree (same lesson as
+      // dedup_clusters' localCheckpoint)
       r = r.select(col("x")).join(incoming, col("x") === col("dst"), "left")
         .select(col("x"),
           (lit(150000000000L) + expr("(85 * coalesce(sin, 0L)) div 100")).as("r"))
+        .coalesce(4).localCheckpoint()
     }
     r.orderBy(col("r").desc, col("x"))
       .limit(100)
