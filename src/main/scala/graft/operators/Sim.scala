@@ -118,9 +118,16 @@ object Sim {
     */
   private val ivfTopk: Q = (s, dir) => {
     val e = vectors(s, dir)
-    // centroids: elementwise mean per cell (10 cells x 64 dims -> tiny)
+    // centroids: elementwise MIDRANGE per cell ((min+max)/2, 10 cells x 64
+    // dims -> tiny). Not the mean: a float mean depends on partial-sum
+    // merge order, so the index build would not be bit-reproducible across
+    // runs (or engines) — the same reason distributed k-means isn't. Min/
+    // max are order-free and (min+max)/2 is one exact IEEE op, so the
+    // whole IVF pipeline becomes deterministic enough to hash-verify
+    // against a DuckDB replay, probed cells and all.
     val cent = e.select(col("label"), posexplode(col("v")))
-      .groupBy("label", "pos").agg(avg(col("col")).as("cx"))
+      .groupBy("label", "pos")
+      .agg(((min(col("col")) + max(col("col"))) / 2).as("cx"))
       .groupBy("label")
       .agg(expr("transform(array_sort(collect_list(struct(pos, cx))), p -> p.cx)").as("cv"))
       .select(col("label").as("cell"), col("cv"),
@@ -165,6 +172,22 @@ object Sim {
       .orderBy("q_id")
   }
 
+  /** Recall@5 of the IVF path against brute force — same quantitative
+    * gate as [[lshRecall]], possible because the midrange centroids make
+    * the IVF index build bit-reproducible (see [[ivfTopk]]).
+    */
+  private val ivfRecall: Q = (s, dir) => {
+    val brute = bruteTopk(s, dir).select(col("q_id"), col("cand_id"))
+    val approx = ivfTopk(s, dir)
+      .select(col("q_id").as("aq"), col("cand_id").as("ac"))
+    brute.join(approx,
+        col("q_id") === col("aq") && col("cand_id") === col("ac"), "left")
+      .groupBy("q_id")
+      .agg(expr("cast(count(ac) as bigint)").as("n_hit"))
+      .withColumn("recall_at_5", col("n_hit").cast("double") / 5)
+      .orderBy("q_id")
+  }
+
   /** Materialize the shared corpus-vector cache (see [[vectors]]) so bench
     * queries measure scoring, not the one-time cast+norm build.
     */
@@ -176,7 +199,34 @@ object Sim {
     "sim_cosine_topk_lsh" -> lshTopk,
     "sim_cosine_topk_ivf" -> ivfTopk,
     "sim_lsh_recall" -> lshRecall,
+    "sim_ivf_recall" -> ivfRecall,
   )
+
+  /** DuckDB replay of the full IVF pipeline: midrange centroids per cell,
+    * nprobe=3 coarse probe, exact scoring inside probed cells, top-5.
+    * `ir` is the IVF result; `q`/`v` are shared with the brute CTEs.
+    */
+  private val oIvfCte =
+    """v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+      |  sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+      |  FROM embeddings),
+      |cd AS (SELECT label, i, (MIN(v.v[i]) + MAX(v.v[i])) / 2 AS cx
+      |       FROM v, range(1, 65) t(i) GROUP BY label, i),
+      |cen AS (SELECT cell, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS cn FROM (
+      |  SELECT label AS cell, list(cx ORDER BY i) AS cv FROM cd GROUP BY label)),
+      |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM v WHERE vec_id < 8),
+      |qc AS (SELECT q_id, qv, qn, cell FROM (
+      |  SELECT q.q_id, q.qv, q.qn, c.cell,
+      |    row_number() OVER (PARTITION BY q.q_id ORDER BY
+      |      list_sum(list_transform(range(64), i -> q.qv[i+1] * c.cv[i+1])) / (q.qn * c.cn) DESC,
+      |      c.cell) AS crk
+      |  FROM q CROSS JOIN cen c) WHERE crk <= 3),
+      |iv AS (SELECT qc.q_id, w.vec_id AS cand_id,
+      |  round(list_sum(list_transform(range(64), i -> qc.qv[i+1] * w.v[i+1])) / (qc.qn * w.nrm), 6) AS cos_sim
+      |  FROM qc JOIN v w ON qc.cell = w.label AND qc.q_id <> w.vec_id),
+      |ir AS (SELECT q_id, rk, cand_id, cos_sim FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id) AS rk FROM iv)
+      |  WHERE rk <= 5)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "sim_cosine_topk" ->
@@ -189,10 +239,28 @@ object Sim {
         |  FROM q JOIN v ON q.q_id <> v.vec_id),
         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id) AS rk FROM s)
         |SELECT q_id, rk, cand_id, cos_sim FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
-    // sim_cosine_topk_lsh / sim_cosine_topk_ivf: intentionally no oracle —
-    // approximate candidate sets; sim_lsh_recall pins the LSH path
-    // quantitatively (full pipeline replayed in DuckDB), DedupSimSpec
-    // thresholds cover IVF.
+    // sim_cosine_topk_lsh: intentionally no oracle — approximate candidate
+    // set; sim_lsh_recall pins the LSH path quantitatively (full pipeline
+    // replayed in DuckDB) and DedupSimSpec thresholds it. The IVF path IS
+    // hash-verified (midrange centroids make the index build exactly
+    // reproducible — see ivfTopk): both the top-k itself and its recall.
+    "sim_cosine_topk_ivf" ->
+      s"""WITH $oIvfCte
+         |SELECT q_id, rk, cand_id, cos_sim FROM ir ORDER BY q_id, rk""".stripMargin,
+    "sim_ivf_recall" ->
+      s"""WITH $oIvfCte,
+         |s AS (SELECT q.q_id, w.vec_id AS cand_id,
+         |  round(list_sum(list_transform(range(64), i -> q.qv[i+1] * w.v[i+1])) / (q.qn * w.nrm), 6) AS cos_sim
+         |  FROM q JOIN v w ON q.q_id <> w.vec_id),
+         |r AS (SELECT q_id, cand_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id) AS rk FROM s)
+         |  WHERE rk <= 5),
+         |j AS (SELECT r.q_id, COUNT(ir.cand_id) AS n_hit FROM r
+         |  LEFT JOIN ir ON r.q_id = ir.q_id AND r.cand_id = ir.cand_id
+         |  GROUP BY r.q_id)
+         |SELECT q_id, CAST(n_hit AS BIGINT) AS n_hit,
+         |  CAST(n_hit AS DOUBLE) / 5 AS recall_at_5
+         |FROM j ORDER BY q_id""".stripMargin,
     "sim_lsh_recall" -> {
       def planeLit(p: Seq[Double]): String =
         p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
