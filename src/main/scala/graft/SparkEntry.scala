@@ -31,7 +31,8 @@ object SparkEntry {
       operators.Bucketed.queries ++
       operators.Sql.queries ++
       operators.Train.queries ++
-      operators.Graph.queries
+      operators.Graph.queries ++
+      operators.Layout.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -53,5 +54,6 @@ object SparkEntry {
       operators.Bucketed.oracles ++
       operators.Sql.oracles ++
       operators.Train.oracles ++
-      operators.Graph.oracles
+      operators.Graph.oracles ++
+      operators.Layout.oracles
 }

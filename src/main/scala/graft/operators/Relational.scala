@@ -439,7 +439,28 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Exact per-group distinct count via fixed-width bitmap words: key k sets
+    * bit (k & 31) of word (k >> 5); words OR-combine map-side (bit_or is
+    * associative-commutative), so the shuffle carries at most domain/32
+    * bitmap words per group instead of every raw key — the dense-int-domain
+    * counterpart to the KMV sketch above, but exact. popcount-sum folds the
+    * words to the count. The identical shift/mask arithmetic runs in DuckDB
+    * (32-bit packing: a shift of 63 overflows DuckDB's checked signed `<<`).
+    */
+  private val aggBitmapDistinct: Q = (s, dir) => {
+    Tables(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        expr("shiftright(l_partkey, 5)").as("wd"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(l_partkey % 32 AS INT))").as("b"))
+      .groupBy("l_returnflag", "wd")
+      .agg(expr("bit_or(b)").as("m"))
+      .groupBy("l_returnflag")
+      .agg(expr("CAST(SUM(bit_count(m)) AS BIGINT)").as("nd_bitmap"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_bitmap_distinct" -> aggBitmapDistinct,
     "filter_pushdown" -> filterPushdown,
     "join_inner_hash" -> joinInnerHash,
     "join_sortmerge" -> joinSortMerge,
@@ -473,6 +494,13 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_bitmap_distinct" ->
+      """WITH w AS (
+        |  SELECT l_returnflag, l_partkey >> 5 AS wd,
+        |    bit_or(CAST(1 AS BIGINT) << CAST(l_partkey % 32 AS INT)) AS m
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag, CAST(SUM(bit_count(m)) AS BIGINT) AS nd_bitmap
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
     "filter_pushdown" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount,
         | strftime(l_shipdate, '%Y-%m-%d') AS ship_day
