@@ -132,6 +132,29 @@ object Analytic {
       .orderBy("c_nationkey", "c_custkey")
   }
 
+  /** DISTINCT window aggregate — a genuine Spark surface gap: Spark
+    * rejects `COUNT(DISTINCT x) OVER w` outright, so the idiomatic
+    * workaround is `size(collect_set(x) OVER w)`, which keeps the distinct
+    * state inside the window operator. State per row is bounded by the
+    * DISTINCT DOMAIN (event types here — a handful), not the frame length,
+    * so it survives wide frames at 100 TB. The oracle is DuckDB's native
+    * COUNT(DISTINCT) OVER, pinning that the workaround is semantically
+    * exact.
+    */
+  private val winCountDistinct: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables(s, dir, "events")
+      .select(
+        col("user_id"), col("event_id"),
+        size(collect_set(col("event_type")).over(running)).cast("bigint")
+          .as("types_so_far"),
+        size(collect_set(col("event_type")).over(whole)).cast("bigint")
+          .as("types_total"))
+      .orderBy("user_id", "event_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "win_rank" -> winRank,
     "win_analytic" -> winAnalytic,
@@ -140,9 +163,17 @@ object Analytic {
     "win_distribution" -> winDistribution,
     "win_range_interval" -> winRangeInterval,
     "agg_mode_manual" -> aggModeManual,
+    "win_count_distinct" -> winCountDistinct,
   )
 
   val oracles: Map[String, String] = Map(
+    "win_count_distinct" ->
+      """SELECT user_id, event_id,
+        | COUNT(DISTINCT event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS types_so_far,
+        | COUNT(DISTINCT event_type) OVER (PARTITION BY user_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS types_total
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
     "win_range_interval" ->
       """SELECT event_id, user_id,
         |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS t,

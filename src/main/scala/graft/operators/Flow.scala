@@ -139,14 +139,131 @@ object Flow {
       .orderBy("user_id", "version")
   }
 
+  /** Weekly cohort retention — the standard growth-analytics matrix: users
+    * grouped by first-active ISO week, counted in each later week, with
+    * the retention ratio vs the cohort size. Three hash aggregations, all
+    * keyed on user_id or on the tiny (cohort, offset) pair; nothing is
+    * windowed and nothing collects. At 100 TB: (user, week) distinct and
+    * the first-week agg share the user_id shuffle; the cohort-size join is
+    * a broadcast (|cohorts| = number of weeks). Retention is one
+    * int/int→double division — bit-identical across engines.
+    */
+  private val retention: Q = (s, dir) => {
+    val wk = Tables(s, dir, "events")
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"))
+      .distinct()
+    val cohort = wk.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+    val sizes = cohort.groupBy("cohort_wk").agg(count(lit(1)).as("cohort_size"))
+    wk.join(cohort, "user_id")
+      .withColumn("week_offset", expr("datediff(wk, cohort_wk) div 7").cast("bigint"))
+      .groupBy("cohort_wk", "week_offset")
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .join(broadcast(sizes), "cohort_wk")
+      .select(
+        date_format(col("cohort_wk"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("n_active"), col("cohort_size"),
+        (col("n_active").cast("double") / col("cohort_size")).as("retention"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** Snapshot B for the diff operator: apply updates (every 7th key),
+    * deletes (every 11th), and inserts (shifted copy of every 13th) to the
+    * orders snapshot. Deterministic, so both engines rebuild it exactly.
+    */
+  private def snapshotB(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val kept = o.filter(col("o_orderkey") % 11 =!= 0)
+    val updated = kept.select(col("o_orderkey"),
+      when(col("o_orderkey") % 7 === 0, lit("U")).otherwise(col("o_orderstatus"))
+        .as("o_orderstatus"),
+      when(col("o_orderkey") % 7 === 0, col("o_totalprice") * 1.05)
+        .otherwise(col("o_totalprice")).as("o_totalprice"))
+    val inserts = o.filter(col("o_orderkey") % 13 === 0)
+      .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+        lit("N").as("o_orderstatus"), col("o_totalprice"))
+    updated.unionAll(inserts)
+  }
+
+  /** Table-diff between two snapshots — the data-versioning primitive
+    * (what Delta/Iceberg `table_changes` computes): FULL OUTER join on the
+    * key, classify each key as added / removed / changed, drop identical
+    * rows. One key-partitioned shuffle join; the unchanged majority is
+    * filtered before the sort, so output is proportional to the CHANGE SET
+    * — at 100 TB with a 0.1% daily churn the diff emits 0.1%, not the
+    * table.
+    */
+  private val diffSnapshots: Q = (s, dir) => {
+    val a = Tables(s, dir, "orders").select(
+      col("o_orderkey").as("a_key"), col("o_orderstatus").as("a_st"),
+      col("o_totalprice").as("a_price"))
+    val b = snapshotB(s, dir).select(
+      col("o_orderkey").as("b_key"), col("o_orderstatus").as("b_st"),
+      col("o_totalprice").as("b_price"))
+    a.join(b, col("a_key") === col("b_key"), "full_outer")
+      .withColumn("change_type",
+        when(col("a_key").isNull, lit("added"))
+          .when(col("b_key").isNull, lit("removed"))
+          .when(col("a_st") =!= col("b_st") || col("a_price") =!= col("b_price"),
+            lit("changed")))
+      .filter(col("change_type").isNotNull)
+      .select(
+        coalesce(col("a_key"), col("b_key")).as("o_orderkey"),
+        col("change_type"),
+        col("a_st").as("old_status"), col("b_st").as("new_status"),
+        col("a_price").as("old_price"), col("b_price").as("new_price"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "cdc_upsert" -> cdcUpsert,
     "cdc_scd2" -> scd2,
+    "cdc_diff_snapshots" -> diffSnapshots,
     "funnel_conversion" -> funnel,
     "sessionize_events" -> sessionize,
+    "flow_retention_cohort" -> retention,
   )
 
   val oracles: Map[String, String] = Map(
+    "flow_retention_cohort" ->
+      """WITH wk AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+        |co AS (SELECT user_id, MIN(wk) AS cohort_wk FROM wk GROUP BY user_id),
+        |sz AS (SELECT cohort_wk, COUNT(*) AS cohort_size FROM co GROUP BY cohort_wk),
+        |act AS (
+        |  SELECT co.cohort_wk, datediff('day', co.cohort_wk, wk.wk) // 7 AS week_offset,
+        |    CAST(COUNT(DISTINCT wk.user_id) AS BIGINT) AS n_active
+        |  FROM wk JOIN co ON wk.user_id = co.user_id GROUP BY 1, 2)
+        |SELECT strftime(act.cohort_wk, '%Y-%m-%d') AS cohort_week, week_offset,
+        |  n_active, cohort_size,
+        |  CAST(n_active AS DOUBLE) / cohort_size AS retention
+        |FROM act JOIN sz ON act.cohort_wk = sz.cohort_wk
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+    "cdc_diff_snapshots" ->
+      """WITH b AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.05
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 11 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, 'N', o_totalprice
+        |  FROM orders WHERE o_orderkey % 13 = 0),
+        |d AS (
+        |  SELECT a.o_orderkey AS a_key, a.o_orderstatus AS a_st,
+        |    a.o_totalprice AS a_price, b.o_orderkey AS b_key,
+        |    b.o_orderstatus AS b_st, b.o_totalprice AS b_price
+        |  FROM orders a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
+        |SELECT coalesce(a_key, b_key) AS o_orderkey,
+        |  CASE WHEN a_key IS NULL THEN 'added'
+        |       WHEN b_key IS NULL THEN 'removed'
+        |       WHEN a_st <> b_st OR a_price <> b_price THEN 'changed'
+        |  END AS change_type,
+        |  a_st AS old_status, b_st AS new_status,
+        |  a_price AS old_price, b_price AS new_price
+        |FROM d
+        |WHERE a_key IS NULL OR b_key IS NULL OR a_st <> b_st OR a_price <> b_price
+        |ORDER BY o_orderkey""".stripMargin,
     "cdc_upsert" ->
       """WITH ch AS (
         |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,

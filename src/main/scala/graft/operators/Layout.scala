@@ -118,9 +118,24 @@ object Layout {
     base
   }
 
+  /** Deliberately fragmented copy of documents (64 tiny files) — the
+    * small-file problem every streaming/incremental ingest produces. Built
+    * once per session as the input fixture for [[layout_compaction]].
+    */
+  def prepareFragmented(s: SparkSession, dir: String): String = synchronized {
+    val base = tmpBase("fragments", dir)
+    if (!prepared.contains((s, dir, "fragments"))) {
+      Tables(s, dir, "documents").repartition(64)
+        .write.mode("overwrite").parquet(base)
+      prepared.add((s, dir, "fragments"))
+    }
+    base
+  }
+
   /** One-time layouts built in Bench warm-up (ingest cost, not query cost). */
   def prewarm(s: SparkSession, dir: String): Unit = {
     prepareMonthly(s, dir); prepareZorder(s, dir); prepareLinear(s, dir)
+    prepareFragmented(s, dir)
   }
 
   /** Memoized child sessions carrying query-scoped SQL conf. `newSession()`
@@ -201,10 +216,34 @@ object Layout {
       .orderBy("p_partkey")
   }
 
+  /** Small-file compaction — the maintenance operator every incremental
+    * ingest needs (Delta OPTIMIZE / Iceberg rewrite_data_files): read the
+    * 64-fragment layout, rewrite it as one file per target bucket, and
+    * report the achieved layout from real file metadata (`_metadata`), not
+    * from assumptions. `repartition(4, bkt)` puts each bucket entirely in
+    * one task, so each `bkt=` directory is written as exactly one file —
+    * the n_files=1 invariant the oracle pins. At 100 TB the bucket count
+    * scales with table size / target file size and each task still writes
+    * one file; the shuffle moves each row once.
+    */
+  private val layoutCompaction: Q = (s, dir) => {
+    val frag = s.read.parquet(prepareFragmented(s, dir))
+    val out = tmpBase("compacted", dir)
+    frag.withColumn("bkt", pmod(col("doc_id"), lit(4)).cast("bigint"))
+      .repartition(4, col("bkt"))
+      .write.mode("overwrite").partitionBy("bkt").parquet(out)
+    s.read.parquet(out)
+      .groupBy(col("bkt").cast("bigint").as("bkt"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("_metadata.file_name")).as("n_files"))
+      .orderBy("bkt")
+  }
+
   val queries: Map[String, Q] = Map(
     "join_dpp" -> joinDpp,
     "join_bloom_runtime" -> joinBloomRuntime,
     "scan_zorder_prune" -> scanZorderPrune,
+    "layout_compaction" -> layoutCompaction,
   )
 
   val oracles: Map[String, String] = Map(
@@ -224,6 +263,10 @@ object Layout {
          |FROM lineitem JOIN part ON l_partkey = p_partkey
          |WHERE p_brand = 'Brand#19'
          |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "layout_compaction" ->
+      """SELECT CAST(doc_id % 4 AS BIGINT) AS bkt, COUNT(*) AS n_rows,
+        |  CAST(1 AS BIGINT) AS n_files
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "scan_zorder_prune" ->
       s"""SELECT p_partkey, p_name, p_size, p_retailprice,
          |  ${zSql(zx, zy, duckShl)} AS zval

@@ -71,6 +71,24 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** Shuffled hash join — the third strategy in the join matrix (broadcast
+    * `join_inner_hash`, sort-merge `join_sortmerge`, bucketed
+    * `join_bucketed`). For a medium build side that exceeds the broadcast
+    * threshold but fits per-partition in executor memory, hashing the
+    * build side skips BOTH sort passes a sort-merge join pays — on a 100 TB
+    * fact⋈mid-size-dim this is the cheapest shuffle join available. The
+    * SHUFFLE_HASH hint forces it (AQE would otherwise pick by stats);
+    * PlanEvidenceSpec pins ShuffledHashJoin in the physical plan.
+    */
+  private val joinShuffleHash: Q = (s, dir) => {
+    val c = Tables(s, dir, "customer").hint("shuffle_hash")
+    val o = Tables(s, dir, "orders")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_total"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Left outer join keeping customers with zero orders. */
   private val joinLeft: Q = (s, dir) => {
     val c = Tables(s, dir, "customer")
@@ -464,6 +482,7 @@ object Relational {
     "filter_pushdown" -> filterPushdown,
     "join_inner_hash" -> joinInnerHash,
     "join_sortmerge" -> joinSortMerge,
+    "join_shuffle_hash" -> joinShuffleHash,
     "join_left" -> joinLeft,
     "join_full" -> joinFull,
     "join_semi" -> joinSemi,
@@ -524,6 +543,11 @@ object Relational {
          | ${oSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "join_shuffle_hash" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
+         | ${oSum("o_totalprice")} AS sum_total
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "join_left" ->
       s"""SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
          | ${oSum("COALESCE(o_totalprice, 0.0)")} AS sum_total

@@ -79,6 +79,18 @@ class LayoutSpec extends AnyFunSuite {
     assert(zHit < lHit, s"z-order did not prune vs linear: z=$zHit/$zTotal linear=$lHit/$lTotal")
   }
 
+  test("layout_compaction collapses the 64-fragment layout to one file per bucket") {
+    val nFrag = s.read.parquet(operators.Layout.prepareFragmented(s, dir))
+      .select(input_file_name()).distinct().count()
+    assert(nFrag >= 32, s"fragmented fixture has only $nFrag files")
+    val rows = operators.Layout.queries("layout_compaction")(s, dir).collect()
+    assert(rows.length == 4, rows.mkString(", "))
+    assert(rows.forall(_.getLong(2) == 1L),
+      s"a bucket spans more than one file: ${rows.mkString(", ")}")
+    val total = rows.map(_.getLong(1)).sum
+    assert(total == Tables(s, dir, "documents").count())
+  }
+
   test("agg_bitmap_distinct matches countDistinct exactly") {
     val bm = operators.Relational.queries("agg_bitmap_distinct")(s, dir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -33,6 +33,11 @@ class PlanEvidenceSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("join_shuffle_hash plans ShuffledHashJoin — no sort pass on either side") {
+    val p = planString(operators.Relational.queries("join_shuffle_hash")(s, dir))
+    assert(p.contains("ShuffledHashJoin"), p)
+  }
+
   test("sort_limit plans TakeOrderedAndProject, not a global sort") {
     val p = planString(operators.Relational.queries("sort_limit")(s, dir))
     assert(p.contains("TakeOrderedAndProject"), p)
