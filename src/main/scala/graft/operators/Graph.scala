@@ -149,12 +149,53 @@ object Graph {
       .select(col("x").as("part"), col("r").as("rank_e12"))
   }
 
+  /** Layered multi-source BFS, 3 hops, exact integer distances — the
+    * reachability/k-hop-neighborhood primitive (fraud rings, link
+    * expansion, influence radius). Sources are the graph nodes with
+    * id % 97 == 0 (deterministic at every SF). Each hop is one join of the
+    * adjacency list against the CURRENT FRONTIER ONLY (dist == h-1), then
+    * a min-dist collapse — the textbook Pregel BFS: per-round cost is
+    * O(frontier out-edges), state is one (node, dist) pair per reached
+    * node, and the pre-partitioned adjacency never reshuffles. Rounds are
+    * localCheckpointed so round h+1 plans against a leaf (the
+    * dedup_clusters lineage lesson). The oracle is DuckDB's recursive CTE
+    * with UNION-dedup — same layered min semantics.
+    */
+  private val bfs: Q = (s, dir) => {
+    val adj = adjacency(s, dir)
+    var dist = degrees(s, dir).filter(col("src") % 97 === 0)
+      .select(col("src").as("x"), lit(0L).as("dist"))
+      .coalesce(4).localCheckpoint()
+    for (h <- 1 to 3) {
+      val frontier = dist.filter(col("dist") === (h - 1))
+      val nxt = adj.join(frontier, adj("src") === frontier("x"))
+        .select(col("dst").as("x"), lit(h.toLong).as("dist"))
+      dist = dist.unionAll(nxt)
+        .groupBy("x").agg(min(col("dist")).as("dist"))
+        .coalesce(4).localCheckpoint()
+    }
+    dist.select(col("x").as("part"), col("dist").as("hops")).orderBy("part")
+  }
+
   val queries: Map[String, Q] = Map(
     "graph_triangles" -> triangles,
     "graph_pagerank" -> pagerank,
+    "graph_bfs_khop" -> bfs,
   )
 
   val oracles: Map[String, String] = Map(
+    "graph_bfs_khop" ->
+      """WITH RECURSIVE
+        |pl AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p),
+        |adj AS (SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v, u FROM e0),
+        |nodes AS (SELECT DISTINCT src FROM adj),
+        |bfs(x, dist) AS (
+        |  SELECT src, CAST(0 AS BIGINT) FROM nodes WHERE src % 97 = 0
+        |  UNION
+        |  SELECT adj.dst, bfs.dist + 1 FROM bfs JOIN adj ON adj.src = bfs.x
+        |  WHERE bfs.dist < 3)
+        |SELECT x AS part, MIN(dist) AS hops FROM bfs GROUP BY x ORDER BY part""".stripMargin,
     "graph_triangles" ->
       """WITH pl AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p),

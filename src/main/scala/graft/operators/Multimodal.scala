@@ -94,13 +94,54 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** Perceptual average-hash over the payload — the multimodal dedup
+    * primitive (aHash: sample N values, threshold each against the mean,
+    * pack bits). On real images the decoded 8x8 grayscale feeds this; here
+    * the STUB "pixels" are 60 evenly-spaced payload bytes, so the hash
+    * arithmetic, the bit packing, and the collision-group join are all the
+    * production shape. 60 bits (not 64) keeps the packed value inside a
+    * signed int64 without overflow in either engine (same choice as
+    * SimHash64). The mean threshold is the integer cross-multiplication
+    * `val*60 > total` — no division, no floats, bit-identical everywhere.
+    * Collision groups come from one hash aggregation on the 8-byte hash +
+    * a key-partitioned join back; at 100 TB only (doc_id, phash) pairs
+    * shuffle.
+    */
+  private val phash: Q = (s, dir) => {
+    val h = Tables(s, dir, "documents")
+      .withColumn("vals", expr(
+        "transform(sequence(0, 59), i -> ascii(substr(text, 1 + cast((i * length(text)) div 60 as int), 1)))"))
+      .withColumn("total", expr("aggregate(vals, 0L, (a, x) -> a + x)"))
+      .select(col("doc_id"), expr(
+        """aggregate(sequence(0, 59), 0L,
+          |  (a, i) -> a + IF(element_at(vals, i + 1) * 60 > total, shiftleft(1L, i), 0L))"""
+          .stripMargin).as("phash"))
+    val groups = h.groupBy("phash").agg(count(lit(1)).as("n_same"))
+    h.join(groups, "phash")
+      .select(col("doc_id"), col("phash"), col("n_same"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "mm_binary_meta" -> binaryMeta,
     "mm_decode_stub" -> decodeStub,
     "mm_frame_sample" -> frameSample,
+    "mm_phash" -> phash,
   )
 
   val oracles: Map[String, String] = Map(
+    "mm_phash" ->
+      """WITH v AS (SELECT doc_id,
+        |    list_transform(range(0, 60),
+        |      i -> ascii(substr(text, 1 + CAST((i * length(text)) // 60 AS INT), 1))) AS vals
+        |  FROM documents),
+        |t AS (SELECT doc_id, vals, list_sum(vals) AS total FROM v),
+        |h AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 60),
+        |    i -> CASE WHEN vals[i + 1] * 60 > total THEN (CAST(1 AS BIGINT) << i)
+        |         ELSE 0 END)) AS BIGINT) AS phash FROM t),
+        |g AS (SELECT phash, COUNT(*) AS n_same FROM h GROUP BY phash)
+        |SELECT h.doc_id, h.phash, g.n_same FROM h JOIN g USING (phash)
+        |ORDER BY doc_id""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         | sha256(text) AS sha,
