@@ -30,7 +30,7 @@ object Bench {
     "dedup_exact", "dedup_minhash", "dedup_simhash_pairs",
     "dedup_ngram_jaccard", "sim_cosine_topk", "text_tfidf",
     "text_tokenize_stats", "text_quality", "pipeline_clean_corpus",
-    "scan_dsv2_source")
+    "scan_dsv2_source", "graph_pagerank", "join_dpp", "mm_phash")
 
   private def f(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
 

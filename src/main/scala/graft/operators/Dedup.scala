@@ -351,25 +351,44 @@ object Dedup {
   /** Character-level fuzzy dedup: Levenshtein distance within prefix
     * blocks — the record-linkage technique for near-identical short texts
     * (title variants, OCR noise, tracking-suffix mutations) that token-set
-    * measures over-merge and exact hashing misses entirely. The classic
-    * blocking-key pattern bounds the quadratic DP: candidates must share
-    * a 16-char prefix (at 100 TB the block key hash-partitions and block
-    * sizes stay bounded by corpus diversity; a hot block would get the
-    * same salting treatment as any skewed key), and the DP itself runs on
-    * 96-char heads so the per-pair cost is a constant ~96² — never
-    * len(text)². Distances are exact integers, so the oracle matches
-    * bit-for-bit.
+    * measures over-merge and exact hashing misses entirely. Two bounds
+    * keep the quadratic pieces safe at 100 TB:
+    *  - the classic blocking key (16-char shared prefix) gates candidate
+    *    pairs, and the DP runs on 96-char heads, so per-pair cost is a
+    *    constant ~96² — never len(text)²;
+    *  - the DP runs on DISTINCT heads per block (the same content-collapse
+    *    every pair-generating dedup here uses): on a duplicate-heavy crawl
+    *    8 identical copies otherwise run the same DP 64 times — collapse
+    *    makes DP count quadratic in distinct near-dup content, and the
+    *    doc-level pairs are recovered by an output-bound expansion join.
+    * Distances are exact integers, so the oracle matches bit-for-bit.
     */
   private val editdist: Q = (s, dir) => {
     val d = Tables.docsSpread(s, dir)
       .select(col("doc_id"), substring(col("text"), 1, 16).as("blk"),
         substring(col("text"), 1, 96).as("head"))
-    d.as("a").join(d.as("b"),
-        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+    val reps = d.groupBy("blk", "head").agg(count(lit(1)).as("cnt"))
+    // inter-content: DP once per distinct head pair, then expand to docs
+    val interH = reps.as("a").join(reps.as("b"),
+        col("a.blk") === col("b.blk") && col("a.head") < col("b.head"))
       .withColumn("editdist", levenshtein(col("a.head"), col("b.head")).cast("bigint"))
       .filter(col("editdist") <= 8)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("editdist"))
-      .orderBy("doc_a", "doc_b")
+      .select(col("a.blk").as("kblk"), col("a.head").as("ha"),
+        col("b.head").as("hb"), col("editdist"))
+    val inter = interH
+      .join(d.select(col("blk").as("kblk"), col("head").as("ha"), col("doc_id").as("id_a")),
+        Seq("kblk", "ha"))
+      .join(d.select(col("blk").as("kblk"), col("head").as("hb"), col("doc_id").as("id_b")),
+        Seq("kblk", "hb"))
+      .select(least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"), col("editdist"))
+    // intra-content (identical heads): distance 0, all doc pairs in group
+    val intra = d.as("a").join(d.as("b"),
+        col("a.blk") === col("b.blk") && col("a.head") === col("b.head") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        lit(0L).as("editdist"))
+    inter.unionAll(intra).orderBy("doc_a", "doc_b")
   }
 
   // ------------------------------------------------------------- embeddings

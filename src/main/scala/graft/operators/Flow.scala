@@ -4,9 +4,10 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Dataflow-pipeline operators: CDC upsert (MERGE-style apply-changes)
-  * and event-funnel conversion — the two composed shapes incremental
-  * data-platform jobs run constantly.
+/** Dataflow-pipeline operators: CDC upsert (MERGE-style apply-changes),
+  * SCD2 history, snapshot diff, event-funnel conversion, sessionization,
+  * and cohort retention — the composed shapes incremental data-platform
+  * jobs run constantly.
   *
   * Scale notes:
   *  - upsert: one full-outer join keyed on the primary key. On a real
