@@ -120,6 +120,27 @@ object Ingest {
       .orderBy("fname")
   }
 
+  /** Schema-evolution scan: two parquet generations of the same table —
+    * the second gained a column — read together with `mergeSchema`. Rows
+    * from the old generation surface the new column as NULL, the exact
+    * semantics a long-lived 100 TB table needs when old files are never
+    * rewritten. (Set-level evolution via unionByName is covered by
+    * `set_union_by_name`; this is the SCAN-level path where one read sees
+    * both file schemas.)
+    */
+  private val scanMergeSchema: Q = (s, dir) => {
+    val n = Tables(s, dir, "nation")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_evo").toString
+    n.filter(col("n_nationkey") % 2 === 0)
+      .select(col("n_nationkey"), col("n_name"))
+      .write.mode("overwrite").parquet(s"$tmp/v1")
+    n.filter(col("n_nationkey") % 2 =!= 0)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .write.mode("overwrite").parquet(s"$tmp/v2")
+    s.read.option("mergeSchema", "true").parquet(s"$tmp/v1", s"$tmp/v2")
+      .orderBy("n_nationkey")
+  }
+
   /** Custom DataSourceV2 connector (sources/SeqDataSource.scala): the
     * pushed `id < 50000` bound narrows the GENERATED range at the source
     * (rows past the bound never exist), the modulo residual is applied
@@ -156,6 +177,7 @@ object Ingest {
 
   val queries: Map[String, Q] = Map(
     "sink_copy_format" -> sinkCopyFormat,
+    "scan_merge_schema" -> scanMergeSchema,
     "scan_dsv2_source" -> scanDsv2,
     "scan_file_metadata" -> scanFileMetadata,
     "scan_project_rename" -> scanProjectRename,
@@ -189,6 +211,13 @@ object Ingest {
         |  || chr(9) || (CASE WHEN bval THEN '1' ELSE '0' END)
         |  || chr(9) || CAST(n_chars AS VARCHAR) AS copy_line
         |FROM t ORDER BY doc_id""".stripMargin,
+    "scan_merge_schema" ->
+      """SELECT n_nationkey, n_name, CAST(NULL AS INTEGER) AS n_regionkey
+        |FROM nation WHERE n_nationkey % 2 = 0
+        |UNION ALL
+        |SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation WHERE n_nationkey % 2 <> 0
+        |ORDER BY n_nationkey""".stripMargin,
     "scan_dsv2_source" ->
       """SELECT id,
         |  CAST((id * 7919) % 10007 AS DOUBLE) / CAST(10007 AS DOUBLE) AS v,

@@ -89,6 +89,44 @@ object Relational {
       .orderBy("c_mktsegment")
   }
 
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): per-ship-day
+    * aggregates of two return-flag slices joined so that the NULL-day
+    * group on one side matches the NULL-day group on the other — the
+    * semantics a plain equi-join silently drops. Spark plans `<=>` as an
+    * ordinary hash-join key (null keys co-partition like any value), so
+    * the 100 TB shape is identical to an equi-join. Output ordering pins
+    * NULLS FIRST explicitly on both engines (their defaults differ).
+    */
+  private val joinNullSafe: Q = (s, dir) => {
+    val li = Tables(s, dir, "lineitem")
+      .withColumn("ship_day", date_format(col("l_shipdate"), "yyyy-MM-dd"))
+    val a = li.filter(col("l_returnflag") === "A")
+      .groupBy("ship_day").agg(count(lit(1)).as("n_a"))
+    val r = li.filter(col("l_returnflag") === "R")
+      .groupBy(col("ship_day").as("r_day")).agg(count(lit(1)).as("n_r"))
+    a.join(r, col("ship_day") <=> col("r_day"))
+      .select(col("ship_day"), col("n_a"), col("n_r"))
+      .orderBy(col("ship_day").asc_nulls_first)
+  }
+
+  /** Multiple exact COUNT(DISTINCT) in one aggregation — Spark rewrites
+    * this to an Expand (one row replica per distinct group) + two-phase
+    * aggregation, the distributed plan for multi-distinct without
+    * re-scanning per aggregate (plan-pinned in PlanEvidenceSpec). The
+    * shuffle carries (group, replica) rows, so at 100 TB the cost is
+    * #distinct-aggs × rows, never #aggs full scans.
+    */
+  private val aggMultiDistinct: Q = (s, dir) => {
+    Tables(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("nd_part"),
+        countDistinct(col("l_suppkey")).as("nd_supp"),
+        countDistinct(col("l_quantity")).as("nd_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
   /** Left outer join keeping customers with zero orders. */
   private val joinLeft: Q = (s, dir) => {
     val c = Tables(s, dir, "customer")
@@ -483,6 +521,8 @@ object Relational {
     "join_inner_hash" -> joinInnerHash,
     "join_sortmerge" -> joinSortMerge,
     "join_shuffle_hash" -> joinShuffleHash,
+    "join_null_safe" -> joinNullSafe,
+    "agg_multi_distinct" -> aggMultiDistinct,
     "join_left" -> joinLeft,
     "join_full" -> joinFull,
     "join_semi" -> joinSemi,
@@ -548,6 +588,21 @@ object Relational {
          | ${oSum("o_totalprice")} AS sum_total
          |FROM orders JOIN customer ON o_custkey = c_custkey
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "join_null_safe" ->
+      """WITH a AS (SELECT strftime(l_shipdate, '%Y-%m-%d') AS ship_day,
+        |    COUNT(*) AS n_a FROM lineitem WHERE l_returnflag = 'A' GROUP BY 1),
+        |r AS (SELECT strftime(l_shipdate, '%Y-%m-%d') AS ship_day,
+        |    COUNT(*) AS n_r FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1)
+        |SELECT a.ship_day, n_a, n_r FROM a
+        |JOIN r ON a.ship_day IS NOT DISTINCT FROM r.ship_day
+        |ORDER BY a.ship_day NULLS FIRST""".stripMargin,
+    "agg_multi_distinct" ->
+      """SELECT l_returnflag,
+        |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS nd_part,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS nd_supp,
+        |  CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS nd_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "join_left" ->
       s"""SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
          | ${oSum("COALESCE(o_totalprice, 0.0)")} AS sum_total

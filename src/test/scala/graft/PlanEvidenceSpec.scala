@@ -38,6 +38,16 @@ class PlanEvidenceSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(p.contains("ShuffledHashJoin"), p)
   }
 
+  test("agg_multi_distinct plans one Expand, not one scan per distinct aggregate") {
+    val df = operators.Relational.queries("agg_multi_distinct")(s, dir)
+    // AdaptiveSparkPlan.toString prints Final AND Initial sections; count
+    // scans in the final plan only (same convention as the sessionize pin)
+    val p = planString(df).split("== Initial Plan ==").head
+    assert(p.contains("Expand"), s"multi-distinct should rewrite via Expand:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 1, s"expected a single lineitem scan, got $scans:\n$p")
+  }
+
   test("sort_limit plans TakeOrderedAndProject, not a global sort") {
     val p = planString(operators.Relational.queries("sort_limit")(s, dir))
     assert(p.contains("TakeOrderedAndProject"), p)
