@@ -119,7 +119,30 @@ object Reshape {
          |FROM g_lineitem_fc GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   }
 
+  /** Long→wide pivot with MULTIPLE aggregates per pivot value (count +
+    * token sum per language): Spark expands this into one hash
+    * aggregation whose state is (pivot values × aggs) per group — a
+    * single scan and a single shuffle regardless of how many output
+    * columns appear. The pivot value list is explicit, so the plan never
+    * runs the extra distinct-values job (at 100 TB a mandatory practice:
+    * the implicit pivot first scans the table just to learn the columns).
+    * Empty cells: Spark yields NULL where DuckDB's FILTER-agg yields
+    * 0 — coalesced to 0 on the Spark side so both engines agree.
+    */
+  private val pivotMultiAgg: Q = (s, dir) => {
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    val p = Tables(s, dir, "documents")
+      .groupBy("source")
+      .pivot("lang", langs)
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+    val outs = col("source") +: langs.flatMap(l => Seq(
+      coalesce(col(s"${l}_n"), lit(0L)).as(s"${l}_n"),
+      coalesce(col(s"${l}_chars"), lit(0L)).as(s"${l}_chars")))
+    p.select(outs: _*).orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "pivot_multi_agg" -> pivotMultiAgg,
     "agg_histogram" -> histogram,
     "set_union_by_name" -> unionByNameMissing,
     "agg_filter_clause" -> filterClause,
@@ -129,7 +152,17 @@ object Reshape {
     "agg_bitwise" -> bitwiseAgg,
   )
 
+  private val oPivotCols = Seq("de", "en", "es", "fr", "zh").map { l =>
+    s"""COUNT(*) FILTER (lang = '$l') AS ${l}_n,
+       |  CAST(COALESCE(SUM(n_chars) FILTER (lang = '$l'), 0) AS BIGINT) AS ${l}_chars"""
+      .stripMargin
+  }.mkString(",\n  ")
+
   val oracles: Map[String, String] = Map(
+    "pivot_multi_agg" ->
+      s"""SELECT source,
+         |  $oPivotCols
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "agg_histogram" ->
       """SELECT CAST(least(floor(o_totalprice / 50000.0), 9.0) AS INT) AS bin,
         |  COUNT(*) AS n

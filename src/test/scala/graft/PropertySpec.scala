@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests (SURVEY §5.2 item 3) — algebraic invariants over
+  * generated inputs, complementing the per-query oracle gate (fixed
+  * corpus) and the golden-value unit specs (fixed fixtures):
+  * the COPY codec round-trips arbitrary control-character soup, set
+  * operators satisfy set algebra, cosine stays in [-1, 1], dedup is
+  * idempotent, and rename-projection honors its mapping for any map.
+  *
+  * Spark-driven properties keep case counts small (each case is a local
+  * job); the generators are seeded so failures reproduce.
+  */
+class PropertySpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+
+  private def check(name: String, p: Prop, n: Int = 10): Unit = {
+    val params = SCTest.Parameters.default
+      .withMinSuccessfulTests(n)
+      .withInitialSeed(Seed(20260813L))
+    val r = SCTest.check(params, p)
+    assert(r.passed, s"$name: ${r.status}")
+  }
+
+  /** Strings biased toward the COPY codec's dangerous characters. */
+  private val tricky: Gen[String] = Gen.listOf(Gen.frequency(
+    4 -> Gen.alphaNumChar,
+    2 -> Gen.oneOf('\t', '\n', '\r', '\\'),
+    1 -> Gen.oneOf('é', '中', '"', '\'', ' '),
+  )).map(_.mkString)
+
+  /** Inverse of CopySink's escape: one left-to-right scan over `\x`
+    * pairs (naive sequential replaces would mis-decode `\\t`).
+    */
+  private def decode(line: String): Option[String] =
+    if (line == "\\N") None
+    else {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < line.length) {
+        val ch = line.charAt(i)
+        if (ch == '\\' && i + 1 < line.length) {
+          line.charAt(i + 1) match {
+            case 'n' => sb += '\n'
+            case 'r' => sb += '\r'
+            case 't' => sb += '\t'
+            case '\\' => sb += '\\'
+            case o => sb += '\\'; sb += o
+          }
+          i += 2
+        } else { sb += ch; i += 1 }
+      }
+      Some(sb.toString)
+    }
+
+  test("COPY codec round-trips arbitrary strings and never emits raw control chars") {
+    import scala.jdk.CollectionConverters._
+    val samples: Seq[Option[String]] =
+      Gen.listOfN(150, tricky).sample.get.map(Option(_)) ++ Seq(None, None, Some(""))
+    val schema = StructType(Seq(StructField("v", StringType, nullable = true)))
+    val rows = samples.map(v => org.apache.spark.sql.Row(v.orNull)).asJava
+    val df = s.createDataFrame(rows, schema)
+    val encoded = df
+      .select(col("v"), graft.ingest.CopySink.lineExpr(schema).as("line"))
+      .collect()
+    encoded.foreach { r =>
+      val orig = Option(r.getString(0))
+      val line = r.getString(1)
+      // the invariant COPY FROM needs: no raw delimiters survive encoding
+      assert(!line.exists(c => c == '\t' || c == '\n' || c == '\r'),
+        s"raw control char in encoded line: ${line.getBytes("UTF-8").mkString(",")}")
+      assert(decode(line) == orig,
+        s"round-trip failed: orig=$orig line=$line decoded=${decode(line)}")
+    }
+  }
+
+  test("set algebra: |A except B| + |A intersect B| == |distinct A|") {
+    import s.implicits._
+    val genList = Gen.listOf(Gen.choose(0, 15))
+    val p = Prop.forAll(genList, genList) { (a: List[Int], b: List[Int]) =>
+      val da = a.toDF("v")
+      val db = b.toDF("v")
+      da.except(db).count() + da.intersect(db).count() == a.distinct.size.toLong
+    }
+    check("set-algebra", p, 10)
+  }
+
+  test("cosine over generated float vectors stays in [-1, 1]; cos(v, v) == 1") {
+    import s.implicits._
+    import org.apache.spark.sql.graft.VecFunctions.vec_dot
+    val genVec = Gen.listOfN(8, Gen.choose(-5.0f, 5.0f))
+      .suchThat(v => v.map(x => math.abs(x.toDouble)).sum > 0.1)
+    val pairs = Gen.listOfN(120, Gen.zip(genVec, genVec)).sample.get
+    val df = pairs.map { case (a, b) => (a, b) }.toDF("a", "b")
+      .select(
+        (vec_dot(col("a"), col("b")) /
+          (sqrt(vec_dot(col("a"), col("a"))) * sqrt(vec_dot(col("b"), col("b")))))
+          .as("cos_ab"),
+        (vec_dot(col("a"), col("a")) /
+          (sqrt(vec_dot(col("a"), col("a"))) * sqrt(vec_dot(col("a"), col("a")))))
+          .as("cos_aa"))
+      .collect()
+    df.foreach { r =>
+      assert(math.abs(r.getDouble(0)) <= 1.0 + 1e-9, s"cos out of bounds: ${r.getDouble(0)}")
+      assert(math.abs(r.getDouble(1) - 1.0) <= 1e-9, s"cos(v,v) != 1: ${r.getDouble(1)}")
+    }
+  }
+
+  test("dedup is idempotent and keeps exactly one row per distinct value") {
+    import s.implicits._
+    val genDocs = Gen.listOf(Gen.oneOf("aa", "bb", "cc", "dd", "ee"))
+    val p = Prop.forAll(genDocs) { (docs: List[String]) =>
+      val df = docs.zipWithIndex.toDF("text", "id")
+      val once = df.groupBy("text").agg(min(col("id")).as("keep"))
+      val again = once.groupBy("text").agg(min(col("keep")).as("keep"))
+      once.count() == docs.distinct.size.toLong && again.count() == once.count()
+    }
+    check("dedup-idempotent", p, 10)
+  }
+
+  test("rename-projection emits mapped targets in order; unknown sources become NULL") {
+    import s.implicits._
+    val base = Seq((1, "x", 2.0), (2, "y", 3.0)).toDF("a", "b", "c")
+    val genMap: Gen[List[(String, String)]] = for {
+      srcs <- Gen.someOf(Seq("a", "b", "c", "nope"))
+      if srcs.nonEmpty
+    } yield srcs.toList.zipWithIndex.map { case (src, i) => src -> s"t$i" }
+    val p = Prop.forAll(genMap) { (m: List[(String, String)]) =>
+      val out = graft.ingest.Importer.project(base, m)
+      val colsOk = out.columns.toSeq == m.map(_._2)
+      val nullsOk = m.zipWithIndex.forall { case ((src, tgt), _) =>
+        val nulls = out.filter(col(tgt).isNull).count()
+        if (src == "nope") nulls == 2 else nulls == 0
+      }
+      colsOk && nullsOk
+    }
+    check("rename-projection", p, 8)
+  }
+}
