@@ -13,6 +13,22 @@ import org.apache.spark.sql.SparkSession
   * reference's behavior (ImportParquetCommand.php:52-66).
   */
 object Import {
+
+  /** Parse `--map` pairs; malformed entries (no `=`, empty source or
+    * target) are warned about and skipped, matching the reference
+    * (ImportParquetCommand.php:52-66: "Ignoring invalid map entry").
+    */
+  def parseMap(raw: Option[String]): Seq[(String, String)] =
+    raw.toSeq.flatMap(_.split(',')).flatMap { pair =>
+      pair.split("=", 2) match {
+        case Array(s, t) if s.trim.nonEmpty && t.trim.nonEmpty =>
+          Some(s.trim -> t.trim)
+        case _ =>
+          System.err.println(s"[import] skipping malformed map pair: '$pair'")
+          None
+      }
+    }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: Import <path> <table> [options]")
     val path = args(0)
@@ -21,15 +37,7 @@ object Import {
     def opt(name: String): Option[String] =
       opts.collectFirst { case a if a.startsWith(s"--$name=") => a.substring(name.length + 3) }
 
-    val columnMap: Seq[(String, String)] =
-      opt("map").toSeq.flatMap(_.split(',')).flatMap { pair =>
-        pair.split("=", 2) match {
-          case Array(s, t) if s.nonEmpty && t.nonEmpty => Some(s.trim -> t.trim)
-          case _ =>
-            System.err.println(s"[import] skipping malformed map pair: '$pair'")
-            None
-        }
-      }
+    val columnMap: Seq[(String, String)] = parseMap(opt("map"))
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

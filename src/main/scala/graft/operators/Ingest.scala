@@ -88,6 +88,22 @@ object Ingest {
       .orderBy("s_nationkey")
   }
 
+  /** ORC sink/source round-trip on part — the second columnar format
+    * (predicate pushdown, column pruning, and vectorized reads all work
+    * the same as parquet; a warehouse migrating between the two needs
+    * both ends). The re-read filter exercises ORC's pushdown path.
+    */
+  private val sinkRoundtripOrc: Q = (s, dir) => {
+    val src = Tables(s, dir, "part")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    src.write.mode("overwrite").orc(s"$tmp/part")
+    s.read.orc(s"$tmp/part")
+      .filter(col("p_size") <= 25)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"), dsum(col("p_retailprice")).as("sum_price"))
+      .orderBy("p_brand")
+  }
+
   /** Hive-style partitioned write + partition-pruned read: orders land in
     * one directory per o_orderstatus; the re-read filter prunes to a
     * single partition (PartitionFilters in explain, the other directories
@@ -186,6 +202,7 @@ object Ingest {
     "sink_roundtrip" -> sinkRoundtrip,
     "sink_roundtrip_csv" -> sinkRoundtripCsv,
     "sink_roundtrip_json" -> sinkRoundtripJson,
+    "sink_roundtrip_orc" -> sinkRoundtripOrc,
     "sink_partitioned" -> sinkPartitioned,
   )
 
@@ -254,6 +271,10 @@ object Ingest {
     "sink_roundtrip_json" ->
       s"""SELECT s_nationkey, COUNT(*) AS n, ${oSum("s_acctbal")} AS sum_bal
          |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "sink_roundtrip_orc" ->
+      s"""SELECT p_brand, COUNT(*) AS n, ${oSum("p_retailprice")} AS sum_price
+         |FROM part WHERE p_size <= 25
+         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "sink_partitioned" ->
       s"""SELECT o_orderpriority, COUNT(*) AS n, ${oSum("o_totalprice")} AS sum_price
          |FROM orders WHERE o_orderstatus = 'F'

@@ -20,6 +20,16 @@ class ImporterSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Importer.assertSafeTable("users;drop"))
   }
 
+  test("CLI --map parse keeps valid pairs in order, warns and skips malformed ones") {
+    // mirrors the reference's warn+skip behavior
+    // (ImportParquetCommand.php:52-66): entries without '=', or with an
+    // empty source or target, never reach the importer
+    val parsed = graft.ingest.Import.parseMap(
+      Some("a=b, c = d ,noequals,=x,y=,  ,last=z"))
+    assert(parsed == Seq("a" -> "b", "c" -> "d", "last" -> "z"))
+    assert(graft.ingest.Import.parseMap(None) == Seq.empty)
+  }
+
   test("quoteIdentifier quotes schema.table with quote doubling") {
     assert(Importer.quoteIdentifier("users") == "\"users\"")
     assert(Importer.quoteIdentifier("public.users") == "\"public\".\"users\"")
