@@ -49,6 +49,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val warm0 = System.nanoTime()
     Tables.all.foreach { t =>
       try Tables(spark, sfDir, t).count() catch { case _: Throwable => () }
     }
@@ -70,6 +71,10 @@ object Bench {
       operators.Graph.prewarm(spark, sfDir)
     }
     catch { case e: Throwable => System.err.println(s"[bench] cache prewarm: ${e.getMessage}") }
+    // one-time corpus-prep cost (layouts + shared caches), reported
+    // separately so a contended run's warm-up inflation is visible and
+    // never mistaken for query cost
+    val warmupSec = (System.nanoTime() - warm0) / 1e9
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
@@ -86,12 +91,12 @@ object Bench {
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     try {
-      val detail = s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"fail":$fails,"load":$load,"queries":$fullQs,"sf":"$sfDir"}"""
+      val detail = s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"fail":$fails,"load":$load,"warmup":${f(warmupSec)},"queries":$fullQs,"sf":"$sfDir"}"""
       java.nio.file.Files.write(
         java.nio.file.Paths.get(sys.props("user.dir"), "BENCH_DETAIL.json"),
         (detail + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] detail write: ${e.getMessage}") }
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"fail":$fails,"load":$load,"queries":$qs,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"fail":$fails,"load":$load,"warmup":${f(warmupSec)},"queries":$qs,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -155,6 +155,31 @@ object Analytic {
       .orderBy("user_id", "event_id")
   }
 
+  /** Custom TypedImperativeAggregate as a WINDOW function: running top-3
+    * (price, orderkey) per customer via the bounded TopKByValue heap —
+    * the composition that lets one aggregate implementation serve both
+    * groupBy (`topk_per_group_agg`) and windowed evaluation. The growing
+    * ROWS frame feeds the heap one row per step (no per-frame re-sort),
+    * so state is O(k) per partition however long the history gets — at
+    * 100 TB a running "best k so far" per key costs the same as a running
+    * sum. Keys pack as price-cents·2^24 + (2^24−1 − orderkey) in the
+    * oracle so DuckDB's list sort reproduces the heap's (value DESC,
+    * key ASC) order exactly (the −1 keeps orderkey 0 inside the field);
+    * prices are exact cents so double vs cents ordering agree.
+    */
+  private val winTopkAgg: Q = (s, dir) => {
+    import org.apache.spark.sql.graft.TopKAgg.topk_by_value
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        topk_by_value(col("o_totalprice"), col("o_orderkey"), 3).over(w).as("tk"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        expr("array_join(transform(tk, x -> cast(x.key as string)), ',')")
+          .as("top3_keys"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "win_rank" -> winRank,
     "win_analytic" -> winAnalytic,
@@ -164,9 +189,24 @@ object Analytic {
     "win_range_interval" -> winRangeInterval,
     "agg_mode_manual" -> aggModeManual,
     "win_count_distinct" -> winCountDistinct,
+    "win_topk_agg" -> winTopkAgg,
   )
 
   val oracles: Map[String, String] = Map(
+    "win_topk_agg" ->
+      """WITH p AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) * 16777216
+        |      + (16777215 - o_orderkey) AS packed
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey,
+        |  array_to_string(list_transform(
+        |    list_slice(list_reverse_sort(
+        |      list(packed) OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate, o_orderkey
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 1, 3),
+        |    x -> CAST(16777215 - (x % 16777216) AS VARCHAR)), ',') AS top3_keys
+        |FROM p ORDER BY o_custkey, o_orderkey""".stripMargin,
     "win_count_distinct" ->
       """SELECT user_id, event_id,
         | COUNT(DISTINCT event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
