@@ -3,13 +3,22 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Dev tool: time and/or explain a single query in isolation.
-  * Usage: runMain graft.Probe <name> <sfDir> [explain] [runs]
+  * Usage: runMain graft.Probe <name> <sfDir> [explain] [force] [runs]
+  *
+  * Default timing counts rows (`.count()`), matching Bench and the
+  * driver record — but Catalyst prunes columns nothing references, so a
+  * query whose cost lives in an unreferenced projection (e.g. a window
+  * column) under-measures. `force` hashes every output column into one
+  * aggregate (`xxhash64(struct(*))`), so the full result is computed
+  * without collecting it — use it for the honest cost of projection-
+  * heavy queries.
   */
 object Probe {
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val doExplain = args.contains("explain")
+    val force = args.contains("force")
     val runs = args.find(_.forall(_.isDigit)).map(_.toInt).getOrElse(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -28,8 +37,13 @@ object Probe {
       if (doExplain) fn(spark, sfDir).explain("formatted")
       (1 to runs).foreach { i =>
         val t0 = System.nanoTime()
-        val n = fn(spark, sfDir).count()
-        println(f"[probe] $nm run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s, $n rows")
+        val df = fn(spark, sfDir)
+        val n =
+          if (force)
+            df.selectExpr("xxhash64(struct(*)) AS h").agg(Map("h" -> "count")).head().getLong(0)
+          else df.count()
+        val tag = if (force) " (forced)" else ""
+        println(f"[probe] $nm run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s, $n rows$tag")
       }
     }
     spark.stop()

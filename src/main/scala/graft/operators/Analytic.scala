@@ -180,6 +180,27 @@ object Analytic {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** IGNORE NULLS offset/positional analytics — the SQL surface sparse
+    * time-series need ("last known reading"): lead/lag/last_value skip
+    * NULL rows instead of returning them. NULLs are injected
+    * deterministically (every 5th event) so the skipping behavior is
+    * actually exercised; `last_nonnull_so_far` is the classic
+    * gap-fill/LOCF (last observation carried forward) primitive. Same
+    * single user_id exchange as every other events window.
+    */
+  private val winIgnoreNulls: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(s, dir, "events")
+      .withColumn("v", when(col("event_id") % 5 === 0, lit(null)).otherwise(col("value")))
+      .select(
+        col("user_id"), col("event_id"), col("v"),
+        lag(col("v"), 1, null, ignoreNulls = true).over(w).as("prev_nonnull"),
+        lead(col("v"), 1, null, ignoreNulls = true).over(w).as("next_nonnull"),
+        last(col("v"), ignoreNulls = true).over(running).as("last_nonnull_so_far"))
+      .orderBy("user_id", "event_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "win_rank" -> winRank,
     "win_analytic" -> winAnalytic,
@@ -190,9 +211,23 @@ object Analytic {
     "agg_mode_manual" -> aggModeManual,
     "win_count_distinct" -> winCountDistinct,
     "win_topk_agg" -> winTopkAgg,
+    "win_ignore_nulls" -> winIgnoreNulls,
   )
 
   val oracles: Map[String, String] = Map(
+    "win_ignore_nulls" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+        |  FROM events)
+        |SELECT user_id, event_id, v,
+        |  lag(v, 1 IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS prev_nonnull,
+        |  lead(v, 1 IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS next_nonnull,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_nonnull_so_far
+        |FROM e ORDER BY user_id, event_id""".stripMargin,
     "win_topk_agg" ->
       """WITH p AS (
         |  SELECT o_custkey, o_orderkey, o_orderdate,
