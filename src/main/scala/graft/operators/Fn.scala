@@ -227,7 +227,31 @@ object Fn {
       .orderBy("doc_id")
   }
 
+  /** Rounding-mode semantics on exact .5 ties: HALF_UP (`round`) vs
+    * HALF_EVEN (`bround`, banker's rounding — what money aggregation
+    * pipelines should use to avoid systematic upward bias). The filter
+    * keeps exactly the rows whose cents end in 50, where n+0.5 is exactly
+    * representable in binary — so the tie-break genuinely fires and both
+    * engines decide on the same value (non-representable ties would test
+    * the engines' double→decimal conventions, not the rounding mode).
+    * ceil/floor cast to BIGINT on both sides (Spark's ceil(double) is
+    * already integral, DuckDB's stays double).
+    */
+  private val fnRoundHalfEven: Q = (s, dir) => {
+    Tables(s, dir, "lineitem")
+      .filter(expr("(l_extendedprice * 100) % 100 = 50"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") - 50000.0).as("v"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("v"),
+        round(col("v"), 0).as("half_up"),
+        bround(col("v"), 0).as("half_even"),
+        ceil(col("v")).cast("bigint").as("c"),
+        floor(col("v")).cast("bigint").as("f"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   val queries: Map[String, Q] = Map(
+    "fn_round_half_even" -> fnRoundHalfEven,
     "fn_url_mask" -> fnUrlMask,
     "agg_listagg" -> aggListagg,
     "fn_try" -> fnTry,
@@ -243,6 +267,15 @@ object Fn {
   )
 
   val oracles: Map[String, String] = Map(
+    "fn_round_half_even" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice - 50000.0 AS v,
+        |  round(CAST(l_extendedprice - 50000.0 AS DOUBLE), 0) AS half_up,
+        |  roundbankers(CAST(l_extendedprice - 50000.0 AS DOUBLE), 0) AS half_even,
+        |  CAST(ceil(l_extendedprice - 50000.0) AS BIGINT) AS c,
+        |  CAST(floor(l_extendedprice - 50000.0) AS BIGINT) AS f
+        |FROM lineitem WHERE (l_extendedprice * 100) % 100 = 50
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "fn_url_mask" ->
       """WITH u AS (
         |  SELECT doc_id, source,
