@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Run-to-run determinism: the engine's oracle strategy rests on every
+  * query producing bit-identical output on re-execution (integer-exact
+  * arithmetic, explicit tie-breaks, seeded hashes, total orderings).
+  * The DuckDB gate checks Spark vs DuckDB once; this pins Spark vs Spark
+  * across executions within a session for the queries where
+  * nondeterminism would most plausibly creep in: sketch aggregates
+  * (merge order), iterative algorithms (partitioning), heap aggregates
+  * (eviction order), and sampling.
+  */
+class DeterminismSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  private val dir = TestSpark.sf
+
+  private val underTest = Seq(
+    "graph_pagerank",      // scaled-integer ranks: partition-order-independent
+    "dedup_minhash",       // seeded MinHash + LSH banding
+    "agg_kmv_distinct",    // mergeable KMV sketch: set-determined state
+    "text_heavy_hitters",  // Misra-Gries merge + exact re-count
+    "sample_weighted",     // integer-exact priority sampling
+    "win_topk_agg",        // heap eviction under (value DESC, key ASC)
+    "dedup_clusters",      // iterative label propagation fixpoint
+  )
+
+  underTest.foreach { name =>
+    test(s"$name is bit-identical across two executions") {
+      val q = SparkEntry.queries(name)
+      val a = q(s, dir).collect().map(_.toString).toSeq
+      val b = q(s, dir).collect().map(_.toString).toSeq
+      assert(a == b, s"$name drifted between runs: first diff at index " +
+        a.zip(b).indexWhere { case (x, y) => x != y })
+    }
+  }
+}
