@@ -42,6 +42,28 @@ class RuntimeFeaturesSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("AQE splits the skewed partition of a sort-merge join at runtime") {
+    // child session so the test-scale skew thresholds never leak into
+    // other queries' plans (same isolation Layout.bloomSession uses)
+    val c = s.newSession()
+    c.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    c.conf.set("spark.sql.shuffle.partitions", "4")
+    c.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    c.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+    c.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+    c.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    // half the left side lands on key 0 — the celebrity-key shape
+    val left = c.range(200000).selectExpr("IF(id % 2 = 0, 0L, id) AS k", "id AS v")
+    val right = c.range(1000).selectExpr("id AS k", "id * 2 AS w")
+    val df = left.join(right, "k")
+    // count()/write() plan their own QueryExecution and leave df's
+    // unexecuted (isFinalPlan=false); collect() runs THIS dataset's plan
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("skew=true"),
+      s"AQE did not mark/split the skewed join partition:\n$p")
+  }
+
   test("observe() collects pipeline metrics without a second pass") {
     val observed = Tables(s, dir, "lineitem")
       .observe("ingest_metrics",
