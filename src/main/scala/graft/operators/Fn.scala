@@ -208,6 +208,37 @@ object Fn {
       .orderBy("l_returnflag")
   }
 
+  /** Least-squares regression per group (slope / intercept / R²) from the
+    * same exact mergeable sufficient statistics as `agg_stats_moments`:
+    * per-row double products cast to fixed-scale decimal, summed exactly
+    * (order-independent), then one identical IEEE formula in both
+    * engines. This is the regr_slope/regr_intercept/regr_r2 SQL surface,
+    * but built on sums that merge by + across 1000 executors with no
+    * float drift — the built-in regr_* aggregates sum doubles in
+    * partition order and can never hash-match another engine.
+    */
+  private val aggRegression: Q = (s, dir) => {
+    import graft.Det
+    val base = Tables(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        Det.dsum(col("l_quantity")).as("sx"),
+        sum((col("l_quantity") * col("l_quantity")).cast(Det.Scale)).cast("double").as("sxx"),
+        Det.dsum(col("l_extendedprice")).as("sy"),
+        sum((col("l_extendedprice") * col("l_extendedprice")).cast(Det.Scale)).cast("double").as("syy"),
+        sum((col("l_quantity") * col("l_extendedprice")).cast(Det.Scale)).cast("double").as("sxy"))
+    val covN = col("n") * col("sxy") - col("sx") * col("sy")
+    val varXN = col("n") * col("sxx") - col("sx") * col("sx")
+    val varYN = col("n") * col("syy") - col("sy") * col("sy")
+    base.select(
+        col("l_returnflag"), col("n").cast("bigint").as("n_rows"),
+        round(covN / varXN, 6).as("slope"),
+        round((col("sy") - (covN / varXN) * col("sx")) / col("n"), 6).as("intercept"),
+        round((covN * covN) / (varXN * varYN), 6).as("r2"))
+      .orderBy("l_returnflag")
+  }
+
   /** URL parsing (parse_url HOST/PATH/QUERY) and data masking (mask:
     * upper→X, lower→x, digit→n) over synthesized crawl-style URLs — the
     * two per-row transforms every web-corpus pipeline runs. The DuckDB
@@ -252,6 +283,7 @@ object Fn {
 
   val queries: Map[String, Q] = Map(
     "fn_round_half_even" -> fnRoundHalfEven,
+    "agg_regression" -> aggRegression,
     "fn_url_mask" -> fnUrlMask,
     "agg_listagg" -> aggListagg,
     "fn_try" -> fnTry,
@@ -267,6 +299,22 @@ object Fn {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_regression" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept,
+        |  round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+        |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+        |FROM m ORDER BY l_returnflag""".stripMargin,
     "fn_round_half_even" ->
       """SELECT l_orderkey, l_linenumber,
         |  l_extendedprice - 50000.0 AS v,
