@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract guards: every query must carry a DuckDB oracle (the
+  * driver silently downgrades oracle-less queries to a rows-only check,
+  * which reads as a coverage regression), every oracle must point at a
+  * real query, and the rows-only exemption list stays explicit.
+  */
+class ContractSpec extends AnyFunSuite {
+
+  /** The only queries allowed to ship without an oracle, with why:
+    *  - agg_approx_distinct: HLL sketch values are engine-specific;
+    *  - sim_cosine_topk_lsh: approximate candidate set — its recall@5 is
+    *    itself the hash-verified `sim_lsh_recall` query.
+    */
+  private val rowsOnlyByDesign = Set("agg_approx_distinct", "sim_cosine_topk_lsh")
+
+  test("every query has an oracle, except the documented rows-only set") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing == rowsOnlyByDesign,
+      s"oracle-less queries drifted from the documented set: " +
+        s"undocumented=${(missing -- rowsOnlyByDesign).toSeq.sorted.mkString(",")} " +
+        s"stale-exemptions=${(rowsOnlyByDesign -- missing).toSeq.sorted.mkString(",")}")
+  }
+
+  test("no orphan oracles (every oracle names a registered query)") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: ${orphans.toSeq.sorted.mkString(",")}")
+  }
+
+  test("oracle SQL is non-empty and free of unescapable control characters") {
+    SparkEntry.oracleSql.foreach { case (k, sql) =>
+      assert(sql.trim.nonEmpty, s"$k: empty oracle")
+      // Verify.q() escapes \t \r \n and <0x20; anything else would break
+      // the driver's oracle_sql.json load
+      val bad = sql.filter(c => c < ' ' && c != '\n' && c != '\t' && c != '\r')
+      assert(bad.isEmpty, s"$k: control chars ${bad.map(_.toInt).mkString(",")}")
+    }
+  }
+
+  test("query count matches the documented coverage") {
+    // update alongside SURVEY.md §8 when adding operators
+    assert(SparkEntry.queries.size == 152,
+      s"queries map has ${SparkEntry.queries.size} entries — update SURVEY.md §8 and this pin")
+  }
+}
