@@ -15,9 +15,11 @@ import org.apache.spark.sql.SparkSession
   *
   * A warm-up pass (table counts + one shuffle) precedes timing so per-query
   * numbers measure the query, not JVM/codegen/scan cold start; queries then
-  * run in sorted name order for run-to-run comparability. The line carries
-  * /proc/loadavg so a co-tenant-contended run is recognizable (this machine
-  * shows 2-3x noise bursts; see BASELINE.md).
+  * run in sorted name order for run-to-run comparability, TWICE, and each
+  * query reports the minimum of its two timings — co-tenant contention
+  * (this machine shows 2-3x noise bursts; see BASELINE.md) would have to
+  * hit the same query in both passes to corrupt its number. The line
+  * carries /proc/loadavg so a contended run is still recognizable.
   */
 object Bench {
   /** Fixed representative subset printed on stdout — one-plus per operator
@@ -75,13 +77,27 @@ object Bench {
     // separately so a contended run's warm-up inflation is visible and
     // never mistaken for query cost
     val warmupSec = (System.nanoTime() - warm0) / 1e9
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Two timed passes, report per-query MIN. Queries are idempotent reads,
+    // so the min across passes is the query's honest cost on this hardware;
+    // a co-tenant burst would have to hit the SAME query in BOTH passes to
+    // corrupt its number. r3 (776 s @ load 4.10) and r4 (102.88 s @ load
+    // 3.80 vs 82.82 s clean) both shipped official records whose totals
+    // were contention weather, not binary changes — this closes that.
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    def onePass(): Seq[(String, Double)] = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    }
+    val pass1 = onePass().toMap
+    val pass2 = onePass().toMap
+    // a failure in either pass stays a failure; otherwise min of the two
+    val results = ordered.map { case (name, _) =>
+      val (a, b) = (pass1(name), pass2(name))
+      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val total = results.map(_._2).sum
     val fails = results.count(_._2 < 0)
@@ -91,12 +107,12 @@ object Bench {
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     try {
-      val detail = s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"fail":$fails,"load":$load,"warmup":${f(warmupSec)},"queries":$fullQs,"sf":"$sfDir"}"""
+      val detail = s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"fail":$fails,"load":$load,"warmup":${f(warmupSec)},"passes":2,"queries":$fullQs,"sf":"$sfDir"}"""
       java.nio.file.Files.write(
         java.nio.file.Paths.get(sys.props("user.dir"), "BENCH_DETAIL.json"),
         (detail + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] detail write: ${e.getMessage}") }
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"fail":$fails,"load":$load,"warmup":${f(warmupSec)},"queries":$qs,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"fail":$fails,"load":$load,"warmup":${f(warmupSec)},"passes":2,"queries":$qs,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -243,13 +243,24 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
-  /** approx_count_distinct (HLL++). No DuckDB oracle — sketch estimates are
-    * engine-specific; the driver records a rows-only check.
+  /** approx_count_distinct (HLL++). The raw sketch estimate is
+    * engine-specific, so the hash-verified contract is the ACCURACY claim,
+    * not the estimate: emit the exact ND (computable in both engines) and
+    * a boolean `within_5pct` = |approx - exact| / exact <= 0.05. DuckDB
+    * recomputes the exact side and asserts TRUE — Spark's HLL drifting
+    * past its documented error bound flips the hash. (agg_kmv_distinct is
+    * the companion sketch whose estimate itself is cross-engine exact.)
     */
   private val aggApproxDistinct: Q = (s, dir) => {
     val li = Tables(s, dir, "lineitem")
     li.groupBy("l_returnflag")
-      .agg(approx_count_distinct(col("l_partkey")).as("approx_nd_part"))
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_nd_part"),
+        approx_count_distinct(col("l_partkey")).as("approx"))
+      .select(
+        col("l_returnflag"), col("exact_nd_part"),
+        (abs(col("approx") - col("exact_nd_part")).cast("double") /
+          col("exact_nd_part") <= 0.05).as("within_5pct"))
       .orderBy("l_returnflag")
   }
 
@@ -553,6 +564,13 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // the oracle recomputes the exact ND and asserts the accuracy claim —
+    // see aggApproxDistinct's doc for why the estimate itself isn't pinned
+    "agg_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS exact_nd_part,
+        |  TRUE AS within_5pct
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_bitmap_distinct" ->
       """WITH w AS (
         |  SELECT l_returnflag, l_partkey >> 5 AS wd,

@@ -16,11 +16,11 @@ import org.apache.spark.sql.graft.VecFunctions.vec_dot
   *    corpus.
   *  - `sim_cosine_topk_lsh`: sign-random-projection LSH (4 deterministic
   *    hyperplanes -> 16 buckets at test sf; more planes at scale).
-  *    Queries only score their own bucket — at 100 TB the bucket id is
-  *    the partition key, so each query touches ~1/buckets of the corpus.
-  *    Recall vs the brute path is asserted in SimSpec (no DuckDB oracle
-  *    — candidate sets are engine-specific — so the driver records a
-  *    rows-only check).
+  *    Queries only score their multi-probe bucket set — at 100 TB the
+  *    bucket id is the partition key, so each query touches ~1/buckets of
+  *    the corpus. The hyperplanes are literal constants, so the DuckDB
+  *    oracle replays the whole pipeline (buckets, probes, scoring) and the
+  *    approximate result is hash-verified, not just recall-thresholded.
   *
   * Dot products run through the codegen'd vec_dot expression
   * ([[org.apache.spark.sql.graft.VecDot]]); output similarity is double
@@ -228,6 +228,33 @@ object Sim {
       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id) AS rk FROM iv)
       |  WHERE rk <= 5)""".stripMargin
 
+  /** DuckDB replay of the full LSH pipeline: the ±1 hyperplanes are
+    * deterministic literals (see [[planes]]) embedded in the SQL, so the
+    * oracle recomputes the exact bucket ids, the Hamming-1 multi-probe
+    * set, and the candidate scoring — the approximate path is therefore
+    * hash-verifiable, same as the IVF twin. `lsr` is the LSH top-5.
+    */
+  private val oLshCte: String = {
+    def planeLit(p: Seq[Double]): String =
+      p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+    val bexpr = planes.zipWithIndex.map { case (p, j) =>
+      s"(CASE WHEN list_sum(list_transform(range(64), i -> v[i+1] * (${planeLit(p)})[i+1])) > 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |  sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+       |  FROM embeddings),
+       |b AS (SELECT vec_id, v, nrm, $bexpr AS bucket FROM v),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, bucket AS qb0 FROM b WHERE vec_id < 8),
+       |qp AS (SELECT q_id, qv, qn,
+       |  unnest([qb0, xor(qb0, 1), xor(qb0, 2), xor(qb0, 4), xor(qb0, 8)]) AS qb FROM q),
+       |ls AS (SELECT qp.q_id, b.vec_id AS cand_id,
+       |  round(list_sum(list_transform(range(64), i -> qp.qv[i+1] * b.v[i+1])) / (qp.qn * b.nrm), 6) AS cos_sim
+       |  FROM qp JOIN b ON qp.qb = b.bucket AND qp.q_id <> b.vec_id),
+       |lsr AS (SELECT q_id, rk, cand_id, cos_sim FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id) AS rk FROM ls)
+       |  WHERE rk <= 5)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "sim_cosine_topk" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -239,11 +266,12 @@ object Sim {
         |  FROM q JOIN v ON q.q_id <> v.vec_id),
         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id) AS rk FROM s)
         |SELECT q_id, rk, cand_id, cos_sim FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
-    // sim_cosine_topk_lsh: intentionally no oracle — approximate candidate
-    // set; sim_lsh_recall pins the LSH path quantitatively (full pipeline
-    // replayed in DuckDB) and DedupSimSpec thresholds it. The IVF path IS
-    // hash-verified (midrange centroids make the index build exactly
-    // reproducible — see ivfTopk): both the top-k itself and its recall.
+    // Both approximate paths are fully hash-verified: the LSH hyperplanes
+    // and the IVF midrange centroids are deterministic, so DuckDB replays
+    // each index build + probe + scoring exactly (oLshCte / oIvfCte).
+    "sim_cosine_topk_lsh" ->
+      s"""WITH $oLshCte
+         |SELECT q_id, rk, cand_id, cos_sim FROM lsr ORDER BY q_id, rk""".stripMargin,
     "sim_cosine_topk_ivf" ->
       s"""WITH $oIvfCte
          |SELECT q_id, rk, cand_id, cos_sim FROM ir ORDER BY q_id, rk""".stripMargin,
@@ -261,37 +289,19 @@ object Sim {
          |SELECT q_id, CAST(n_hit AS BIGINT) AS n_hit,
          |  CAST(n_hit AS DOUBLE) / 5 AS recall_at_5
          |FROM j ORDER BY q_id""".stripMargin,
-    "sim_lsh_recall" -> {
-      def planeLit(p: Seq[Double]): String =
-        p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
-      val bexpr = planes.zipWithIndex.map { case (p, j) =>
-        s"(CASE WHEN list_sum(list_transform(range(64), i -> v[i+1] * (${planeLit(p)})[i+1])) > 0 THEN ${1 << j} ELSE 0 END)"
-      }.mkString(" + ")
-      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-         |  sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
-         |  FROM embeddings),
-         |b AS (SELECT vec_id, v, nrm, $bexpr AS bucket FROM v),
-         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, bucket AS qb0 FROM b WHERE vec_id < 8),
-         |qp AS (SELECT q_id, qv, qn,
-         |  unnest([qb0, xor(qb0, 1), xor(qb0, 2), xor(qb0, 4), xor(qb0, 8)]) AS qb FROM q),
-         |ls AS (SELECT qp.q_id, b.vec_id AS cand_id,
-         |  round(list_sum(list_transform(range(64), i -> qp.qv[i+1] * b.v[i+1])) / (qp.qn * b.nrm), 6) AS cos_sim
-         |  FROM qp JOIN b ON qp.qb = b.bucket AND qp.q_id <> b.vec_id),
-         |lr AS (SELECT q_id, cand_id FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id) AS rk FROM ls)
-         |  WHERE rk <= 5),
+    "sim_lsh_recall" ->
+      s"""WITH $oLshCte,
          |s AS (SELECT q.q_id, w.vec_id AS cand_id,
          |  round(list_sum(list_transform(range(64), i -> q.qv[i+1] * w.v[i+1])) / (q.qn * w.nrm), 6) AS cos_sim
          |  FROM q JOIN v w ON q.q_id <> w.vec_id),
          |r AS (SELECT q_id, cand_id FROM (
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id) AS rk FROM s)
          |  WHERE rk <= 5),
-         |j AS (SELECT r.q_id, COUNT(lr.cand_id) AS n_hit FROM r
-         |  LEFT JOIN lr ON r.q_id = lr.q_id AND r.cand_id = lr.cand_id
+         |j AS (SELECT r.q_id, COUNT(lsr.cand_id) AS n_hit FROM r
+         |  LEFT JOIN lsr ON r.q_id = lsr.q_id AND r.cand_id = lsr.cand_id
          |  GROUP BY r.q_id)
          |SELECT q_id, CAST(n_hit AS BIGINT) AS n_hit,
          |  CAST(n_hit AS DOUBLE) / 5 AS recall_at_5
-         |FROM j ORDER BY q_id""".stripMargin
-    },
+         |FROM j ORDER BY q_id""".stripMargin,
   )
 }
