@@ -187,6 +187,51 @@ object Dedup {
       .orderBy(col("n_docs").desc, col("span_h"))
   }
 
+  /** Detect→act companion to [[spanDedup]]: boilerplate SCRUBBING. Every
+    * 8-token span whose md5 occurs in more than one distinct document is
+    * removed from every document EXCEPT the span's corpus-wide first
+    * occurrence (min doc_id): token positions covered by any such span
+    * are dropped and the survivors re-joined in order. Output per doc:
+    * token counts plus the md5 of the cleaned text (the text itself
+    * stays distributed; only its fingerprint comes back).
+    * Shape at 100 TB: spans and tokens both route through posexplode
+    * (generator barrier, rows ~ tokens); the dup-span table aggregates
+    * on span_h with map-side collapse; coverage is an equi-join on
+    * span_h, a ≤8-row position explode per covered window, and one
+    * doc_id-keyed anti-join + ordered reassembly. No per-token lambdas
+    * over whole-doc arrays, no all-pairs joins — every exchange keys on
+    * doc_id or span_h.
+    */
+  private val spanScrub: Q = (s, dir) => {
+    val t = Tables.docsSpread(s, dir)
+      .withColumn("tk", expr("filter(split(text, ' '), t -> length(t) > 0)"))
+      .select(col("doc_id"), col("tk"), expr("cast(size(tk) AS bigint)").as("n_tokens"))
+    val spans = t.select(col("doc_id"), posexplode(expr(
+        """CASE WHEN size(tk) < 8 THEN CAST(array() AS array<string>)
+          |ELSE transform(sequence(1, size(tk) - 7), i -> md5(concat_ws(' ', slice(tk, i, 8))))
+          |END""".stripMargin)))
+      .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("span_h"))
+    val dup = spans.groupBy("span_h")
+      .agg(countDistinct(col("doc_id")).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") > 1)
+      .select("span_h", "first_doc")
+    val covered = spans.join(dup, "span_h")
+      .filter(col("doc_id") =!= col("first_doc"))
+      .select(col("doc_id"), explode(expr("sequence(i, i + 7)")).as("p"))
+      .distinct()
+    val toks = t.select(col("doc_id"), posexplode(col("tk")))
+      .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("tok"))
+    val kept = toks.join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        expr("concat_ws(' ', transform(array_sort(collect_list(struct(p, tok))), x -> x.tok))").as("clean_text"))
+    t.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_scrubbed"),
+        md5(coalesce(col("clean_text"), lit(""))).as("clean_fp"))
+      .orderBy("doc_id")
+  }
+
   /** Asymmetric containment near-dup pairs: C(A in B) = |A∩B| / |A| over
     * the rare-shingle postings, threshold 0.9 on either direction. This is
     * what Jaccard (and MinHash) structurally miss — a document pasted
@@ -506,6 +551,7 @@ object Dedup {
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> exact,
     "dedup_span" -> spanDedup,
+    "text_span_scrub" -> spanScrub,
     "dedup_containment" -> containment,
     "dedup_editdist" -> editdist,
     "dedup_ngram_jaccard" -> ngramJaccard,
@@ -563,6 +609,26 @@ object Dedup {
         |  COUNT(*) AS n_occ, MIN(doc_id) AS first_doc
         |FROM sp GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 1
         |ORDER BY n_docs DESC, span_h""".stripMargin,
+    "text_span_scrub" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk FROM documents),
+        |sp AS (SELECT doc_id, i, md5(array_to_string(tk[i:i+7], ' ')) AS span_h FROM (
+        |       SELECT doc_id, tk, unnest(range(1, greatest(len(tk) - 6, 1))) AS i FROM t)),
+        |dup AS (SELECT span_h, MIN(doc_id) AS first_doc FROM sp GROUP BY 1
+        |        HAVING COUNT(DISTINCT doc_id) > 1),
+        |cov AS (SELECT DISTINCT doc_id, p FROM (
+        |        SELECT sp.doc_id, unnest(range(sp.i, sp.i + 8)) AS p
+        |        FROM sp JOIN dup USING (span_h) WHERE sp.doc_id <> dup.first_doc)),
+        |tok AS (SELECT doc_id, p, tk[p] AS tok FROM (
+        |       SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS p FROM t)),
+        |kept AS (SELECT tok.doc_id, COUNT(*) AS n_kept,
+        |         string_agg(tok.tok, ' ' ORDER BY tok.p) AS clean_text
+        |         FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+        |         WHERE cov.p IS NULL GROUP BY 1)
+        |SELECT t.doc_id, len(t.tk) AS n_tokens,
+        |  len(t.tk) - COALESCE(kept.n_kept, 0) AS n_scrubbed,
+        |  md5(COALESCE(kept.clean_text, '')) AS clean_fp
+        |FROM t LEFT JOIN kept USING (doc_id) ORDER BY doc_id""".stripMargin,
     "dedup_containment" ->
       s"""WITH sh AS (SELECT doc_id, $oShingle AS sh FROM documents),
          |e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sh),
