@@ -166,6 +166,9 @@ object Analytic {
     * oracle so DuckDB's list sort reproduces the heap's (value DESC,
     * key ASC) order exactly (the −1 keeps orderkey 0 inside the field);
     * prices are exact cents so double vs cents ordering agree.
+    * SCALE BOUND: the packing is only injective while o_orderkey < 2^24
+    * (TPC-H holds this up to SF≈3; RoundFiveOpsSpec fails loudly past
+    * it) — at larger SF widen the packed field, the heap itself is fine.
     */
   private val winTopkAgg: Q = (s, dir) => {
     import org.apache.spark.sql.graft.TopKAgg.topk_by_value

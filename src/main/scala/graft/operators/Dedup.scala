@@ -412,7 +412,7 @@ object Dedup {
     val d = Tables.docsSpread(s, dir)
       .select(col("doc_id"), substring(col("text"), 1, 16).as("blk"),
         substring(col("text"), 1, 96).as("head"))
-    val reps = d.groupBy("blk", "head").agg(count(lit(1)).as("cnt"))
+    val reps = d.select("blk", "head").distinct()
     // inter-content: DP once per distinct head pair, then expand to docs
     val interH = reps.as("a").join(reps.as("b"),
         col("a.blk") === col("b.blk") && col("a.head") < col("b.head"))

@@ -45,11 +45,11 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  /** Imperative per-partition decode over the binary payload.
-    * Oracle caveat: the DuckDB side sums per-character code points while
-    * this side sums UTF-8 bytes — identical only for ASCII corpora (the
-    * test data is all-ASCII; a non-ASCII corpus would need a byte-wise
-    * oracle).
+  /** Imperative per-partition decode over the binary payload. The DuckDB
+    * oracle is byte-wise (hex(encode(text)) parsed pair-by-pair), so the
+    * mean-byte check holds on any corpus, ASCII or not; RoundFiveOpsSpec
+    * pins the Spark side's UTF-8-byte (not code-point) semantics on a
+    * non-ASCII fixture.
     */
   private val decodeStub: Q = (s, dir) => {
     import s.implicits._
@@ -156,14 +156,20 @@ object Multimodal {
         | 64 + octet_length(encode(text)) % 512 AS fake_w,
         | 64 + (octet_length(encode(text)) * 7) % 512 AS fake_h
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // byte-wise, not code-point-wise: hex(encode(text)) exposes the UTF-8
+    // byte stream, and each 2-hex-digit pair parses to the byte value —
+    // so mean_byte agrees with the Spark side on ANY corpus, not just
+    // ASCII (where code points and bytes coincide)
     "mm_decode_stub" ->
-      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        | octet_length(encode(text)) // 100 AS n_frames,
-        | CAST(list_sum(list_transform(range(1, length(text) + 1),
-        |   i -> ascii(substr(text, i, 1)))) AS DOUBLE) / octet_length(encode(text)) AS mean_byte,
-        | 64 + octet_length(encode(text)) % 512 AS fake_w,
-        | 64 + (octet_length(encode(text)) * 7) % 512 AS fake_h
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS nb FROM documents)
+        |SELECT doc_id, CAST(nb AS BIGINT) AS n_bytes,
+        | nb // 100 AS n_frames,
+        | CAST(list_sum(list_transform(range(0, nb),
+        |   i -> CAST(('0x' || substr(hx, 2 * i + 1, 2)) AS INT))) AS DOUBLE) / nb AS mean_byte,
+        | 64 + nb % 512 AS fake_w,
+        | 64 + (nb * 7) % 512 AS fake_h
+        |FROM b ORDER BY doc_id""".stripMargin,
     "mm_frame_sample" ->
       """WITH f AS (SELECT doc_id, octet_length(encode(text)) // 100 AS n_frames
         |           FROM documents),

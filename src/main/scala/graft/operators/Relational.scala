@@ -92,14 +92,21 @@ object Relational {
   /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): per-ship-day
     * aggregates of two return-flag slices joined so that the NULL-day
     * group on one side matches the NULL-day group on the other — the
-    * semantics a plain equi-join silently drops. Spark plans `<=>` as an
-    * ordinary hash-join key (null keys co-partition like any value), so
-    * the 100 TB shape is identical to an equi-join. Output ordering pins
-    * NULLS FIRST explicitly on both engines (their defaults differ).
+    * semantics a plain equi-join silently drops. TPC-H l_shipdate has no
+    * NULLs, so a deterministic NULL key is injected (ship_day nulled for
+    * l_orderkey % 10 = 0, mirrored in the oracle — same pattern as
+    * winIgnoreNulls): both sides then really do carry a NULL group, and a
+    * plain equi-join would drop it and fail the hash. Spark plans `<=>`
+    * as an ordinary hash-join key (null keys co-partition like any
+    * value), so the 100 TB shape is identical to an equi-join. Output
+    * ordering pins NULLS FIRST explicitly on both engines (their
+    * defaults differ).
     */
   private val joinNullSafe: Q = (s, dir) => {
     val li = Tables(s, dir, "lineitem")
-      .withColumn("ship_day", date_format(col("l_shipdate"), "yyyy-MM-dd"))
+      .withColumn("ship_day",
+        when(col("l_orderkey") % 10 === 0, lit(null))
+          .otherwise(date_format(col("l_shipdate"), "yyyy-MM-dd")))
     val a = li.filter(col("l_returnflag") === "A")
       .groupBy("ship_day").agg(count(lit(1)).as("n_a"))
     val r = li.filter(col("l_returnflag") === "R")
@@ -607,10 +614,14 @@ object Relational {
          |FROM orders JOIN customer ON o_custkey = c_custkey
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "join_null_safe" ->
-      """WITH a AS (SELECT strftime(l_shipdate, '%Y-%m-%d') AS ship_day,
-        |    COUNT(*) AS n_a FROM lineitem WHERE l_returnflag = 'A' GROUP BY 1),
-        |r AS (SELECT strftime(l_shipdate, '%Y-%m-%d') AS ship_day,
-        |    COUNT(*) AS n_r FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1)
+      """WITH li AS (SELECT l_returnflag,
+        |    CASE WHEN l_orderkey % 10 = 0 THEN NULL
+        |         ELSE strftime(l_shipdate, '%Y-%m-%d') END AS ship_day
+        |  FROM lineitem),
+        |a AS (SELECT ship_day, COUNT(*) AS n_a FROM li
+        |  WHERE l_returnflag = 'A' GROUP BY 1),
+        |r AS (SELECT ship_day, COUNT(*) AS n_r FROM li
+        |  WHERE l_returnflag = 'R' GROUP BY 1)
         |SELECT a.ship_day, n_a, n_r FROM a
         |JOIN r ON a.ship_day IS NOT DISTINCT FROM r.ship_day
         |ORDER BY a.ship_day NULLS FIRST""".stripMargin,

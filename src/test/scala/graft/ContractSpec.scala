@@ -9,12 +9,12 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class ContractSpec extends AnyFunSuite {
 
-  /** The only queries allowed to ship without an oracle, with why:
-    *  - agg_approx_distinct: HLL sketch values are engine-specific;
-    *  - sim_cosine_topk_lsh: approximate candidate set — its recall@5 is
-    *    itself the hash-verified `sim_lsh_recall` query.
+  /** Queries allowed to ship without an oracle. Empty since round 5:
+    * agg_approx_distinct now hash-verifies its accuracy claim (exact ND +
+    * within_5pct boolean) and sim_cosine_topk_lsh's deterministic
+    * hyperplanes are replayed exactly in its DuckDB oracle.
     */
-  private val rowsOnlyByDesign = Set("agg_approx_distinct", "sim_cosine_topk_lsh")
+  private val rowsOnlyByDesign = Set.empty[String]
 
   test("every query has an oracle, except the documented rows-only set") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
@@ -41,7 +41,7 @@ class ContractSpec extends AnyFunSuite {
 
   test("query count matches the documented coverage") {
     // update alongside SURVEY.md §8 when adding operators
-    assert(SparkEntry.queries.size == 152,
+    assert(SparkEntry.queries.size == 153,
       s"queries map has ${SparkEntry.queries.size} entries — update SURVEY.md §8 and this pin")
   }
 }
