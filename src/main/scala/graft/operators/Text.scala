@@ -324,7 +324,63 @@ object Text {
       .orderBy(col("cnt").desc, col("token"))
   }
 
+  // ------------------------------------------------------------ BPE count
+
+  /** Literal merge vocabulary for the greedy longest-match tokenizer —
+    * common English subwords by length (the shape a trained BPE vocab
+    * has; a production run would broadcast the real merges table).
+    */
+  private val bpeVocab: Map[Int, Seq[String]] = Map(
+    4 -> Seq("tion", "ment", "able", "ness", "ight", "ould", "ever"),
+    3 -> Seq("ing", "ion", "ent", "ers", "est", "ate", "and", "the", "for"),
+    2 -> Seq("th", "he", "in", "er", "an", "re", "on", "at", "en", "nd",
+      "es", "or", "te", "ed", "is", "it", "al", "ar", "st", "to"))
+
+  /** Greedy longest-match token count for one word column, as a Spark
+    * `aggregate` fold: state (p, c) = (next unconsumed char position,
+    * tokens so far); step i only acts when i == p, advancing p by the
+    * longest vocab match at p (4, 3, 2, else 1 char). Data-dependent
+    * stride inside a fixed-length fold — the trick that makes greedy
+    * matching expressible declaratively, hence replayable in DuckDB
+    * (there as a recursive CTE, which allows true variable stride).
+    */
+  private def bpeCountExpr(w: String): String = {
+    def arr(n: Int) = bpeVocab(n).map("'" + _ + "'").mkString("array(", ",", ")")
+    s"""aggregate(sequence(1, length($w)), named_struct('p', 1, 'c', 0),
+       |  (a, i) -> IF(i != a.p, a, named_struct(
+       |    'p', a.p + CASE WHEN array_contains(${arr(4)}, substr($w, i, 4)) THEN 4
+       |               WHEN array_contains(${arr(3)}, substr($w, i, 3)) THEN 3
+       |               WHEN array_contains(${arr(2)}, substr($w, i, 2)) THEN 2
+       |               ELSE 1 END,
+       |    'c', a.c + 1)),
+       |  a -> cast(a.c AS bigint))""".stripMargin
+  }
+
+  /** Tokenizer-grade token budget: greedy longest-match BPE-ish counts
+    * per document (vs the whitespace proxy in `text_token_count`).
+    * Distributed shape: words content-collapse to DISTINCT before the
+    * per-word fold runs — on a duplicate-heavy crawl the fold cost is
+    * quadratic-free and proportional to distinct vocabulary, not corpus
+    * size — then per-(doc, word) multiplicities expand the counts back
+    * with one word-keyed join and a doc_id-keyed sum. The interpreted
+    * lambda (higher-order fns are CodegenFallback) therefore runs once
+    * per distinct word, not once per occurrence.
+    */
+  private val bpeCount: Q = (s, dir) => {
+    val words = Tables.docsSpread(s, dir)
+      .select(col("doc_id"), explode(expr(toksExpr)).as("w"))
+    val perDocWord = words.groupBy("doc_id", "w").agg(count(lit(1)).as("n"))
+    val distinctW = perDocWord.select("w").distinct()
+      .withColumn("ntok", expr(bpeCountExpr("w")))
+    perDocWord.join(distinctW, "w")
+      .groupBy("doc_id")
+      .agg(sum(col("n")).as("n_words"),
+        sum(col("n") * col("ntok")).as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_bpe_count" -> bpeCount,
     "text_heavy_hitters" -> heavyHitters,
     "pipeline_train_mix" -> trainMix,
     "pipeline_clean_corpus" -> pipelineCleanCorpus,
@@ -342,7 +398,34 @@ object Text {
 
   private val oToks = "list_filter(string_split(text, ' '), t -> len(t) > 0)"
 
+  /** DuckDB replay of the greedy BPE fold: recursive CTE per DISTINCT
+    * word — each step consumes the longest vocab match at `pos` — with
+    * the identical literal vocab, so counts pin bit-exact.
+    */
+  private val oBpe: String = {
+    def dl(n: Int) = bpeVocab(n).map("'" + _ + "'").mkString("[", ",", "]")
+    s"""WITH RECURSIVE
+       |t AS (SELECT doc_id, unnest($oToks) AS w FROM documents),
+       |dw AS (SELECT doc_id, w, COUNT(*) AS n FROM t GROUP BY 1, 2),
+       |words AS (SELECT DISTINCT w FROM dw),
+       |r(w, pos, cnt) AS (
+       |  SELECT w, 1, 0 FROM words
+       |  UNION ALL
+       |  SELECT w,
+       |    pos + CASE WHEN list_contains(${dl(4)}, substr(w, pos, 4)) THEN 4
+       |          WHEN list_contains(${dl(3)}, substr(w, pos, 3)) THEN 3
+       |          WHEN list_contains(${dl(2)}, substr(w, pos, 2)) THEN 2
+       |          ELSE 1 END,
+       |    cnt + 1
+       |  FROM r WHERE pos <= len(w)),
+       |ntok AS (SELECT w, MAX(cnt) AS ntok FROM r GROUP BY 1)
+       |SELECT dw.doc_id, CAST(SUM(dw.n) AS BIGINT) AS n_words,
+       |  CAST(SUM(dw.n * ntok.ntok) AS BIGINT) AS n_bpe_tokens
+       |FROM dw JOIN ntok USING (w) GROUP BY 1 ORDER BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "text_bpe_count" -> oBpe,
     "text_heavy_hitters" ->
       s"""WITH t AS (SELECT unnest($oToks) AS token FROM documents),
          |n AS (SELECT COUNT(*) AS n_total FROM t)

@@ -459,6 +459,12 @@ object VecFunctions {
     "simhash64" -> (args => SimHash64(args(0))),
     "minhash_sig" -> (args => MinHashSig(args(0),
       args(1).eval(null).asInstanceOf[Int])),
+    // aggregates return the bare AggregateFunction — the analyzer wraps
+    // it in AggregateExpression (and owns DISTINCT/FILTER handling)
+    "kmv_distinct" -> (args => KmvDistinct(args(0),
+      args(1).eval(null).asInstanceOf[Int])),
+    "misra_gries" -> (args => MisraGries(args(0),
+      args(1).eval(null).asInstanceOf[Int])),
   )
 
   /** Make the expressions callable from spark.sql on an existing session

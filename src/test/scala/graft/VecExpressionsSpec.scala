@@ -83,6 +83,22 @@ class VecExpressionsSpec extends AnyFunSuite {
     assert(r.getInt(2) == 4)
   }
 
+  test("SQL registration: kmv_distinct/misra_gries aggregates callable from spark.sql") {
+    VecFunctions.registerAll(spark)
+    spark.range(100).selectExpr("id % 7 AS g", "id AS h", "cast(id % 3 AS string) AS w")
+      .createOrReplaceTempView("vec_sql_agg_t")
+    val r = spark.sql(
+      "SELECT kmv_distinct(h, 256) AS nd, misra_gries(w, 2) AS hh " +
+        "FROM vec_sql_agg_t").collect().head
+    assert(r.getDouble(0) == 100.0) // below k: exact
+    assert(r.getSeq[String](1).nonEmpty)
+    // analyzer owns DISTINCT/FILTER for registry aggregates — prove FILTER works
+    val f = spark.sql(
+      "SELECT kmv_distinct(h, 256) FILTER (WHERE h < 10) AS nd FROM vec_sql_agg_t")
+      .collect().head
+    assert(f.getDouble(0) == 10.0)
+  }
+
   test("optimizer rule rewrites vec_dot(x, x) to vec_norm_sq and preserves values") {
     import org.apache.spark.sql.graft.VecSelfDotRule
     if (!spark.experimental.extraOptimizations.contains(VecSelfDotRule))
