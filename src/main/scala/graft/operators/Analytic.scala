@@ -204,7 +204,35 @@ object Analytic {
       .orderBy("user_id", "event_id")
   }
 
+  /** Robust per-group anomaly detection: flag events whose deviation
+    * from their user's median exceeds 3× the user's MAD (median absolute
+    * deviation) — the outlier rule that, unlike mean/stddev z-scores, a
+    * single extreme value cannot mask. Two exact-percentile aggregations
+    * and two joins, ALL keyed on user_id, so at 100 TB the data shuffles
+    * on one key and per-user percentile state is bounded by that user's
+    * rows (swap in approx_percentile's mergeable summaries if per-key
+    * cardinality is unbounded). The flag compares round6'd values so an
+    * interpolation ulp can't flip row membership between engines.
+    */
+  private val tsAnomalyMad: Q = (s, dir) => {
+    val e = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("value"))
+    val med = e.groupBy("user_id").agg(expr("percentile(value, 0.5)").as("med"))
+    val d = e.join(med, "user_id")
+      .withColumn("dev", abs(col("value") - col("med")))
+    val mad = d.groupBy(col("user_id").as("mu"))
+      .agg(expr("percentile(dev, 0.5)").as("mad"))
+    d.join(mad, col("user_id") === col("mu"))
+      .filter(round(col("dev"), 6) > round(col("mad") * 3, 6))
+      .select(col("user_id"), col("event_id"),
+        round(col("value"), 6).as("value"), round(col("med"), 6).as("med"),
+        round(col("mad"), 6).as("mad"),
+        round(col("dev") / col("mad"), 6).as("mad_ratio"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ts_anomaly_mad" -> tsAnomalyMad,
     "win_rank" -> winRank,
     "win_analytic" -> winAnalytic,
     "win_nth_value" -> winNthValue,
@@ -218,6 +246,19 @@ object Analytic {
   )
 
   val oracles: Map[String, String] = Map(
+    "ts_anomaly_mad" ->
+      """WITH med AS (SELECT user_id, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT e.user_id, e.event_id, e.value, med.med,
+        |    abs(e.value - med.med) AS dev
+        |  FROM events e JOIN med USING (user_id)),
+        |mad AS (SELECT user_id, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY 1)
+        |SELECT d.user_id, d.event_id, round(d.value, 6) AS value,
+        |  round(d.med, 6) AS med, round(mad.mad, 6) AS mad,
+        |  round(d.dev / mad.mad, 6) AS mad_ratio
+        |FROM d JOIN mad USING (user_id)
+        |WHERE round(d.dev, 6) > round(mad.mad * 3, 6)
+        |ORDER BY event_id""".stripMargin,
     "win_ignore_nulls" ->
       """WITH e AS (
         |  SELECT user_id, event_id, ts,

@@ -216,7 +216,67 @@ object Flow {
       .orderBy("o_orderkey")
   }
 
+  /** Last-touch attribution: each purchase attributes to the user's most
+    * recent click no older than 7 days; purchases without one are
+    * 'direct' (-1). The last-click state rides a single user_id-
+    * partitioned running window (the sessionize exchange discipline) —
+    * no purchases×clicks self-join, so at 100 TB each user's events
+    * shuffle once and the carried state is one struct. Ties at equal ts
+    * order by event_id on both engines.
+    */
+  private val lastTouch: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val attributed = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("lc", last(
+        when(col("event_type") === "click",
+          struct(col("ts").as("cts"), col("event_id").as("cid"))),
+        ignoreNulls = true).over(byUser))
+      .filter(col("event_type") === "purchase")
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - unix_micros(col("lc.cts")))
+      .withColumn("hit", col("lc").isNotNull && col("gap_us") <= 7L * 86400L * 1000000L)
+    attributed.select(
+        col("user_id"), col("event_id").as("purchase_id"),
+        when(col("hit"), col("lc.cid")).otherwise(lit(-1L)).as("click_id"),
+        when(col("hit"), expr("gap_us div 1000000")).otherwise(lit(-1L)).as("gap_s"))
+      .orderBy("purchase_id")
+  }
+
+  /** Market-basket association pairs over co-order parts: pair supports
+    * from a distinct-collapse + per-order self-join (fan-out bounded by
+    * basket size, never corpus²), then confidence and lift from the item
+    * supports joined back. The support >= 2 filter prunes the long tail
+    * BEFORE the join-back, so at 100 TB the expensive side is one hash
+    * aggregation on (p_a, p_b) and the surviving pairs are the only rows
+    * that touch the item-support table.
+    */
+  private val basketPairs: Q = (s, dir) => {
+    val b = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val nOrders = b.agg(countDistinct(col("o")).as("n_orders"))
+    val item = b.groupBy(col("p")).agg(count(lit(1)).as("cnt"))
+    val pairs = b.as("a").join(b.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("p_a"), col("b.p").as("p_b"))
+      .agg(count(lit(1)).as("pair_cnt"))
+      .filter(col("pair_cnt") >= 2)
+    pairs
+      .join(item.select(col("p").as("p_a"), col("cnt").as("cnt_a")), "p_a")
+      .join(item.select(col("p").as("p_b"), col("cnt").as("cnt_b")), "p_b")
+      .crossJoin(broadcast(nOrders))
+      .select(col("p_a"), col("p_b"), col("pair_cnt"),
+        round(col("pair_cnt").cast("double") / col("cnt_a"), 6).as("conf_ab"),
+        round(col("pair_cnt").cast("double") * col("n_orders") /
+          (col("cnt_a") * col("cnt_b")), 6).as("lift"))
+      .orderBy("p_a", "p_b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "attribution_last_touch" -> lastTouch,
+    "assoc_basket_pairs" -> basketPairs,
     "cdc_upsert" -> cdcUpsert,
     "cdc_scd2" -> scd2,
     "cdc_diff_snapshots" -> diffSnapshots,
@@ -226,6 +286,35 @@ object Flow {
   )
 
   val oracles: Map[String, String] = Map(
+    "attribution_last_touch" ->
+      """WITH e AS (SELECT user_id, event_id, ts, event_type,
+        |    last_value(CASE WHEN event_type = 'click'
+        |        THEN struct_pack(cts := ts, cid := event_id) END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lc
+        |  FROM events),
+        |p AS (SELECT user_id, event_id AS purchase_id,
+        |    epoch_us(ts) - epoch_us(lc.cts) AS gap_us,
+        |    lc.cid AS cid,
+        |    (lc IS NOT NULL AND epoch_us(ts) - epoch_us(lc.cts) <= 604800000000) AS hit
+        |  FROM e WHERE event_type = 'purchase')
+        |SELECT user_id, purchase_id,
+        |  CASE WHEN hit THEN cid ELSE -1 END AS click_id,
+        |  CASE WHEN hit THEN gap_us // 1000000 ELSE -1 END AS gap_s
+        |FROM p ORDER BY purchase_id""".stripMargin,
+    "assoc_basket_pairs" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |n AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders FROM b),
+        |item AS (SELECT p, COUNT(*) AS cnt FROM b GROUP BY p),
+        |pr AS (SELECT a.p AS p_a, b2.p AS p_b, COUNT(*) AS pair_cnt
+        |  FROM b a JOIN b b2 ON a.o = b2.o AND a.p < b2.p
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT pr.p_a, pr.p_b, pr.pair_cnt,
+        |  round(CAST(pr.pair_cnt AS DOUBLE) / ia.cnt, 6) AS conf_ab,
+        |  round(CAST(pr.pair_cnt AS DOUBLE) * (SELECT n_orders FROM n) /
+        |    (ia.cnt * ib.cnt), 6) AS lift
+        |FROM pr JOIN item ia ON pr.p_a = ia.p JOIN item ib ON pr.p_b = ib.p
+        |ORDER BY p_a, p_b""".stripMargin,
     "flow_retention_cohort" ->
       """WITH wk AS (SELECT DISTINCT user_id,
         |    CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),

@@ -201,7 +201,53 @@ object Ingest {
       .orderBy("doc_id")
   }
 
+  /** Data-quality profile (the Deequ-style ingest gate): ONE aggregation
+    * pass computes per-column completeness, distinctness, uniqueness, and
+    * min/max over a fixed column list, then `stack` unpivots the 1-row
+    * result into one row per column. At 100 TB this is a single
+    * map-side-combining scan — the multi-metric trick is that all 30
+    * aggregates share it; nothing is per-column re-scanned. o_custkey
+    * gets deterministic injected NULLs (o_orderkey % 10, mirrored in the
+    * oracle) so the completeness metric is non-vacuous on NULL-free
+    * TPC-H. Numerics profile as double min/max, strings/dates as string
+    * min/max (date formatted — never raw double-to-string, whose
+    * rendering is engine-specific).
+    */
+  private val dqProfile: Q = (s, dir) => {
+    val o = Tables(s, dir, "orders").withColumn("o_custkey",
+      when(col("o_orderkey") % 10 === 0, lit(null).cast("bigint"))
+        .otherwise(col("o_custkey")))
+    // (name, numeric min/max source, string min/max source)
+    val specs: Seq[(String, Option[String], Option[String])] = Seq(
+      ("o_orderkey", Some("cast(o_orderkey as double)"), None),
+      ("o_custkey", Some("cast(o_custkey as double)"), None),
+      ("o_totalprice", Some("o_totalprice"), None),
+      ("o_orderstatus", None, Some("o_orderstatus")),
+      ("o_orderdate", None, Some("date_format(o_orderdate, 'yyyy-MM-dd')")))
+    val aggs = specs.flatMap { case (c, num, str) => Seq(
+      count(col(c)).as(s"nn_$c"),
+      countDistinct(col(c)).as(s"nd_$c"),
+      num.map(e => min(expr(e))).getOrElse(lit(null).cast("double")).as(s"mnn_$c"),
+      num.map(e => max(expr(e))).getOrElse(lit(null).cast("double")).as(s"mxn_$c"),
+      str.map(e => min(expr(e))).getOrElse(lit(null).cast("string")).as(s"mns_$c"),
+      str.map(e => max(expr(e))).getOrElse(lit(null).cast("string")).as(s"mxs_$c"))
+    }
+    val a = o.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val stackArgs = specs.map { case (c, _, _) =>
+      s"'$c', nn_$c, nd_$c, mnn_$c, mxn_$c, mns_$c, mxs_$c" }.mkString(", ")
+    a.selectExpr("n_rows",
+        s"stack(${specs.size}, $stackArgs) AS " +
+          "(col_name, n_nonnull, n_distinct, min_num, max_num, min_str, max_str)")
+      .select(col("col_name"), col("n_rows"), col("n_nonnull"),
+        (col("n_nonnull").cast("double") / col("n_rows")).as("completeness"),
+        col("n_distinct"),
+        (col("n_distinct") === col("n_nonnull")).as("is_unique"),
+        col("min_num"), col("max_num"), col("min_str"), col("max_str"))
+      .orderBy("col_name")
+  }
+
   val queries: Map[String, Q] = Map(
+    "dq_profile" -> dqProfile,
     "sink_copy_format" -> sinkCopyFormat,
     "scan_merge_schema" -> scanMergeSchema,
     "scan_dsv2_source" -> scanDsv2,
@@ -222,6 +268,32 @@ object Ingest {
     "l_shipdate")
 
   val oracles: Map[String, String] = Map(
+    "dq_profile" -> {
+      val specs = Seq(
+        ("o_orderkey", Some("CAST(o_orderkey AS DOUBLE)"), None),
+        ("o_custkey", Some("CAST(ck AS DOUBLE)"), None),
+        ("o_totalprice", Some("o_totalprice"), None),
+        ("o_orderstatus", None, Some("o_orderstatus")),
+        ("o_orderdate", None, Some("strftime(o_orderdate, '%Y-%m-%d')")))
+      val branches = specs.map { case (c, num, str) =>
+        val src = if (c == "o_custkey") "ck" else c
+        val (mnn, mxn) = num.map(e => (s"MIN($e)", s"MAX($e)"))
+          .getOrElse(("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"))
+        val (mns, mxs) = str.map(e => (s"MIN($e)", s"MAX($e)"))
+          .getOrElse(("CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"))
+        s"""SELECT '$c' AS col_name, (SELECT c FROM n) AS n_rows,
+           |  COUNT($src) AS n_nonnull,
+           |  CAST(COUNT($src) AS DOUBLE) / (SELECT c FROM n) AS completeness,
+           |  CAST(COUNT(DISTINCT $src) AS BIGINT) AS n_distinct,
+           |  COUNT(DISTINCT $src) = COUNT($src) AS is_unique,
+           |  $mnn AS min_num, $mxn AS max_num, $mns AS min_str, $mxs AS max_str
+           |FROM o""".stripMargin
+      }
+      s"""WITH o AS (SELECT *, CASE WHEN o_orderkey % 10 = 0 THEN NULL
+         |    ELSE o_custkey END AS ck FROM orders),
+         |n AS (SELECT COUNT(*) AS c FROM o)
+         |${branches.mkString("\n", "\nUNION ALL\n", "\n")}ORDER BY col_name""".stripMargin
+    },
     // single-quoted SQL strings: backslash is literal in DuckDB, so '\'
     // is one backslash and '\\' two; tabs spelled chr(9) to keep the
     // oracle JSON clean

@@ -402,6 +402,34 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** approx_percentile (Greenwald-Khanna summaries, accuracy=100 → rank
+    * error ε=1%). Same verification pattern as agg_approx_distinct: the
+    * sketch VALUE depends on merge order, so the hash-verified contract
+    * is GK's rank guarantee — the exact rank of the approximate p90
+    * (recomputed with one aggregation join-back) must sit within ε·n of
+    * the target rank. The oracle recomputes n and asserts TRUE; a sketch
+    * drifting past its guarantee flips the hash. Mergeable-summary
+    * state is O(1/ε · log εn) per group per partition — the property
+    * that lets a 100 TB percentile run as one map-side-combining pass
+    * (vs exact `agg_percentile`, whose sort-based state is unbounded).
+    */
+  private val aggApproxQuantile: Q = (s, dir) => {
+    val li = Tables(s, dir, "lineitem")
+    val ap = li.groupBy("l_returnflag")
+      .agg(expr("approx_percentile(l_extendedprice, 0.9, 100)").as("v"),
+        count(lit(1)).as("n"))
+    li.select(col("l_returnflag"), col("l_extendedprice"))
+      .join(ap, Seq("l_returnflag"))
+      .groupBy("l_returnflag")
+      .agg(
+        sum(when(col("l_extendedprice") <= col("v"), 1L).otherwise(0L)).as("rank_v"),
+        first(col("n")).as("n"))
+      .select(col("l_returnflag"), col("n"),
+        (abs(col("rank_v").cast("double") - col("n") * 0.9) <=
+          col("n") * 0.011 + 1).as("rank_within_eps"))
+      .orderBy("l_returnflag")
+  }
+
   // ------------------------------------------------------------ skew guards
 
   /** Two-phase salted aggregation over the skewed events.user_id key
@@ -566,6 +594,7 @@ object Relational {
     "agg_skew_salted" -> aggSkewSalted,
     "join_skew_salted" -> joinSkewSalted,
     "agg_percentile" -> aggPercentile,
+    "agg_approx_quantile" -> aggApproxQuantile,
     "sql_correlated_subquery" -> sqlCorrelatedSubquery,
     "agg_collect" -> aggCollect,
   )
@@ -577,6 +606,9 @@ object Relational {
       """SELECT l_returnflag,
         |  COUNT(DISTINCT l_partkey) AS exact_nd_part,
         |  TRUE AS within_5pct
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_approx_quantile" ->
+      """SELECT l_returnflag, COUNT(*) AS n, TRUE AS rank_within_eps
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_bitmap_distinct" ->
       """WITH w AS (

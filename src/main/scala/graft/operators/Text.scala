@@ -366,7 +366,10 @@ object Text {
     * lambda (higher-order fns are CodegenFallback) therefore runs once
     * per distinct word, not once per occurrence.
     */
-  private val bpeCount: Q = (s, dir) => {
+  /** Per-doc BPE token budget (doc_id, n_words, n_bpe_tokens) — shared
+    * with Train.packSequencesBpe, which packs on this count.
+    */
+  private[operators] def bpePerDoc(s: SparkSession, dir: String): DataFrame = {
     val words = Tables.docsSpread(s, dir)
       .select(col("doc_id"), explode(expr(toksExpr)).as("w"))
     val perDocWord = words.groupBy("doc_id", "w").agg(count(lit(1)).as("n"))
@@ -376,11 +379,44 @@ object Text {
       .groupBy("doc_id")
       .agg(sum(col("n")).as("n_words"),
         sum(col("n") * col("ntok")).as("n_bpe_tokens"))
+  }
+
+  private val bpeCount: Q = (s, dir) => bpePerDoc(s, dir).orderBy("doc_id")
+
+  /** Vocabulary build + encode (the word2id step of training prep):
+    * top-256 tokens by (tf DESC, token) get stable ids 1..256; each doc's
+    * first 16 tokens encode to ids (0 = OOV), emitted as a csv string
+    * with the OOV count. The id-assignment window is global but runs on
+    * the AGGREGATED token-count table — bounded by vocab domain, not
+    * corpus size (same argument as text_heavy_hitters) — and the
+    * 256-row vocab broadcasts to the encode join. Reassembly is the
+    * ordered collect_list discipline from text_span_scrub.
+    */
+  private val vocabEncode: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val vocab = Tables.docsSpread(s, dir)
+      .select(explode(expr(toksExpr)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("tf"))
+      .withColumn("id", row_number().over(
+        Window.orderBy(col("tf").desc, col("w"))).cast("bigint"))
+      .filter(col("id") <= 256)
+      .select("w", "id")
+    val heads = Tables.docsSpread(s, dir)
+      .select(col("doc_id"), posexplode(expr(s"slice($toksExpr, 1, 16)")))
+      .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("w"))
+    heads.join(broadcast(vocab), Seq("w"), "left")
+      .withColumn("tid", coalesce(col("id"), lit(0L)))
+      .groupBy("doc_id")
+      .agg(
+        sum(when(col("tid") === 0, 1L).otherwise(0L)).as("n_oov"),
+        expr("concat_ws(',', transform(array_sort(collect_list(struct(p, tid))), x -> cast(x.tid AS string)))")
+          .as("head_ids"))
       .orderBy("doc_id")
   }
 
   val queries: Map[String, Q] = Map(
     "text_bpe_count" -> bpeCount,
+    "text_vocab_encode" -> vocabEncode,
     "text_heavy_hitters" -> heavyHitters,
     "pipeline_train_mix" -> trainMix,
     "pipeline_clean_corpus" -> pipelineCleanCorpus,
@@ -402,10 +438,9 @@ object Text {
     * word — each step consumes the longest vocab match at `pos` — with
     * the identical literal vocab, so counts pin bit-exact.
     */
-  private val oBpe: String = {
+  private[operators] val oBpeCte: String = {
     def dl(n: Int) = bpeVocab(n).map("'" + _ + "'").mkString("[", ",", "]")
-    s"""WITH RECURSIVE
-       |t AS (SELECT doc_id, unnest($oToks) AS w FROM documents),
+    s"""t AS (SELECT doc_id, unnest($oToks) AS w FROM documents),
        |dw AS (SELECT doc_id, w, COUNT(*) AS n FROM t GROUP BY 1, 2),
        |words AS (SELECT DISTINCT w FROM dw),
        |r(w, pos, cnt) AS (
@@ -418,14 +453,31 @@ object Text {
        |          ELSE 1 END,
        |    cnt + 1
        |  FROM r WHERE pos <= len(w)),
-       |ntok AS (SELECT w, MAX(cnt) AS ntok FROM r GROUP BY 1)
-       |SELECT dw.doc_id, CAST(SUM(dw.n) AS BIGINT) AS n_words,
+       |ntok AS (SELECT w, MAX(cnt) AS ntok FROM r GROUP BY 1),
+       |bpd AS (SELECT dw.doc_id, CAST(SUM(dw.n) AS BIGINT) AS n_words,
        |  CAST(SUM(dw.n * ntok.ntok) AS BIGINT) AS n_bpe_tokens
-       |FROM dw JOIN ntok USING (w) GROUP BY 1 ORDER BY doc_id""".stripMargin
+       |  FROM dw JOIN ntok USING (w) GROUP BY 1)""".stripMargin
   }
+
+  private val oBpe: String =
+    s"""WITH RECURSIVE $oBpeCte
+       |SELECT doc_id, n_words, n_bpe_tokens FROM bpd ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "text_bpe_count" -> oBpe,
+    "text_vocab_encode" ->
+      s"""WITH tok AS (SELECT unnest($oToks) AS w FROM documents),
+         |v AS (SELECT w, CAST(row_number() OVER (ORDER BY COUNT(*) DESC, w) AS BIGINT) AS id
+         |  FROM tok GROUP BY w QUALIFY id <= 256),
+         |h AS (SELECT doc_id, p, tk[p] AS w FROM (
+         |  SELECT doc_id, $oToks AS tk,
+         |    unnest(range(1, least(len($oToks), 16) + 1)) AS p FROM documents)),
+         |e AS (SELECT h.doc_id, h.p, COALESCE(v.id, 0) AS tid
+         |  FROM h LEFT JOIN v USING (w))
+         |SELECT doc_id,
+         |  CAST(COUNT(*) FILTER (tid = 0) AS BIGINT) AS n_oov,
+         |  string_agg(CAST(tid AS VARCHAR), ',' ORDER BY p) AS head_ids
+         |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_heavy_hitters" ->
       s"""WITH t AS (SELECT unnest($oToks) AS token FROM documents),
          |n AS (SELECT COUNT(*) AS n_total FROM t)

@@ -246,8 +246,31 @@ object Train {
       .orderBy("vec_id")
   }
 
+  /** pack_sequences keyed on the tokenizer-grade BPE budget instead of
+    * the whitespace proxy — real training prep packs on what the model
+    * will actually see, and a 2048 budget of BPE tokens holds ~2-3× more
+    * words than a whitespace count suggests. Same one-exchange running
+    * sum (only (doc_id, lang, n_bpe) ints flow); the BPE side reuses
+    * Text.bpePerDoc's distinct-word collapse.
+    */
+  private val packSequencesBpe: Q = (s, dir) => {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+      .join(Text.bpePerDoc(s, dir).select(col("doc_id"), col("n_bpe_tokens").as("n_tok")),
+        "doc_id")
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("seq_id", expr("(cum - n_tok) div 2048"))
+      .groupBy("lang", "seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy("lang", "seq_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "pack_sequences" -> packSequences,
+    "pack_sequences_bpe" -> packSequencesBpe,
     "chunk_sliding" -> chunkSliding,
     "sample_split_stratified" -> splitStratified,
     "text_entropy" -> textEntropy,
@@ -259,6 +282,20 @@ object Train {
   )
 
   val oracles: Map[String, String] = Map(
+    "pack_sequences_bpe" ->
+      s"""WITH RECURSIVE ${Text.oBpeCte},
+         |dt AS (SELECT d.doc_id, d.lang, bpd.n_bpe_tokens AS n_tok
+         |  FROM documents d JOIN bpd ON d.doc_id = bpd.doc_id),
+         |c AS (
+         |  SELECT doc_id, lang, n_tok,
+         |    SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM dt)
+         |SELECT lang, CAST((cum - n_tok) // 2048 AS BIGINT) AS seq_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM c GROUP BY 1, 2 ORDER BY lang, seq_id""".stripMargin,
     "pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id, lang,
