@@ -95,6 +95,27 @@ class PlanEvidenceSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(bhj >= 3, s"expected supplier/nation/region broadcasts, got $bhj:\n$p")
   }
 
+  test("attribution_last_touch shuffles once on user_id; the lookback state is a window, not a self-join") {
+    val df = operators.Flow.queries("attribution_last_touch")(s, dir)
+    val p = planString(df).split("== Initial Plan ==").head
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 1,
+      s"expected one user_id exchange, got $hashExchanges:\n$p")
+    assert(!p.contains("Join"), s"purchases-x-clicks self-join crept in:\n$p")
+  }
+
+  test("text_vocab_encode broadcasts the 256-row vocab to the encode join") {
+    val p = planString(operators.Text.queries("text_vocab_encode")(s, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("dq_profile is one scan: all 30 metrics share a single aggregation pass") {
+    val df = operators.Ingest.queries("dq_profile")(s, dir)
+    val p = planString(df).split("== Initial Plan ==").head
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 1, s"expected a single orders scan, got $scans:\n$p")
+  }
+
   test("AQE re-plans a small sort-merge join into a broadcast join") {
     import org.apache.spark.sql.functions._
     val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
