@@ -274,7 +274,30 @@ object Flow {
       .orderBy("p_a", "p_b")
   }
 
+  /** Gaps-and-islands: maximal runs of consecutive active DAYS per user
+    * (the streak/uptime-segment primitive). The classic day − row_number
+    * anchor trick turns each maximal run into one constant group key, so
+    * the whole operator is a distinct, one user_id-partitioned window,
+    * and one hash aggregation — a single key shuffle at 100 TB, with the
+    * (user, day) distinct collapsing map-side first.
+    */
+  private val gapsIslands: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("day")
+    Tables(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .withColumn("anchor", date_sub(col("day"), row_number().over(byUser)))
+      .groupBy("user_id", "anchor")
+      .agg(
+        date_format(min(col("day")), "yyyy-MM-dd").as("start_day"),
+        date_format(max(col("day")), "yyyy-MM-dd").as("end_day"),
+        count(lit(1)).as("n_days"))
+      .select("user_id", "start_day", "end_day", "n_days")
+      .orderBy("user_id", "start_day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "win_gaps_islands" -> gapsIslands,
     "attribution_last_touch" -> lastTouch,
     "assoc_basket_pairs" -> basketPairs,
     "cdc_upsert" -> cdcUpsert,
@@ -286,6 +309,17 @@ object Flow {
   )
 
   val oracles: Map[String, String] = Map(
+    "win_gaps_islands" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |g AS (SELECT user_id, day,
+        |    day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INT) AS anchor
+        |  FROM d)
+        |SELECT user_id,
+        |  strftime(MIN(day), '%Y-%m-%d') AS start_day,
+        |  strftime(MAX(day), '%Y-%m-%d') AS end_day,
+        |  COUNT(*) AS n_days
+        |FROM g GROUP BY user_id, anchor
+        |ORDER BY user_id, start_day""".stripMargin,
     "attribution_last_touch" ->
       """WITH e AS (SELECT user_id, event_id, ts, event_type,
         |    last_value(CASE WHEN event_type = 'click'

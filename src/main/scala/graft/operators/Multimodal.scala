@@ -129,7 +129,36 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Nearest-neighbor resize plumbing: each payload is a fake W×H image
+    * (dims derived from length, as binaryMeta), downsampled to an 8×8
+    * grid — per OUTPUT pixel (ox, oy) the source coordinate is
+    * (ox·W div 8, oy·H div 8) and the "pixel" is the code point at the
+    * flattened offset. This is the real Spark shape of distributed image
+    * resize: per-pixel source-coordinate arithmetic fanned out through a
+    * generator (the posexplode barrier — phash's inlining lesson), then
+    * one doc_id-keyed ordered reassembly into the grid fingerprint. Only
+    * the sample function is stubbed; a codec would replace ascii(substr)
+    * with a byte lookup.
+    */
+  private val resizeStub: Q = (s, dir) => {
+    val v = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        (lit(64) + pmod(length(col("text")), lit(512))).cast("bigint").as("w"),
+        (lit(64) + pmod(length(col("text")) * 7, lit(512))).cast("bigint").as("h"))
+      .select(col("doc_id"), col("w"), col("h"), posexplode(expr(
+        """transform(sequence(0, 63), i -> ascii(substr(text,
+          |  1 + cast(((((i div 8) * h) div 8) * w + (((i % 8) * w) div 8)) % length(text) as int),
+          |  1)))""".stripMargin)).as(Seq("i", "px")))
+    v.groupBy("doc_id", "w", "h")
+      .agg(
+        expr("md5(concat_ws(',', transform(array_sort(collect_list(struct(i, px))), x -> cast(x.px AS string))))")
+          .as("grid_fp"),
+        sum(col("px")).as("checksum"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "mm_resize_stub" -> resizeStub,
     "mm_binary_meta" -> binaryMeta,
     "mm_decode_stub" -> decodeStub,
     "mm_frame_sample" -> frameSample,
@@ -149,6 +178,20 @@ object Multimodal {
         |g AS (SELECT phash, COUNT(*) AS n_same FROM h GROUP BY phash)
         |SELECT h.doc_id, h.phash, g.n_same FROM h JOIN g USING (phash)
         |ORDER BY doc_id""".stripMargin,
+    "mm_resize_stub" ->
+      """WITH b AS (SELECT doc_id, text,
+        |    CAST(64 + length(text) % 512 AS BIGINT) AS w,
+        |    CAST(64 + (length(text) * 7) % 512 AS BIGINT) AS h
+        |  FROM documents),
+        |px AS (SELECT doc_id, w, h,
+        |    list_transform(range(0, 64), i -> ascii(substr(text,
+        |      CAST(1 + ((((i // 8) * h) // 8) * w + (((i % 8) * w) // 8)) % length(text) AS INT),
+        |      1))) AS ps
+        |  FROM b)
+        |SELECT doc_id, w, h,
+        |  md5(array_to_string(list_transform(ps, x -> CAST(x AS VARCHAR)), ',')) AS grid_fp,
+        |  CAST(list_sum(ps) AS BIGINT) AS checksum
+        |FROM px ORDER BY doc_id""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         | sha256(text) AS sha,

@@ -116,22 +116,29 @@ object Sim {
     * 100 TB: centroids are a broadcast table, the corpus is partitioned
     * by cell id, and a query touches nprobe/ncells of the data.
     */
-  private val ivfTopk: Q = (s, dir) => {
+  /** Centroids: elementwise MIDRANGE per cell ((min+max)/2, 10 cells x 64
+    * dims -> tiny). Not the mean: a float mean depends on partial-sum
+    * merge order, so the index build would not be bit-reproducible across
+    * runs (or engines) — the same reason distributed k-means isn't. Min/
+    * max are order-free and (min+max)/2 is one exact IEEE op, so the
+    * whole IVF pipeline becomes deterministic enough to hash-verify
+    * against a DuckDB replay, probed cells and all. Shared by the IVF
+    * top-k and the k-means assignment step.
+    */
+  private def centroids(s: SparkSession, dir: String): DataFrame = {
     val e = vectors(s, dir)
-    // centroids: elementwise MIDRANGE per cell ((min+max)/2, 10 cells x 64
-    // dims -> tiny). Not the mean: a float mean depends on partial-sum
-    // merge order, so the index build would not be bit-reproducible across
-    // runs (or engines) — the same reason distributed k-means isn't. Min/
-    // max are order-free and (min+max)/2 is one exact IEEE op, so the
-    // whole IVF pipeline becomes deterministic enough to hash-verify
-    // against a DuckDB replay, probed cells and all.
-    val cent = e.select(col("label"), posexplode(col("v")))
+    e.select(col("label"), posexplode(col("v")))
       .groupBy("label", "pos")
       .agg(((min(col("col")) + max(col("col"))) / 2).as("cx"))
       .groupBy("label")
       .agg(expr("transform(array_sort(collect_list(struct(pos, cx))), p -> p.cx)").as("cv"))
       .select(col("label").as("cell"), col("cv"),
         sqrt(vec_dot(col("cv"), col("cv"))).as("cn"))
+  }
+
+  private val ivfTopk: Q = (s, dir) => {
+    val e = vectors(s, dir)
+    val cent = centroids(s, dir)
     // queries probe their 3 nearest centroids
     val q = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
@@ -194,7 +201,27 @@ object Sim {
   def prewarm(s: SparkSession, dir: String): Unit =
     vectors(s, dir).count()
 
+  /** One k-means (Lloyd) ASSIGNMENT step over the full corpus: every
+    * vector goes to its max-cosine centroid. This is the map side of
+    * distributed k-means — centroids broadcast, the corpus streams once,
+    * k dot products per row, no shuffle at all until the (tiny) re-
+    * aggregation a full iteration would add. The midrange centroids (see
+    * [[centroids]]) keep the whole step hash-verifiable in DuckDB.
+    */
+  private val assignNearest: Q = (s, dir) => {
+    val e = vectors(s, dir)
+    e.crossJoin(broadcast(centroids(s, dir)))
+      .withColumn("ccos", vec_dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cell"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("cell").as("assigned_cell"),
+        round(col("ccos"), 6).as("cos_to_centroid"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "emb_assign_nearest" -> assignNearest,
     "sim_cosine_topk" -> bruteTopk,
     "sim_cosine_topk_lsh" -> lshTopk,
     "sim_cosine_topk_ivf" -> ivfTopk,
@@ -256,6 +283,16 @@ object Sim {
   }
 
   val oracles: Map[String, String] = Map(
+    "emb_assign_nearest" ->
+      s"""WITH $oIvfCte
+         |SELECT vec_id, cell AS assigned_cell, round(ccos, 6) AS cos_to_centroid FROM (
+         |  SELECT v.vec_id, c.cell,
+         |    list_sum(list_transform(range(64), i -> v.v[i+1] * c.cv[i+1])) / (v.nrm * c.cn) AS ccos,
+         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |      list_sum(list_transform(range(64), i -> v.v[i+1] * c.cv[i+1])) / (v.nrm * c.cn) DESC,
+         |      c.cell) AS rk
+         |  FROM v CROSS JOIN cen c)
+         |WHERE rk = 1 ORDER BY vec_id""".stripMargin,
     "sim_cosine_topk" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
         |  sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm

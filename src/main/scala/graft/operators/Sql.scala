@@ -99,7 +99,37 @@ object Sql {
       .orderBy(col("revenue_e4").desc, col("n_name"))
   }
 
+  /** TPC-H Q3-shaped shipping-priority query: top-10 unshipped orders by
+    * revenue for one market segment (orders placed before / lines shipped
+    * after the cutoff). Revenue uses the same exact 1e-4-dollar integer
+    * units as [[starRevenue]] (double sums are merge-order-dependent).
+    * Plan shape at 100 TB: both fact filters cut BEFORE the orderkey
+    * shuffle, the customer join keys on o_custkey, and the top-10 is
+    * TakeOrderedAndProject — per-partition heaps, never a global sort.
+    */
+  private val q3Shipping: Q = (s, dir) => {
+    val c = Tables(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables(s, dir, "orders")
+      .filter(col("o_orderdate") < lit("1996-07-01"))
+    val li = Tables(s, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1996-07-01"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(
+        sum(expr("cast(round(l_extendedprice * 100, 0) as bigint) * (100 - cast(round(l_discount * 100, 0) as bigint))"))
+          .as("revenue_e4"),
+        count(lit(1)).as("n_items"))
+      .select(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("revenue_e4"), col("n_items"))
+      .orderBy(col("revenue_e4").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
   val queries: Map[String, Q] = Map(
+    "sql_q3_shipping" -> q3Shipping,
     "fn_variant" -> variant,
     "sql_lateral_topk" -> lateralTopk,
     "sql_recursive_cte" -> recursiveCte,
@@ -107,6 +137,19 @@ object Sql {
   )
 
   val oracles: Map[String, String] = Map(
+    "sql_q3_shipping" ->
+      """SELECT l_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |  CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT) AS revenue_e4,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1996-07-01 00:00:00'
+        |GROUP BY 1, 2 ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10""".stripMargin,
     "fn_variant" ->
       """SELECT event_id,
         |  CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
