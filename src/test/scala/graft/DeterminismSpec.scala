@@ -23,6 +23,12 @@ class DeterminismSpec extends AnyFunSuite {
     "sample_weighted",     // integer-exact priority sampling
     "win_topk_agg",        // heap eviction under (value DESC, key ASC)
     "dedup_clusters",      // iterative label propagation fixpoint
+    "agg_approx_quantile", // GK summary merge order must not break the claim
+    "agg_approx_distinct", // HLL merge order must not break the claim
+    "text_span_scrub",     // anti-join + ordered reassembly
+    "text_vocab_encode",   // global id window + ordered reassembly
+    "emb_assign_nearest",  // argmax over float cosines with cell tiebreak
+    "ts_anomaly_mad",      // percentile interpolation + round6'd threshold
   )
 
   underTest.foreach { name =>
