@@ -328,13 +328,16 @@ object Text {
 
   /** Literal merge vocabulary for the greedy longest-match tokenizer —
     * common English subwords by length (the shape a trained BPE vocab
-    * has; a production run would broadcast the real merges table).
+    * has; a production run would broadcast the real merges table). The
+    * single source is the codegen expression's companion
+    * ([[org.apache.spark.sql.graft.BpeCount]]): the hot path, the
+    * declarative fold (kept for the equivalence spec), and the DuckDB
+    * oracle all derive from the same arrays.
     */
-  private val bpeVocab: Map[Int, Seq[String]] = Map(
-    4 -> Seq("tion", "ment", "able", "ness", "ight", "ould", "ever"),
-    3 -> Seq("ing", "ion", "ent", "ers", "est", "ate", "and", "the", "for"),
-    2 -> Seq("th", "he", "in", "er", "an", "re", "on", "at", "en", "nd",
-      "es", "or", "te", "ed", "is", "it", "al", "ar", "st", "to"))
+  private val bpeVocab: Map[Int, Seq[String]] = {
+    import org.apache.spark.sql.graft.BpeCount
+    Map(4 -> BpeCount.V4.toSeq, 3 -> BpeCount.V3.toSeq, 2 -> BpeCount.V2.toSeq)
+  }
 
   /** Greedy longest-match token count for one word column, as a Spark
     * `aggregate` fold: state (p, c) = (next unconsumed char position,
@@ -343,8 +346,11 @@ object Text {
     * stride inside a fixed-length fold — the trick that makes greedy
     * matching expressible declaratively, hence replayable in DuckDB
     * (there as a recursive CTE, which allows true variable stride).
+    * The QUERY path uses the codegen'd bpe_count expression instead;
+    * this fold is the declarative reference, pinned equivalent in
+    * VecExpressionsSpec.
     */
-  private def bpeCountExpr(w: String): String = {
+  private[graft] def bpeCountExpr(w: String): String = {
     def arr(n: Int) = bpeVocab(n).map("'" + _ + "'").mkString("array(", ",", ")")
     s"""aggregate(sequence(1, length($w)), named_struct('p', 1, 'c', 0),
        |  (a, i) -> IF(i != a.p, a, named_struct(
@@ -374,7 +380,7 @@ object Text {
       .select(col("doc_id"), explode(expr(toksExpr)).as("w"))
     val perDocWord = words.groupBy("doc_id", "w").agg(count(lit(1)).as("n"))
     val distinctW = perDocWord.select("w").distinct()
-      .withColumn("ntok", expr(bpeCountExpr("w")))
+      .withColumn("ntok", org.apache.spark.sql.graft.VecFunctions.bpe_count(col("w")))
     perDocWord.join(distinctW, "w")
       .groupBy("doc_id")
       .agg(sum(col("n")).as("n_words"),

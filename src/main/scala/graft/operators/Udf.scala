@@ -128,6 +128,36 @@ object Udf {
       .orderBy("event_id")
   }
 
+  /** FORWARD as-of: each event pairs with the user's NEXT order
+    * (earliest o_orderdate >= ts; ties by smallest orderkey) — the
+    * "time-to-next-action" direction backward as-of can't express.
+    * Same union+window emulation and single key shuffle as [[joinAsof]],
+    * mirrored: events sort BEFORE orders at equal t (side DESC) so an
+    * equal-timestamp order is inside the (currentRow → following) frame,
+    * and first_value(ignoreNulls) picks the earliest upcoming order.
+    */
+  private val joinAsofFwd: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events").select(
+      col("user_id").as("k"), col("ts").as("t"), lit(1).as("side"),
+      col("event_id"),
+      lit(null).cast("long").as("o_orderkey"), lit(null).cast("double").as("o_totalprice"))
+    val or = Tables(s, dir, "orders").select(
+      col("o_custkey").as("k"), col("o_orderdate").as("t"), lit(0).as("side"),
+      lit(null).cast("long").as("event_id"),
+      col("o_orderkey"), col("o_totalprice"))
+    val w = Window.partitionBy("k")
+      .orderBy(col("t"), col("side").desc, col("o_orderkey"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    ev.unionAll(or)
+      .withColumn("next_orderkey", first(col("o_orderkey"), ignoreNulls = true).over(w))
+      .withColumn("next_totalprice", first(col("o_totalprice"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("k").as("user_id"),
+        date_format(col("t"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+        col("next_orderkey"), col("next_totalprice"))
+      .orderBy("event_id")
+  }
+
   /** Same as-of semantics through the native custom operator
     * (AsOfJoinNode → AsOfJoinStrategy → AsOfJoinExec streaming merge,
     * plans/AsOfJoin.scala) instead of the union+window emulation. Both
@@ -154,6 +184,7 @@ object Udf {
     "agg_udaf_geomean" -> udafGeomean,
     "fn_udtf_bigrams" -> udtfBigrams,
     "join_asof" -> joinAsof,
+    "join_asof_fwd" -> joinAsofFwd,
     "join_asof_native" -> joinAsofNative,
   )
 
@@ -193,6 +224,15 @@ object Udf {
         |  SELECT o_orderkey, o_totalprice FROM orders
         |  WHERE o_custkey = e.user_id AND o_orderdate <= e.ts
         |  ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) o ON true
+        |ORDER BY e.event_id""".stripMargin,
+    "join_asof_fwd" ->
+      """SELECT e.event_id, e.user_id,
+        | strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        | o.o_orderkey AS next_orderkey, o.o_totalprice AS next_totalprice
+        |FROM events e LEFT JOIN LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = e.user_id AND o_orderdate >= e.ts
+        |  ORDER BY o_orderdate ASC, o_orderkey ASC LIMIT 1) o ON true
         |ORDER BY e.event_id""".stripMargin,
   )
 }

@@ -431,6 +431,63 @@ case class MisraGries(
 }
 
 /** Column-level API for the graft engine (importable from graft code). */
+/** Greedy longest-match BPE-ish token count over a literal merge vocab —
+  * the codegen'd form of the `aggregate()` fold in operators/Text.scala
+  * (which remains the declarative reference; the DuckDB oracle replays
+  * the same vocab via recursive CTE). The vocab lives HERE as the single
+  * source: Text derives both its fold expression and its oracle SQL from
+  * these arrays. Matching is code-point-exact (ASCII vocab entries can't
+  * match inside a surrogate pair, and the 1-char fallback advances by
+  * code point), so counts agree with Spark substr / DuckDB substr
+  * semantics on any input, not just ASCII.
+  */
+object BpeCount {
+  val V4: Array[String] = Array("tion", "ment", "able", "ness", "ight", "ould", "ever")
+  val V3: Array[String] = Array("ing", "ion", "ent", "ers", "est", "ate", "and", "the", "for")
+  val V2: Array[String] = Array("th", "he", "in", "er", "an", "re", "on", "at", "en", "nd",
+    "es", "or", "te", "ed", "is", "it", "al", "ar", "st", "to")
+
+  /** Static so generated code calls it directly (stays inside
+    * whole-stage codegen as one static invoke).
+    */
+  def count(u: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val s = u.toString
+    val n = s.length
+    var pos = 0
+    var c = 0L
+    while (pos < n) {
+      var m = 0
+      var i = 0
+      while (m == 0 && i < V4.length) { if (s.startsWith(V4(i), pos)) m = 4; i += 1 }
+      i = 0
+      while (m == 0 && i < V3.length) { if (s.startsWith(V3(i), pos)) m = 3; i += 1 }
+      i = 0
+      while (m == 0 && i < V2.length) { if (s.startsWith(V2(i), pos)) m = 2; i += 1 }
+      pos += (if (m == 0) Character.charCount(s.codePointAt(pos)) else m)
+      c += 1
+    }
+    c
+  }
+}
+
+case class BpeCount(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bpe_count"
+
+  override protected def nullSafeEval(a: Any): Any =
+    BpeCount.count(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.BpeCount.count($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): BpeCount =
+    copy(newChild)
+}
+
 object VecFunctions {
   private def ex(c: Column): Expression = ExpressionUtils.expression(c)
 
@@ -451,6 +508,9 @@ object VecFunctions {
     ExpressionUtils.column(
       MisraGries(ex(item), k).toAggregateExpression(isDistinct = false))
 
+  def bpe_count(word: Column): Column =
+    ExpressionUtils.column(BpeCount(ex(word)))
+
   /** Builders for SQL registration (k for minhash_sig comes from a
     * literal int argument).
     */
@@ -459,6 +519,7 @@ object VecFunctions {
     "simhash64" -> (args => SimHash64(args(0))),
     "minhash_sig" -> (args => MinHashSig(args(0),
       args(1).eval(null).asInstanceOf[Int])),
+    "bpe_count" -> (args => BpeCount(args(0))),
     // aggregates return the bare AggregateFunction — the analyzer wraps
     // it in AggregateExpression (and owns DISTINCT/FILTER handling)
     "kmv_distinct" -> (args => KmvDistinct(args(0),

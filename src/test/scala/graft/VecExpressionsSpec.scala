@@ -83,6 +83,26 @@ class VecExpressionsSpec extends AnyFunSuite {
     assert(r.getInt(2) == 4)
   }
 
+  test("bpe_count codegen expression == the declarative aggregate() fold, incl. non-ASCII and astral chars") {
+    import org.apache.spark.sql.functions._
+    VecFunctions.registerAll(spark)
+    // corpus words + adversarial: vocab at start/middle/end, overlaps,
+    // multi-byte chars, an astral (surrogate-pair) char, 1-char words
+    val words = Seq("the", "nation", "established", "x", "atent", "thing",
+      "héllo", "wörld…", "a😀b", "ingestion", "forever", "ndes")
+    val df = words.toDF("w").select(
+      col("w"),
+      VecFunctions.bpe_count(col("w")).as("fast"),
+      expr(operators.Text.bpeCountExpr("w")).as("fold"))
+    df.collect().foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"'${r.getString(0)}': codegen ${r.getLong(1)} != fold ${r.getLong(2)}")
+    }
+    // and via SQL
+    assert(spark.sql("SELECT bpe_count('ingestion') AS c").head().getLong(0) ==
+      df.filter(col("w") === "ingestion").head().getLong(2))
+  }
+
   test("SQL registration: kmv_distinct/misra_gries aggregates callable from spark.sql") {
     VecFunctions.registerAll(spark)
     spark.range(100).selectExpr("id % 7 AS g", "id AS h", "cast(id % 3 AS string) AS w")
