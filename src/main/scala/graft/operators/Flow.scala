@@ -248,10 +248,14 @@ object Flow {
   /** Market-basket association pairs over co-order parts: pair supports
     * from a distinct-collapse + per-order self-join (fan-out bounded by
     * basket size, never corpus²), then confidence and lift from the item
-    * supports joined back. The support >= 2 filter prunes the long tail
+    * supports joined back. The min-support filter prunes the long tail
     * BEFORE the join-back, so at 100 TB the expensive side is one hash
     * aggregation on (p_a, p_b) and the surviving pairs are the only rows
-    * that touch the item-support table.
+    * that touch the item-support table. Min support is CORPUS-RELATIVE
+    * with an absolute floor — max(2, n_orders/75000) — the r3→r4
+    * ngram-df-cap lesson: an absolute constant silently changes meaning
+    * under duplication (8 copies pass EVERY 1×-pair through "≥ 2"),
+    * while relative support is the standard scale-invariant metric.
     */
   private val basketPairs: Q = (s, dir) => {
     val b = Tables(s, dir, "lineitem")
@@ -262,7 +266,9 @@ object Flow {
         col("a.o") === col("b.o") && col("a.p") < col("b.p"))
       .groupBy(col("a.p").as("p_a"), col("b.p").as("p_b"))
       .agg(count(lit(1)).as("pair_cnt"))
-      .filter(col("pair_cnt") >= 2)
+      .crossJoin(broadcast(nOrders))
+      .filter(col("pair_cnt") >= greatest(lit(2L), expr("n_orders div 75000")))
+      .drop("n_orders")
     pairs
       .join(item.select(col("p").as("p_a"), col("cnt").as("cnt_a")), "p_a")
       .join(item.select(col("p").as("p_b"), col("cnt").as("cnt_b")), "p_b")
@@ -342,7 +348,8 @@ object Flow {
         |item AS (SELECT p, COUNT(*) AS cnt FROM b GROUP BY p),
         |pr AS (SELECT a.p AS p_a, b2.p AS p_b, COUNT(*) AS pair_cnt
         |  FROM b a JOIN b b2 ON a.o = b2.o AND a.p < b2.p
-        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |  GROUP BY 1, 2
+        |  HAVING COUNT(*) >= greatest(2, (SELECT n_orders FROM n) // 75000))
         |SELECT pr.p_a, pr.p_b, pr.pair_cnt,
         |  round(CAST(pr.pair_cnt AS DOUBLE) / ia.cnt, 6) AS conf_ab,
         |  round(CAST(pr.pair_cnt AS DOUBLE) * (SELECT n_orders FROM n) /
