@@ -302,7 +302,31 @@ object Flow {
       .orderBy("user_id", "start_day")
   }
 
+  /** Incremental view maintenance: yesterday's aggregate state merges
+    * with a delta batch's aggregate and provably equals the full
+    * recompute (count/sum are mergeable; the exact-cents encoding keeps
+    * the merge bit-exact). The oracle IS the full recompute, so the
+    * hash-match is the algebraic identity. At 100 TB this is the
+    * difference between scanning the delta and scanning the table: the
+    * base side is a stored aggregate (here rebuilt from a partition
+    * predicate for test determinism), and only (group, n, cents) rows —
+    * never base fact rows — flow into the merge.
+    */
+  private val incrementalAgg: Q = (s, dir) => {
+    val o = Tables(s, dir, "orders")
+    def aggOf(df: DataFrame): DataFrame = df.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(round(o_totalprice * 100, 0) as bigint)")).as("cents"))
+    val base = aggOf(o.filter(col("o_orderdate") < lit("1997-01-01")))
+    val delta = aggOf(o.filter(col("o_orderdate") >= lit("1997-01-01")))
+    base.unionAll(delta)
+      .groupBy("o_orderstatus")
+      .agg(sum(col("n")).as("n"), sum(col("cents")).as("total_cents"))
+      .orderBy("o_orderstatus")
+  }
+
   val queries: Map[String, Q] = Map(
+    "cdc_incremental_agg" -> incrementalAgg,
     "win_gaps_islands" -> gapsIslands,
     "attribution_last_touch" -> lastTouch,
     "assoc_basket_pairs" -> basketPairs,
@@ -315,6 +339,11 @@ object Flow {
   )
 
   val oracles: Map[String, String] = Map(
+    // the full recompute — hash-matching it IS the merge identity
+    "cdc_incremental_agg" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "win_gaps_islands" ->
       """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
         |g AS (SELECT user_id, day,

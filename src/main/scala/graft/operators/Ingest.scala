@@ -246,8 +246,47 @@ object Ingest {
       .orderBy("col_name")
   }
 
+  /** Constraint checking (the assert side of DQ, vs dq_profile's
+    * metrics): four rules over orders in ONE pass — price positivity,
+    * date range, o_custkey referential integrity against customer, and
+    * orderkey uniqueness. The FK check is the scale-relevant one: a
+    * left join against the (distinct) key side, violations counted as
+    * unmatched rows — keyed shuffle, never a collect. Deterministic
+    * violations are injected (negated price at o_orderkey % 97, orphan
+    * custkey at % 101, mirrored in the oracle) so two of the four rules
+    * are non-vacuous on clean TPC-H; the other two genuinely pass — a
+    * DQ report where every rule fires is as useless as one where none
+    * does.
+    */
+  private val dqRules: Q = (s, dir) => {
+    val o = Tables(s, dir, "orders")
+      .withColumn("price", when(col("o_orderkey") % 97 === 0, -col("o_totalprice"))
+        .otherwise(col("o_totalprice")))
+      .withColumn("ck", when(col("o_orderkey") % 101 === 0, lit(99999999L))
+        .otherwise(col("o_custkey")))
+    val cust = Tables(s, dir, "customer").select(col("c_custkey")).distinct()
+    val m = o.join(cust, o("ck") === cust("c_custkey"), "left")
+      .agg(
+        count(lit(1)).as("n_checked"),
+        sum(when(col("price") <= 0, 1L).otherwise(0L)).as("v_price"),
+        sum(when(col("o_orderdate") < lit("1995-01-01") ||
+          col("o_orderdate") >= lit("2002-01-01"), 1L).otherwise(0L)).as("v_date"),
+        sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("v_fk"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_dup"))
+    m.selectExpr(
+        """stack(4,
+          |  'date_in_range', v_date,
+          |  'fk_customer', v_fk,
+          |  'price_positive', v_price,
+          |  'unique_orderkey', v_dup) AS (rule, n_violations)""".stripMargin,
+        "n_checked")
+      .select(col("rule"), col("n_violations"), col("n_checked"))
+      .orderBy("rule")
+  }
+
   val queries: Map[String, Q] = Map(
     "dq_profile" -> dqProfile,
+    "dq_rules" -> dqRules,
     "sink_copy_format" -> sinkCopyFormat,
     "scan_merge_schema" -> scanMergeSchema,
     "scan_dsv2_source" -> scanDsv2,
@@ -268,6 +307,25 @@ object Ingest {
     "l_shipdate")
 
   val oracles: Map[String, String] = Map(
+    "dq_rules" ->
+      """WITH o AS (SELECT o_orderkey, o_orderdate,
+        |    CASE WHEN o_orderkey % 97 = 0 THEN -o_totalprice ELSE o_totalprice END AS price,
+        |    CASE WHEN o_orderkey % 101 = 0 THEN 99999999 ELSE o_custkey END AS ck
+        |  FROM orders),
+        |j AS (SELECT o.*, c.c_custkey FROM o
+        |  LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c ON o.ck = c.c_custkey),
+        |m AS (SELECT COUNT(*) AS n_checked,
+        |    CAST(SUM(CASE WHEN price <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+        |    CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+        |      OR o_orderdate >= TIMESTAMP '2002-01-01 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS v_date,
+        |    CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_fk,
+        |    COUNT(*) - COUNT(DISTINCT o_orderkey) AS v_dup
+        |  FROM j)
+        |SELECT 'date_in_range' AS rule, v_date AS n_violations, n_checked FROM m
+        |UNION ALL SELECT 'fk_customer', v_fk, n_checked FROM m
+        |UNION ALL SELECT 'price_positive', v_price, n_checked FROM m
+        |UNION ALL SELECT 'unique_orderkey', v_dup, n_checked FROM m
+        |ORDER BY rule""".stripMargin,
     "dq_profile" -> {
       val specs = Seq(
         ("o_orderkey", Some("CAST(o_orderkey AS DOUBLE)"), None),

@@ -541,6 +541,27 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** The KMV sketch under ROLLUP — the mergeability proof in query form:
+    * Spark's rollup plans one Expand feeding the same
+    * TypedImperativeAggregate, whose partial TreeSet states merge by set
+    * union across every hierarchy level, and the DuckDB oracle replays
+    * all three levels exactly. At 100 TB this is how one pass yields
+    * distinct-count sketches at every granularity of a cube.
+    */
+  private val aggKmvRollup: Q = (s, dir) => {
+    Tables(s, dir, "lineitem")
+      .withColumn("h",
+        expr("cast(conv(substr(md5(cast(l_partkey as string)), 1, 15), 16, 10) as bigint)"))
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(kmv_distinct(col("h"), 64).as("kmv_raw"),
+        countDistinct(col("h")).as("exact_nd"))
+      .select(
+        coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+        round(col("kmv_raw"), 4).as("kmv_est"), col("exact_nd"))
+      .orderBy("rf", "ls")
+  }
+
   /** Exact per-group distinct count via fixed-width bitmap words: key k sets
     * bit (k & 31) of word (k >> 5); words OR-combine map-side (bit_or is
     * associative-commutative), so the shuffle carries at most domain/32
@@ -591,6 +612,7 @@ object Relational {
     "set_intersect_all" -> setIntersectAll,
     "agg_minmax_by" -> aggMinmaxBy,
     "agg_kmv_distinct" -> aggKmvDistinct,
+    "agg_kmv_rollup" -> aggKmvRollup,
     "agg_skew_salted" -> aggSkewSalted,
     "join_skew_salted" -> joinSkewSalted,
     "agg_percentile" -> aggPercentile,
@@ -610,6 +632,24 @@ object Relational {
     "agg_approx_quantile" ->
       """SELECT l_returnflag, COUNT(*) AS n, TRUE AS rank_within_eps
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_kmv_rollup" ->
+      """WITH h0 AS (SELECT l_returnflag AS rf, l_linestatus AS ls,
+        |    CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM lineitem),
+        |g AS (SELECT rf, ls, h FROM h0
+        |  UNION ALL SELECT rf, '(all)', h FROM h0
+        |  UNION ALL SELECT '(all)', '(all)', h FROM h0),
+        |d AS (SELECT DISTINCT rf, ls, h FROM g),
+        |r AS (SELECT rf, ls, h,
+        |    row_number() OVER (PARTITION BY rf, ls ORDER BY h) AS rk,
+        |    COUNT(*) OVER (PARTITION BY rf, ls) AS nd
+        |  FROM d)
+        |SELECT rf, ls,
+        |  round(CASE WHEN MAX(nd) < 64 THEN CAST(MAX(nd) AS DOUBLE)
+        |    ELSE 63.0 * 1152921504606846976.0 / MAX(CASE WHEN rk = 64 THEN h END)
+        |    END, 4) AS kmv_est,
+        |  CAST(MAX(nd) AS BIGINT) AS exact_nd
+        |FROM r GROUP BY rf, ls ORDER BY rf, ls""".stripMargin,
     "agg_bitmap_distinct" ->
       """WITH w AS (
         |  SELECT l_returnflag, l_partkey >> 5 AS wd,
