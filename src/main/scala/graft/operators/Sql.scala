@@ -128,7 +128,43 @@ object Sql {
       .limit(10)
   }
 
+  /** GROUP BY ALL / ORDER BY ALL — the modern SQL shorthand (every
+    * non-aggregate select item becomes a grouping key). Pure parser
+    * surface; the plan is the identical hash aggregate, so the oracle is
+    * the explicit form.
+    */
+  private val groupByAll: Q = (s, dir) => {
+    Tables(s, dir, "orders").createOrReplaceTempView("orders_gba")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  count(1) AS n,
+        |  cast(sum(cast(round(o_totalprice * 100, 0) as bigint)) as bigint) AS cents
+        |FROM orders_gba GROUP BY ALL ORDER BY ALL""".stripMargin)
+  }
+
+  /** Spark 4 collations: grouping under UTF8_LCASE is case-insensitive
+    * at the COLLATION level (no expression rewrites). Mixed-case keys
+    * are injected deterministically; the emitted group label is
+    * lower()'d because the collation's representative key is
+    * engine-internal, and the DuckDB oracle groups by lower() — same
+    * partitions, portable labels.
+    */
+  private val collationLcase: Q = (s, dir) => {
+    Tables(s, dir, "customer")
+      .withColumn("seg_mixed",
+        when(col("c_custkey") % 2 === 0, upper(col("c_mktsegment")))
+          .otherwise(initcap(lower(col("c_mktsegment")))))
+      .withColumn("k", expr("collate(seg_mixed, 'UTF8_LCASE')"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"),
+        max(expr("cast(lower(seg_mixed) AS string)")).as("segment"))
+      .select(col("segment"), col("n"))
+      .orderBy("segment")
+  }
+
   val queries: Map[String, Q] = Map(
+    "sql_group_by_all" -> groupByAll,
+    "fn_collation_lcase" -> collationLcase,
     "sql_q3_shipping" -> q3Shipping,
     "fn_variant" -> variant,
     "sql_lateral_topk" -> lateralTopk,
@@ -137,6 +173,16 @@ object Sql {
   )
 
   val oracles: Map[String, String] = Map(
+    "sql_group_by_all" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2, 3, 4""".stripMargin,
+    "fn_collation_lcase" ->
+      """WITH m AS (SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+        |    ELSE upper(substr(lower(c_mktsegment), 1, 1)) || substr(lower(c_mktsegment), 2) END AS seg_mixed
+        |  FROM customer)
+        |SELECT lower(seg_mixed) AS segment, COUNT(*) AS n
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     "sql_q3_shipping" ->
       """SELECT l_orderkey,
         |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
