@@ -134,7 +134,36 @@ object Windowed {
       .orderBy("user_id", "day")
   }
 
+  /** A REAL Structured Streaming execution inside the oracle gate (the
+    * other stream_* queries run their shapes in batch form; the
+    * streaming specs drive them via readStream separately). This one
+    * builds a file-source stream over the lineitem parquet, aggregates
+    * in complete mode into a memory sink under Trigger.AvailableNow —
+    * which processes everything available then terminates, making a
+    * streaming query deterministic and therefore DuckDB-checkable. At
+    * 100 TB this is the incremental-ingest shape: the source tracks
+    * processed files, each trigger handles only new arrivals, and the
+    * same aggregation state carries across triggers.
+    */
+  private val fileSource: Q = (s, dir) => {
+    val schema = Tables(s, dir, "lineitem").schema
+    // file streams take a DIRECTORY (they track processed files under it);
+    // the glob filter scopes this one to the lineitem table file(s)
+    val agg = s.readStream.schema(schema)
+      .option("pathGlobFilter", "lineitem.parquet*").parquet(dir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+    val name = "stream_file_src_" + java.lang.Integer.toHexString(dir.hashCode)
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy("l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
+    "stream_file_source" -> fileSource,
     "stream_tumbling" -> tumbling,
     "stream_sliding" -> sliding,
     "stream_session" -> session,
@@ -144,6 +173,9 @@ object Windowed {
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_file_source" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n, ${oSum("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "stream_tumbling" ->
       s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS ws,
          | event_type, COUNT(*) AS n, ${oSum("value")} AS sum_value
