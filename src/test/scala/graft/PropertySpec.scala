@@ -141,4 +141,30 @@ class PropertySpec extends AnyFunSuite {
     }
     check("rename-projection", p, 8)
   }
+
+  test("property: bpe_count codegen == declarative fold on arbitrary vocab-biased strings, with sane bounds") {
+    import org.apache.spark.sql.graft.VecFunctions
+    // bias toward vocab fragments so matches and overlaps actually occur
+    val word: Gen[String] = Gen.listOf(Gen.frequency(
+      3 -> Gen.oneOf("th", "ing", "tion", "er", "e", "t", "a"),
+      2 -> Gen.alphaLowerChar.map(_.toString),
+      1 -> Gen.oneOf("é", "中", "😀", "9", "_"),
+    )).map(_.mkString.take(48))
+    val p = Prop.forAll(Gen.listOfN(24, word)) { (ws: List[String]) =>
+      val nonEmpty = ws.filter(_.nonEmpty)
+      nonEmpty.isEmpty || {
+        import s.implicits._
+        val rows = nonEmpty.toDF("w").select(
+          col("w"),
+          VecFunctions.bpe_count(col("w")).as("fast"),
+          expr(operators.Text.bpeCountExpr("w")).as("fold"),
+          length(col("w")).as("n")).collect()
+        rows.forall { r =>
+          val (fast, fold, n) = (r.getLong(1), r.getLong(2), r.getInt(3).toLong)
+          fast == fold && fast >= (n + 3) / 4 && fast <= n
+        }
+      }
+    }
+    check("bpe-count-equivalence", p, 6)
+  }
 }
