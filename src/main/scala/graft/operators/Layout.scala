@@ -239,7 +239,37 @@ object Layout {
       .orderBy("bkt")
   }
 
+  /** Storage-codec control: the same lineitem projection written parquet-
+    * zstd and parquet-snappy, each read back and aggregated — verifying
+    * codec choice is transparent to query results (and, in LayoutSpec,
+    * that zstd actually lands smaller on disk: the 100 TB storage-cost
+    * lever). The write is the usual one-time layout cost; reads are
+    * normal pushdown-capable scans either way.
+    */
+  private val codecZstd: Q = (s, dir) => {
+    import org.apache.spark.sql.functions._
+    val src = Tables(s, dir, "lineitem")
+      .select("l_orderkey", "l_returnflag", "l_quantity", "l_shipdate")
+    val out = Seq("zstd", "snappy").map { codec =>
+      val path = new java.io.File(codecDir(dir), codec).getAbsolutePath
+      src.write.mode("overwrite").option("compression", codec).parquet(path)
+      s.read.parquet(path)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), graft.Det.dsum(col("l_quantity")).as("sum_qty"))
+        .withColumn("codec", lit(codec))
+    }
+    out.reduce(_ unionAll _)
+      .select("codec", "l_returnflag", "n", "sum_qty")
+      .orderBy("codec", "l_returnflag")
+  }
+
+  /** Stable scratch root for the codec comparison (shared by query + spec). */
+  private[graft] def codecDir(dir: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_codec_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).getAbsolutePath
+
   val queries: Map[String, Q] = Map(
+    "layout_codec_zstd" -> codecZstd,
     "join_dpp" -> joinDpp,
     "join_bloom_runtime" -> joinBloomRuntime,
     "scan_zorder_prune" -> scanZorderPrune,
@@ -247,6 +277,15 @@ object Layout {
   )
 
   val oracles: Map[String, String] = Map(
+    // both codecs must read back the identical data — the oracle is the
+    // source aggregate replicated per codec label
+    "layout_codec_zstd" ->
+      """WITH a AS (SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+        |  FROM lineitem GROUP BY 1)
+        |SELECT codec, l_returnflag, n, sum_qty
+        |FROM a CROSS JOIN (SELECT unnest(['zstd', 'snappy']) AS codec)
+        |ORDER BY codec, l_returnflag""".stripMargin,
     "join_dpp" ->
       s"""WITH m AS (
          |  SELECT strftime(l_shipdate, '%Y-%m') AS ship_month, COUNT(*) AS n_m

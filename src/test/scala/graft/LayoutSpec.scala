@@ -91,6 +91,21 @@ class LayoutSpec extends AnyFunSuite {
     assert(total == Tables(s, dir, "documents").count())
   }
 
+  test("layout_codec_zstd: both codecs read back identically and zstd lands smaller on disk") {
+    val rows = operators.Layout.queries("layout_codec_zstd")(s, dir).collect()
+    val byCodec = rows.groupBy(_.getString(0))
+    assert(byCodec.keySet == Set("zstd", "snappy"))
+    // identical data through either codec
+    assert(byCodec("zstd").map(r => (r.getString(1), r.getLong(2), r.getDouble(3))).toSet ==
+      byCodec("snappy").map(r => (r.getString(1), r.getLong(2), r.getDouble(3))).toSet)
+    def bytes(codec: String): Long = {
+      val d = new java.io.File(operators.Layout.codecDir(dir), codec)
+      d.listFiles().filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    }
+    assert(bytes("zstd") < bytes("snappy"),
+      s"zstd ${bytes("zstd")} B should be < snappy ${bytes("snappy")} B")
+  }
+
   test("agg_bitmap_distinct matches countDistinct exactly") {
     val bm = operators.Relational.queries("agg_bitmap_distinct")(s, dir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
