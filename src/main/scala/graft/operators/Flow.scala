@@ -325,7 +325,30 @@ object Flow {
       .orderBy("o_orderstatus")
   }
 
+  /** First-order Markov transition matrix over per-user event streams:
+    * lag one step in (ts, event_id) order within each user, count the
+    * (prev -> next) pairs, and normalize per source state. One shuffle
+    * keyed by user_id for the lag; the pair counts then collapse
+    * map-side to an O(|event_types|^2) matrix — 25 rows here — so at
+    * 100 TB the scan parallelizes freely and only the tiny matrix moves.
+    * `p` is a single IEEE division of two exact counts, bit-identical in
+    * both engines without decimal routing.
+    */
+  private val markov: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables(s, dir, "events")
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .where(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy("prev_type")).cast("double"))
+      .orderBy("prev_type", "next_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "flow_markov_transitions" -> markov,
     "cdc_incremental_agg" -> incrementalAgg,
     "win_gaps_islands" -> gapsIslands,
     "attribution_last_touch" -> lastTouch,
@@ -339,6 +362,16 @@ object Flow {
   )
 
   val oracles: Map[String, String] = Map(
+    "flow_markov_transitions" ->
+      """WITH l AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |c AS (SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+        |      FROM l WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n,
+        |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+        |FROM c ORDER BY prev_type, next_type""".stripMargin,
     // the full recompute — hash-matching it IS the merge identity
     "cdc_incremental_agg" ->
       """SELECT o_orderstatus, COUNT(*) AS n,

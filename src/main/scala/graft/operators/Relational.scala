@@ -201,6 +201,35 @@ object Relational {
     * exact residual filter — O(n) shuffle, no cross product. The oracle
     * is the plain BETWEEN join, proving the binning preserves semantics.
     */
+  /** Interval-overlap join without a quadratic theta. Each lineitem's
+    * transit window [l_shipdate, ship + (l_orderkey % 45 + 1) days] is
+    * exploded into the calendar months it touches (bounded fan-out:
+    * at most 3 bins for a <=46-day window), then equi-joined to the
+    * audit-month dimension — a month overlaps [s, e] iff it lies
+    * between month(s) and month(e), so the bin join is exact, not a
+    * candidate filter. The oracle states the same semantics as the
+    * naive overlap theta (`ship < m+1mo AND end >= m`); at 100 TB the
+    * theta is a nested-loop over months x rows while this plan is one
+    * generator + a broadcast hash join on the bin key.
+    */
+  private val joinIntervalOverlap: Q = (s, dir) => {
+    val li = Tables(s, dir, "lineitem")
+      .withColumn("t_end",
+        expr("timestampadd(DAY, CAST(l_orderkey % 45 + 1 AS INT), l_shipdate)"))
+    val months = li.select(date_trunc("month", col("l_shipdate")).as("audit_month"))
+      .distinct()
+    li.select(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        explode(sequence(date_trunc("month", col("l_shipdate")),
+          date_trunc("month", col("t_end")), expr("interval 1 month")))
+          .as("audit_month"))
+      .join(broadcast(months), "audit_month")
+      .groupBy("audit_month")
+      .agg(count(lit(1)).as("n_overlap"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy("audit_month")
+  }
+
   private val joinRangeBinned: Q = (s, dir) => {
     val bw = 200.0
     val c = Tables(s, dir, "customer")
@@ -266,6 +295,32 @@ object Relational {
         approx_count_distinct(col("l_partkey")).as("approx"))
       .select(
         col("l_returnflag"), col("exact_nd_part"),
+        (abs(col("approx") - col("exact_nd_part")).cast("double") /
+          col("exact_nd_part") <= 0.05).as("within_5pct"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Apache DataSketches HLL with an explicit two-level merge: partial
+    * sketches per (flag, status) cell (`hll_sketch_agg`), unioned up to
+    * per-flag (`hll_union_agg`) — the mergeable-state pattern a
+    * 1000-executor cluster uses to count distincts without ever moving
+    * raw keys: each executor ships one fixed-size sketch (2^lgK
+    * registers), and coarser re-aggregations (day -> month -> total)
+    * reuse the stored partials instead of rescanning the fact table.
+    * Verified like [[aggApproxDistinct]]: the pinned contract is the
+    * accuracy claim (lgK=14 gives ~0.8% standard error, asserted at 5%),
+    * not the engine-specific register estimate.
+    */
+  private val aggHllUnion: Q = (s, dir) => {
+    val li = Tables(s, dir, "lineitem")
+    val merged = li.groupBy("l_returnflag", "l_linestatus")
+      .agg(hll_sketch_agg(col("l_partkey"), lit(14)).as("sk"))
+      .groupBy("l_returnflag")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("approx"))
+    li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("exact_nd_part"))
+      .join(broadcast(merged), "l_returnflag")
+      .select(col("l_returnflag"), col("exact_nd_part"),
         (abs(col("approx") - col("exact_nd_part")).cast("double") /
           col("exact_nd_part") <= 0.05).as("within_5pct"))
       .orderBy("l_returnflag")
@@ -596,6 +651,8 @@ object Relational {
     "join_anti" -> joinAnti,
     "join_theta" -> joinTheta,
     "join_range_binned" -> joinRangeBinned,
+    "join_interval_overlap" -> joinIntervalOverlap,
+    "agg_hll_union" -> aggHllUnion,
     "agg_hash" -> aggHash,
     "agg_distinct" -> aggDistinct,
     "agg_approx_distinct" -> aggApproxDistinct,
@@ -629,6 +686,26 @@ object Relational {
         |  COUNT(DISTINCT l_partkey) AS exact_nd_part,
         |  TRUE AS within_5pct
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same accuracy-claim contract as agg_approx_distinct (see Scaladoc)
+    "agg_hll_union" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS exact_nd_part,
+        |  TRUE AS within_5pct
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the naive overlap theta — semantically identical to the bin join
+    "join_interval_overlap" ->
+      s"""WITH m AS (SELECT DISTINCT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP)
+         |             AS audit_month
+         |           FROM lineitem),
+         |x AS (SELECT l_quantity, l_extendedprice, l_discount, l_shipdate,
+         |        l_shipdate + (l_orderkey % 45 + 1) * INTERVAL 1 DAY AS t_end
+         |      FROM lineitem)
+         |SELECT m.audit_month, COUNT(*) AS n_overlap,
+         |  ${oSum("l_quantity")} AS sum_qty,
+         |  ${oSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM x JOIN m ON x.l_shipdate < m.audit_month + INTERVAL 1 MONTH
+         |              AND x.t_end >= m.audit_month
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_approx_quantile" ->
       """SELECT l_returnflag, COUNT(*) AS n, TRUE AS rank_within_eps
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
