@@ -231,7 +231,75 @@ object Analytic {
       .orderBy("event_id")
   }
 
+  /** Recency-weighted moving average with dyadic weights (α = 1/2) over a
+    * bounded 8-row frame — the smoothing primitive behind rate monitors
+    * and trend features, made bit-identical cross-engine by staying in
+    * integer arithmetic: values become exact cents, each frame value is
+    * weighted 2^i (i = frame position, current row heaviest), and the
+    * weighted sum + the 2^n−1 normalizer are BIGINTs. The ONLY floating
+    * op is the final single division of two exactly-represented values,
+    * which IEEE 754 rounds identically everywhere. A naive
+    * `sum(x·αᵏ)` of doubles is merge-order-dependent; this is not. One
+    * user_id-keyed exchange, O(frame) state per row — the same shape as
+    * every other events window, embarrassingly parallel at 100 TB.
+    */
+  private val tsEwmaDyadic: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-7, Window.currentRow)
+    Tables(s, dir, "events")
+      .withColumn("cents", expr("CAST(ROUND(value * 100) AS BIGINT)"))
+      .withColumn("hist", collect_list(col("cents")).over(w))
+      .select(col("user_id"), col("event_id"),
+        expr("aggregate(transform(hist, (x, i) -> x * shiftleft(CAST(1 AS BIGINT), i)), CAST(0 AS BIGINT), (a, x) -> a + x)")
+          .as("num_scaled"),
+        expr("shiftleft(CAST(1 AS BIGINT), size(hist)) - 1").as("den_scaled"))
+      .withColumn("ewma",
+        col("num_scaled").cast("double") / (col("den_scaled") * lit(100L)).cast("double"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Spearman rank correlation per group from total-order ranks: exact
+    * duplicate rows are collapsed (the synthetic lineitem has no primary
+    * key), then both variables rank by a 4-column order that is total on
+    * the distinct rows — tie-free, so both engines reproduce it — then
+    * ρ = 1 − 6·Σd²/(n(n²−1)) evaluates in BIGINT up to the final
+    * division (6Σd² ≤ 2n³ fits comfortably at any TPC-H SF this repo
+    * pins). The two row_number windows share one l_returnflag exchange;
+    * the d² sum partial-aggregates map-side, so per 100 TB group only
+    * (n, Σd²) pairs move after the single shuffle. Rank-based
+    * correlation is the outlier-robust complement to agg_regression's
+    * Pearson moments.
+    */
+  private val aggSpearman: Q = (s, dir) => {
+    // the synthetic lineitem is NOT keyed by (orderkey, linenumber) —
+    // exact duplicate rows exist, and row_number over a non-total order
+    // is engine-arbitrary; collapsing exact duplicates makes the
+    // 4-column orders total, so the ranks are reproducible
+    val wq = Window.partitionBy("l_returnflag")
+      .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"))
+    val wp = Window.partitionBy("l_returnflag")
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"))
+    Tables(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"), col("l_orderkey"),
+        col("l_linenumber"), col("l_extendedprice"))
+      .distinct()
+      .select(col("l_returnflag"),
+        row_number().over(wq).cast("bigint").as("rq"),
+        row_number().over(wp).cast("bigint").as("rp"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum((col("rq") - col("rp")) * (col("rq") - col("rp"))).as("s_d2"))
+      .select(col("l_returnflag"), col("n"), col("s_d2"),
+        (lit(1.0) - (col("s_d2") * 6L).cast("double") /
+          (col("n") * (col("n") * col("n") - 1L)).cast("double")).as("rho"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ts_ewma_dyadic" -> tsEwmaDyadic,
+    "agg_spearman" -> aggSpearman,
     "ts_anomaly_mad" -> tsAnomalyMad,
     "win_rank" -> winRank,
     "win_analytic" -> winAnalytic,
@@ -246,6 +314,41 @@ object Analytic {
   )
 
   val oracles: Map[String, String] = Map(
+    // same integer arithmetic; DuckDB lambda index is 1-based, Spark's 0-based
+    "ts_ewma_dyadic" ->
+      """WITH h AS (
+        |  SELECT user_id, event_id,
+        |    list(CAST(round(value * 100) AS BIGINT))
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS hist
+        |  FROM events)
+        |SELECT user_id, event_id,
+        |  CAST(list_sum(list_transform(hist,
+        |    (x, i) -> x * (CAST(1 AS BIGINT) << (i - 1)))) AS BIGINT) AS num_scaled,
+        |  (CAST(1 AS BIGINT) << len(hist)) - 1 AS den_scaled,
+        |  CAST(CAST(list_sum(list_transform(hist,
+        |    (x, i) -> x * (CAST(1 AS BIGINT) << (i - 1)))) AS BIGINT) AS DOUBLE)
+        |    / CAST(((CAST(1 AS BIGINT) << len(hist)) - 1) * 100 AS DOUBLE) AS ewma
+        |FROM h ORDER BY user_id, event_id""".stripMargin,
+    "agg_spearman" ->
+      """WITH d AS (
+        |  SELECT DISTINCT l_returnflag, l_quantity, l_orderkey, l_linenumber,
+        |    l_extendedprice
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT l_returnflag,
+        |    CAST(row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_quantity, l_orderkey, l_linenumber, l_extendedprice)
+        |      AS BIGINT) AS rq,
+        |    CAST(row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber, l_quantity)
+        |      AS BIGINT) AS rp
+        |  FROM d)
+        |SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM((rq - rp) * (rq - rp)) AS BIGINT) AS s_d2,
+        |  1.0 - CAST(CAST(SUM((rq - rp) * (rq - rp)) AS BIGINT) * 6 AS DOUBLE)
+        |    / CAST(COUNT(*) * (COUNT(*) * COUNT(*) - 1) AS DOUBLE) AS rho
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "ts_anomaly_mad" ->
       """WITH med AS (SELECT user_id, quantile_cont(value, 0.5) AS med
         |  FROM events GROUP BY 1),

@@ -326,6 +326,50 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Count-min sketch point-frequency estimates — the third mergeable
+    * sketch family (after HLL distinct and KMV/Misra-Gries): Spark's
+    * codegen'd `count_min_sketch` aggregate builds fixed-size partials
+    * per (flag, status) cell, an executor-side UDF merges the cell
+    * binaries per flag (`CountMinSketch.mergeInPlace` — the public
+    * org.apache.spark.util.sketch API), and probes for suppkeys 1–5 read
+    * the merged sketch. At 100 TB only eps-bounded counter grids cross
+    * the shuffle, never per-key counts, and coarser rollups reuse stored
+    * cell partials. Pinned contract (CMS guarantees, not register
+    * contents): estimates never undercount, and overcount ≤ eps·N —
+    * deterministic here because the seed is fixed.
+    */
+  private val aggCmsHeavy: Q = (s, dir) => {
+    import org.apache.spark.util.sketch.CountMinSketch
+    val li = Tables(s, dir, "lineitem")
+    val partials = li.groupBy("l_returnflag", "l_linestatus")
+      .agg(expr("count_min_sketch(l_suppkey, CAST(0.0001 AS DOUBLE), CAST(0.999 AS DOUBLE), 42)").as("sk"))
+    val mergeCms = udf((sks: Seq[Array[Byte]]) => {
+      val merged = sks.map(b => CountMinSketch.readFrom(new java.io.ByteArrayInputStream(b)))
+        .reduce((a, b) => a.mergeInPlace(b))
+      val bos = new java.io.ByteArrayOutputStream()
+      merged.writeTo(bos)
+      bos.toByteArray
+    })
+    val estCms = udf((sk: Array[Byte], key: Long) =>
+      CountMinSketch.readFrom(new java.io.ByteArrayInputStream(sk)).estimateCount(key))
+    val merged = partials.groupBy("l_returnflag")
+      .agg(mergeCms(collect_list(col("sk"))).as("sk"))
+    val probes = merged
+      .select(col("l_returnflag"), col("sk"),
+        explode(expr("sequence(CAST(1 AS BIGINT), CAST(5 AS BIGINT))")).as("l_suppkey"))
+      .withColumn("est", estCms(col("sk"), col("l_suppkey")))
+    val exact = li.filter(col("l_suppkey").between(1L, 5L))
+      .groupBy("l_returnflag", "l_suppkey").agg(count(lit(1)).as("true_cnt"))
+    val totals = li.groupBy("l_returnflag").agg(count(lit(1)).as("n_rows"))
+    probes.join(exact, Seq("l_returnflag", "l_suppkey"))
+      .join(broadcast(totals), "l_returnflag")
+      .select(col("l_returnflag"), col("l_suppkey"), col("true_cnt"),
+        (col("est") >= col("true_cnt")).as("no_undercount"),
+        ((col("est") - col("true_cnt")).cast("double") <=
+          lit(0.0001) * col("n_rows").cast("double")).as("within_eps"))
+      .orderBy("l_returnflag", "l_suppkey")
+  }
+
   private val aggRollup: Q = (s, dir) => {
     val o = Tables(s, dir, "orders")
     o.rollup("o_orderstatus", "o_orderpriority")
@@ -653,6 +697,7 @@ object Relational {
     "join_range_binned" -> joinRangeBinned,
     "join_interval_overlap" -> joinIntervalOverlap,
     "agg_hll_union" -> aggHllUnion,
+    "agg_cms_heavy" -> aggCmsHeavy,
     "agg_hash" -> aggHash,
     "agg_distinct" -> aggDistinct,
     "agg_approx_distinct" -> aggApproxDistinct,
@@ -686,6 +731,12 @@ object Relational {
         |  COUNT(DISTINCT l_partkey) AS exact_nd_part,
         |  TRUE AS within_5pct
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // CMS guarantee claims (see Scaladoc): never undercounts, overcount <= eps*N
+    "agg_cms_heavy" ->
+      """SELECT l_returnflag, l_suppkey, COUNT(*) AS true_cnt,
+        |  TRUE AS no_undercount, TRUE AS within_eps
+        |FROM lineitem WHERE l_suppkey BETWEEN 1 AND 5
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // same accuracy-claim contract as agg_approx_distinct (see Scaladoc)
     "agg_hll_union" ->
       """SELECT l_returnflag,
