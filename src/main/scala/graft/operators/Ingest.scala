@@ -284,9 +284,39 @@ object Ingest {
       .orderBy("rule")
   }
 
+  /** Order-free table fingerprint — the cross-cluster integrity primitive:
+    * each row canonicalizes to a '|'-joined string of engine-stable
+    * renderings (integers, exact cents, formatted dates — never raw
+    * double-to-string), hashes to a 60-bit md5 prefix, and the per-group
+    * checksum is the pair (bit_xor of hashes, decimal sum of hashes).
+    * Both combiners are commutative+associative, so ANY partitioning of a
+    * 100 TB table yields the identical fingerprint with no sort and one
+    * map-side-combining scan — the cheap way to compare a table across
+    * clusters/engines. XOR alone cancels duplicate-row PAIRS (a⊕a=0);
+    * the decimal SUM (exact at 38 digits: rows·2^60 ≪ 1e38) catches
+    * those, and together with the count the fingerprint distinguishes
+    * every corruption a checksum of this width can.
+    */
+  private val dqChecksum: Q = (s, dir) => {
+    val li = Tables(s, dir, "lineitem")
+      .withColumn("rh", expr(
+        """cast(conv(substr(md5(concat_ws('|',
+          |  cast(l_orderkey as string), cast(l_linenumber as string),
+          |  cast(cast(round(l_quantity * 100) as bigint) as string),
+          |  cast(cast(round(l_extendedprice * 100) as bigint) as string),
+          |  l_returnflag, l_linestatus,
+          |  date_format(l_shipdate, 'yyyy-MM-dd'))), 1, 15), 16, 10) as bigint)""".stripMargin))
+    li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(rh)").as("xor_sig"),
+        sum(col("rh").cast("decimal(38,0)")).as("sum_sig"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
     "dq_profile" -> dqProfile,
     "dq_rules" -> dqRules,
+    "dq_checksum" -> dqChecksum,
     "sink_copy_format" -> sinkCopyFormat,
     "scan_merge_schema" -> scanMergeSchema,
     "scan_dsv2_source" -> scanDsv2,
@@ -307,6 +337,20 @@ object Ingest {
     "l_shipdate")
 
   val oracles: Map[String, String] = Map(
+    "dq_checksum" ->
+      """WITH t AS (
+        |  SELECT l_returnflag,
+        |    CAST(('0x' || substr(md5(concat_ws('|',
+        |      CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
+        |      CAST(CAST(round(l_quantity * 100) AS BIGINT) AS VARCHAR),
+        |      CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR),
+        |      l_returnflag, l_linestatus,
+        |      strftime(l_shipdate, '%Y-%m-%d'))), 1, 15)) AS BIGINT) AS rh
+        |  FROM lineitem)
+        |SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(bit_xor(rh) AS BIGINT) AS xor_sig,
+        |  CAST(SUM(CAST(rh AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sum_sig
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
     "dq_rules" ->
       """WITH o AS (SELECT o_orderkey, o_orderdate,
         |    CASE WHEN o_orderkey % 97 = 0 THEN -o_totalprice ELSE o_totalprice END AS price,

@@ -370,6 +370,53 @@ object Relational {
       .orderBy("l_returnflag", "l_suppkey")
   }
 
+  /** KMV sketch SET OPERATIONS — the reason to keep the bottom-k array
+    * ([[org.apache.spark.sql.graft.KmvSketch]]) and not just the
+    * estimate: two segment sketches (two monthly ship cohorts' part
+    * sets) combine
+    * into union, Jaccard, and intersection estimates with pure array
+    * arithmetic — merged bottom-k, matching fraction, ρ·|A∪B| — without
+    * ever co-shuffling the segments' raw keys. At 100 TB each segment
+    * ships one k-long array and every pairwise overlap question is
+    * answered from stored sketches. Purely set-determined state, so the
+    * DuckDB oracle replays arrays and estimates exactly (same
+    * hash-verified-approximation contract as agg_kmv_distinct).
+    */
+  private val sketchKmvSetops: Q = (s, dir) => {
+    import org.apache.spark.sql.graft.VecFunctions.kmv_sketch
+    // two monthly ship cohorts: partial part-set overlap at every SF
+    // (flag-based segments both cover the whole part domain — Jaccard
+    // would degenerate to 1.0 and never exercise the matching logic)
+    val li = Tables(s, dir, "lineitem")
+      .withColumn("seg", date_format(col("l_shipdate"), "yyyy-MM"))
+      .filter(col("seg").isin("1995-01", "1995-02"))
+      .withColumn("h",
+        expr("cast(conv(substr(md5(cast(l_partkey as string)), 1, 15), 16, 10) as bigint)"))
+    val sk = li.groupBy("seg").agg(kmv_sketch(col("h"), 64).as("sk"))
+    val a = sk.filter(col("seg") === "1995-01").select(col("sk").as("sa"))
+    val b = sk.filter(col("seg") === "1995-02").select(col("sk").as("sb"))
+    val ex = li.groupBy("l_partkey")
+      .agg(max(when(col("seg") === "1995-01", 1).otherwise(0)).as("ia"),
+        max(when(col("seg") === "1995-02", 1).otherwise(0)).as("ib"))
+      .agg(count(lit(1)).as("exact_union"),
+        sum(col("ia") * col("ib")).as("exact_inter"))
+    a.crossJoin(b).crossJoin(ex)
+      .withColumn("sab", slice(array_sort(array_union(col("sa"), col("sb"))), 1, 64))
+      .withColumn("u_est",
+        when(size(col("sab")) < 64, size(col("sab")).cast("double"))
+          .otherwise(lit(63.0) * lit(1152921504606846976.0) /
+            element_at(col("sab"), 64).cast("double")))
+      .withColumn("matches",
+        size(array_intersect(array_intersect(col("sab"), col("sa")), col("sb")))
+          .cast("bigint"))
+      .withColumn("jacc",
+        col("matches").cast("double") / size(col("sab")).cast("double"))
+      .select(lit(64L).as("k"), col("matches"),
+        round(col("u_est"), 4).as("union_est"), col("jacc"),
+        round(col("jacc") * col("u_est"), 4).as("inter_est"),
+        col("exact_union"), col("exact_inter"))
+  }
+
   private val aggRollup: Q = (s, dir) => {
     val o = Tables(s, dir, "orders")
     o.rollup("o_orderstatus", "o_orderpriority")
@@ -698,6 +745,7 @@ object Relational {
     "join_interval_overlap" -> joinIntervalOverlap,
     "agg_hll_union" -> aggHllUnion,
     "agg_cms_heavy" -> aggCmsHeavy,
+    "sketch_kmv_setops" -> sketchKmvSetops,
     "agg_hash" -> aggHash,
     "agg_distinct" -> aggDistinct,
     "agg_approx_distinct" -> aggApproxDistinct,
@@ -731,6 +779,32 @@ object Relational {
         |  COUNT(DISTINCT l_partkey) AS exact_nd_part,
         |  TRUE AS within_5pct
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // exact sketch replay: bottom-64 per segment, KMV merge + estimators
+    "sketch_kmv_setops" ->
+      """WITH s AS (
+        |  SELECT strftime(l_shipdate, '%Y-%m') AS seg, l_partkey
+        |  FROM lineitem WHERE strftime(l_shipdate, '%Y-%m') IN ('1995-01', '1995-02')),
+        |h AS (
+        |  SELECT DISTINCT seg AS f,
+        |    CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM s),
+        |ra AS (SELECT h FROM h WHERE f = '1995-01' ORDER BY h LIMIT 64),
+        |rb AS (SELECT h FROM h WHERE f = '1995-02' ORDER BY h LIMIT 64),
+        |m AS (SELECT h FROM (SELECT h FROM ra UNION SELECT h FROM rb) ORDER BY h LIMIT 64),
+        |st AS (SELECT (SELECT COUNT(*) FROM m) AS msz, (SELECT MAX(h) FROM m) AS kth,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM m JOIN ra USING (h) JOIN rb USING (h)) AS matches),
+        |ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_union,
+        |  CAST(COUNT(*) FILTER (WHERE ia = 1 AND ib = 1) AS BIGINT) AS exact_inter
+        |  FROM (SELECT l_partkey,
+        |      MAX(CASE WHEN seg = '1995-01' THEN 1 ELSE 0 END) AS ia,
+        |      MAX(CASE WHEN seg = '1995-02' THEN 1 ELSE 0 END) AS ib
+        |    FROM s GROUP BY 1)),
+        |u AS (SELECT CASE WHEN msz < 64 THEN CAST(msz AS DOUBLE)
+        |    ELSE 63.0 * 1152921504606846976.0 / CAST(kth AS DOUBLE) END AS u_est,
+        |  matches, CAST(matches AS DOUBLE) / CAST(msz AS DOUBLE) AS jacc FROM st)
+        |SELECT CAST(64 AS BIGINT) AS k, matches, round(u_est, 4) AS union_est,
+        |  jacc, round(jacc * u_est, 4) AS inter_est, exact_union, exact_inter
+        |FROM u, ex""".stripMargin,
     // CMS guarantee claims (see Scaladoc): never undercounts, overcount <= eps*N
     "agg_cms_heavy" ->
       """SELECT l_returnflag, l_suppkey, COUNT(*) AS true_cnt,

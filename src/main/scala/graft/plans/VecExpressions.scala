@@ -312,6 +312,86 @@ object KmvDistinct {
   val HashSpace: Double = math.pow(2.0, 60)
 }
 
+/** The KMV sketch ITSELF (sorted bottom-k hash array) rather than the
+  * collapsed estimate — the form set operations need: two segment
+  * sketches support union (bottom-k of the merged arrays), Jaccard
+  * (matching fraction in the merged sketch) and intersection estimates
+  * without ever co-shuffling the segments' raw keys. Same purely
+  * set-determined state as [[KmvDistinct]], so a DuckDB oracle replays
+  * the array — and everything derived from it — exactly.
+  */
+case class KmvSketch(
+    child: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+  with ImplicitCastInputTypes
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  require(k >= 2, "kmv_sketch needs k >= 2")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "kmv_sketch"
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  override def update(
+      b: java.util.TreeSet[java.lang.Long],
+      input: org.apache.spark.sql.catalyst.InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      b.add(v.asInstanceOf[Long])
+      if (b.size > k) b.pollLast()
+    }
+    b
+  }
+
+  override def merge(
+      b: java.util.TreeSet[java.lang.Long],
+      o: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = o.iterator()
+    while (it.hasNext) {
+      b.add(it.next())
+      if (b.size > k) b.pollLast()
+    }
+    b
+  }
+
+  override def eval(b: java.util.TreeSet[java.lang.Long]): Any = {
+    val arr = new Array[Long](b.size)
+    val it = b.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  override def serialize(b: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * b.size)
+    val it = b.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val b = createAggregationBuffer()
+    while (bb.remaining() >= 8) b.add(bb.getLong())
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvSketch =
+    copy(child = newChild)
+}
+
 /** Misra-Gries heavy-hitter sketch over a string column, as a mergeable
   * TypedImperativeAggregate. State is at most k (item, count) pairs;
   * update decrements all counters when a new item overflows the capacity,
@@ -504,6 +584,10 @@ object VecFunctions {
     ExpressionUtils.column(
       KmvDistinct(ex(hash), k).toAggregateExpression(isDistinct = false))
 
+  def kmv_sketch(hash: Column, k: Int): Column =
+    ExpressionUtils.column(
+      KmvSketch(ex(hash), k).toAggregateExpression(isDistinct = false))
+
   def misra_gries(item: Column, k: Int): Column =
     ExpressionUtils.column(
       MisraGries(ex(item), k).toAggregateExpression(isDistinct = false))
@@ -523,6 +607,8 @@ object VecFunctions {
     // aggregates return the bare AggregateFunction — the analyzer wraps
     // it in AggregateExpression (and owns DISTINCT/FILTER handling)
     "kmv_distinct" -> (args => KmvDistinct(args(0),
+      args(1).eval(null).asInstanceOf[Int])),
+    "kmv_sketch" -> (args => KmvSketch(args(0),
       args(1).eval(null).asInstanceOf[Int])),
     "misra_gries" -> (args => MisraGries(args(0),
       args(1).eval(null).asInstanceOf[Int])),
