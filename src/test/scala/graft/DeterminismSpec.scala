@@ -29,6 +29,13 @@ class DeterminismSpec extends AnyFunSuite {
     "text_vocab_encode",   // global id window + ordered reassembly
     "emb_assign_nearest",  // argmax over float cosines with cell tiebreak
     "ts_anomaly_mad",      // percentile interpolation + round6'd threshold
+    "agg_hll_union",       // DataSketches two-level union must not break the claim
+    "agg_cms_heavy",       // CMS partial merge order; fixed seed
+    "sketch_kmv_setops",   // merged bottom-k arrays + estimator arithmetic
+    "ts_ewma_dyadic",      // integer dyadic weights; one final IEEE division
+    "agg_spearman",        // total-order ranks after duplicate collapse
+    "dq_checksum",         // commutative combiners under any partitioning
+    "flow_markov_transitions", // lag window + exact-count division
   )
 
   underTest.foreach { name =>
