@@ -220,7 +220,58 @@ object Sim {
       .orderBy("vec_id")
   }
 
+  /** One full k-means Lloyd iteration (assign → centroid update →
+    * re-assign), made bit-deterministic under ANY partitioning: vector
+    * components quantize to integer-valued doubles (×2^20, exact
+    * half-away rounding in both engines), so the centroid-update
+    * per-dimension SUMS are exact integers < 2^53 — order-free, unlike a
+    * raw double mean whose value depends on shuffle merge order. Both
+    * centroid forms skip division entirely (cosine is scale-invariant:
+    * midrange as min+max, updated centroid as the component sum), and
+    * the cosine argmax ties break on cell id. The dots/norms are
+    * fixed-order sequential sums (codegen'd vec_dot; DuckDB list_sum
+    * replays the same order — the contract every sim_* query already
+    * pins). At 100 TB this is the canonical iterative-ML shape: centroids
+    * broadcast, the corpus streams once per half-iteration, and the
+    * update shuffles only (cell, dim, sum) triples. SCALE BOUND: exact
+    * sums need n_cell·2^20 < 2^53 (n per cell < 2^33) — any real corpus
+    * qualifies; rescale the quantum if not.
+    */
+  private val kmeansIter: Q = (s, dir) => {
+    val e = vectors(s, dir)
+      .withColumn("x", expr("transform(v, t -> cast(round(t * 1048576.0) as double))"))
+      .withColumn("xn", sqrt(vec_dot(col("x"), col("x"))))
+      .select(col("vec_id"), col("label"), col("x"), col("xn"))
+    def toArr(df: DataFrame, cellCol: String): DataFrame =
+      df.groupBy(cellCol)
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cx))), p -> p.cx)").as("cv"))
+        .withColumn("cn", sqrt(vec_dot(col("cv"), col("cv"))))
+    def assign(cents: DataFrame, cellCol: String, outCol: String) =
+      e.crossJoin(broadcast(cents))
+        .withColumn("ccos", vec_dot(col("x"), col("cv")) / (col("xn") * col("cn")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("ccos").desc, col(cellCol))))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col(cellCol).as(outCol), col("ccos").as(outCol + "_cos"))
+    val c1 = toArr(
+      e.select(col("label"), posexplode(col("x")))
+        .groupBy("label", "pos").agg((min(col("col")) + max(col("col"))).as("cx"))
+        .select(col("label").as("cell1"), col("pos"), col("cx")), "cell1")
+    val a1 = assign(c1, "cell1", "cell_1")
+    val c2 = toArr(
+      a1.join(e, "vec_id").select(col("cell_1"), posexplode(col("x")))
+        .groupBy("cell_1", "pos").agg(sum(col("col")).as("cx"))
+        .select(col("cell_1").as("cell2"), col("pos"), col("cx")), "cell2")
+    val a2 = assign(c2, "cell2", "cell_2")
+    a1.join(a2, "vec_id")
+      .select(col("vec_id"), col("cell_1"), col("cell_2"),
+        (col("cell_1") =!= col("cell_2")).as("moved"),
+        round(col("cell_2_cos"), 6).as("cos_after"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "emb_kmeans_iter" -> kmeansIter,
     "emb_assign_nearest" -> assignNearest,
     "sim_cosine_topk" -> bruteTopk,
     "sim_cosine_topk_lsh" -> lshTopk,
@@ -283,6 +334,39 @@ object Sim {
   }
 
   val oracles: Map[String, String] = Map(
+    // full Lloyd-step replay on the same ×2^20 integer quantization
+    "emb_kmeans_iter" ->
+      """WITH x AS (
+        |  SELECT vec_id, label,
+        |    list_transform(CAST(embedding AS DOUBLE[]), t -> round(t * 1048576.0)) AS x
+        |  FROM embeddings),
+        |xn AS (SELECT vec_id, label, x,
+        |  sqrt(list_sum(list_transform(x, t -> t * t))) AS xn FROM x),
+        |c1d AS (SELECT label, i, MIN(x[i]) + MAX(x[i]) AS cx
+        |        FROM x, range(1, 65) t(i) GROUP BY 1, 2),
+        |c1 AS (SELECT cell1, cv, sqrt(list_sum(list_transform(cv, t -> t * t))) AS cn
+        |       FROM (SELECT label AS cell1, list(cx ORDER BY i) AS cv FROM c1d GROUP BY 1)),
+        |a1 AS (SELECT vec_id, cell1 AS cell_1, x, xn FROM (
+        |  SELECT xn.vec_id, c1.cell1, xn.x, xn.xn,
+        |    row_number() OVER (PARTITION BY xn.vec_id ORDER BY
+        |      list_sum(list_transform(range(64), i -> xn.x[i+1] * c1.cv[i+1]))
+        |        / (xn.xn * c1.cn) DESC, c1.cell1) AS rk
+        |  FROM xn CROSS JOIN c1) WHERE rk = 1),
+        |c2d AS (SELECT cell_1, i, SUM(x[i]) AS cx
+        |        FROM a1, range(1, 65) t(i) GROUP BY 1, 2),
+        |c2 AS (SELECT cell2, cv, sqrt(list_sum(list_transform(cv, t -> t * t))) AS cn
+        |       FROM (SELECT cell_1 AS cell2, list(cx ORDER BY i) AS cv FROM c2d GROUP BY 1)),
+        |a2 AS (SELECT vec_id, cell2 AS cell_2, ccos FROM (
+        |  SELECT xn.vec_id, c2.cell2,
+        |    list_sum(list_transform(range(64), i -> xn.x[i+1] * c2.cv[i+1]))
+        |      / (xn.xn * c2.cn) AS ccos,
+        |    row_number() OVER (PARTITION BY xn.vec_id ORDER BY
+        |      list_sum(list_transform(range(64), i -> xn.x[i+1] * c2.cv[i+1]))
+        |        / (xn.xn * c2.cn) DESC, c2.cell2) AS rk
+        |  FROM xn CROSS JOIN c2) WHERE rk = 1)
+        |SELECT a1.vec_id, a1.cell_1, a2.cell_2, a1.cell_1 <> a2.cell_2 AS moved,
+        |  round(a2.ccos, 6) AS cos_after
+        |FROM a1 JOIN a2 USING (vec_id) ORDER BY vec_id""".stripMargin,
     "emb_assign_nearest" ->
       s"""WITH $oIvfCte
          |SELECT vec_id, cell AS assigned_cell, round(ccos, 6) AS cos_to_centroid FROM (
