@@ -270,7 +270,51 @@ object Sim {
       .orderBy("vec_id")
   }
 
+  /** Product quantization encode — the 32× compression path under
+    * IVF-PQ at ANN scale: 64 dims split into 8 subspaces of 8; per
+    * subspace the codebook is the per-label midrange subvector (10
+    * deterministic codewords — a trained codebook would slot in
+    * unchanged), each subvector snaps to its nearest codeword by
+    * squared L2 (ties on label id), and a vector becomes 8 single-byte
+    * codes. Output pins the codes and the reconstruction cosine — the
+    * fidelity a PQ index actually trades on. 256 B of floats → 8 B of
+    * codes per vector; at 100 TB the codebook broadcasts and encode is
+    * one corpus stream, no shuffle beyond the per-vector regroup.
+    * All distances are fixed-order sequential double sums (the
+    * cross-engine contract every sim_* query pins); the codebook
+    * midranges are single exact ops (min+max, halving).
+    */
+  private val pqEncode: Q = (s, dir) => {
+    val e = vectors(s, dir)
+    val cb = e.select(col("label"), posexplode(col("v")))
+      .groupBy("label", "pos").agg(((min(col("col")) + max(col("col"))) / 2).as("cx"))
+      .withColumn("sub", expr("pos DIV 8"))
+      .groupBy("sub", "label")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cx))), p -> p.cx)").as("cw"))
+    val subs = e.select(col("vec_id"), col("v"), explode(expr("sequence(0, 7)")).as("sub"))
+      .withColumn("sv", expr("slice(v, sub * 8 + 1, 8)"))
+    val best = subs.join(broadcast(cb), "sub")
+      .withColumn("d2", expr(
+        "aggregate(zip_with(sv, cw, (a, b) -> (a - b) * (a - b)), 0.0D, (acc, t) -> acc + t)"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id", "sub").orderBy(col("d2").asc, col("label"))))
+      .filter(col("rk") === 1)
+    val enc = best.groupBy("vec_id")
+      .agg(
+        expr("array_join(transform(array_sort(collect_list(struct(sub, label))), p -> cast(p.label as string)), ',')")
+          .as("codes"),
+        expr("flatten(transform(array_sort(collect_list(struct(sub, cw))), p -> p.cw))")
+          .as("recon"))
+    enc.join(e, "vec_id")
+      .withColumn("recon_cos", round(
+        vec_dot(col("v"), col("recon")) /
+          (col("nrm") * sqrt(vec_dot(col("recon"), col("recon")))), 6))
+      .select(col("vec_id"), col("codes"), col("recon_cos"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "emb_pq_encode" -> pqEncode,
     "emb_kmeans_iter" -> kmeansIter,
     "emb_assign_nearest" -> assignNearest,
     "sim_cosine_topk" -> bruteTopk,
@@ -334,6 +378,31 @@ object Sim {
   }
 
   val oracles: Map[String, String] = Map(
+    // PQ replay: midrange codebook, per-subspace L2 snap, reconstruction
+    "emb_pq_encode" ->
+      """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+        |  sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+        |  FROM embeddings),
+        |md AS (SELECT label, i, (MIN(v[i]) + MAX(v[i])) / 2 AS cx
+        |       FROM v, range(1, 65) t(i) GROUP BY 1, 2),
+        |cb AS (SELECT CAST((i - 1) // 8 AS BIGINT) AS sub, label, list(cx ORDER BY i) AS cw
+        |       FROM md GROUP BY 1, 2),
+        |sv AS (SELECT vec_id, s.sub, v[s.sub * 8 + 1 : s.sub * 8 + 8] AS sv
+        |       FROM v, (SELECT unnest(range(8)) AS sub) s),
+        |sc AS (SELECT sv.vec_id, sv.sub, cb.label AS code, cb.cw,
+        |  row_number() OVER (PARTITION BY sv.vec_id, sv.sub ORDER BY
+        |    list_sum(list_transform(range(8),
+        |      k -> (sv.sv[k+1] - cb.cw[k+1]) * (sv.sv[k+1] - cb.cw[k+1]))) ASC,
+        |    cb.label) AS rk
+        |  FROM sv JOIN cb USING (sub)),
+        |enc AS (SELECT vec_id,
+        |    string_agg(CAST(code AS VARCHAR), ',' ORDER BY sub) AS codes,
+        |    flatten(list(cw ORDER BY sub)) AS recon
+        |  FROM sc WHERE rk = 1 GROUP BY 1)
+        |SELECT enc.vec_id, enc.codes,
+        |  round(list_sum(list_transform(range(64), i -> v.v[i+1] * enc.recon[i+1]))
+        |    / (v.nrm * sqrt(list_sum(list_transform(enc.recon, x -> x * x)))), 6) AS recon_cos
+        |FROM enc JOIN v USING (vec_id) ORDER BY vec_id""".stripMargin,
     // full Lloyd-step replay on the same ×2^20 integer quantization
     "emb_kmeans_iter" ->
       """WITH x AS (
