@@ -36,6 +36,8 @@ class DeterminismSpec extends AnyFunSuite {
     "agg_spearman",        // total-order ranks after duplicate collapse
     "dq_checksum",         // commutative combiners under any partitioning
     "flow_markov_transitions", // lag window + exact-count division
+    "emb_kmeans_iter",     // integer-quantized centroid sums under any partitioning
+    "emb_pq_encode",       // codebook snap ties + fixed-order distance sums
   )
 
   underTest.foreach { name =>
