@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over relational data: triangle counting on the
@@ -177,13 +178,65 @@ object Graph {
     dist.select(col("x").as("part"), col("dist").as("hops")).orderBy("part")
   }
 
+  /** Synchronous label propagation (2 rounds) — community detection with
+    * every nondeterminism squeezed out: labels start as node ids, each
+    * round every node adopts the most frequent neighbor label with an
+    * explicit (count DESC, label ASC) tie-break — the asynchronous/
+    * random-order variants of LPA are irreproducible by construction,
+    * this one is a pure function of the graph. Same Pregel shape as
+    * [[pagerank]]: the cached src-partitioned adjacency never reshuffles;
+    * each round moves only the node-sized label table, and the new label
+    * is one hash-agg + one argmax window keyed on the node. Rounds are
+    * localCheckpointed so the lineage (and the plan the driver compiles)
+    * stays flat however many rounds run.
+    */
+  private val lpa: Q = (s, dir) => {
+    val adj = adjacency(s, dir)
+    var labels = adj.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .coalesce(4).localCheckpoint()
+    for (_ <- 1 to 2) {
+      val counts = adj.join(labels, adj("dst") === labels("node"))
+        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
+      labels = counts.withColumn("rk", row_number().over(
+          Window.partitionBy("src").orderBy(col("c").desc, col("lbl").asc)))
+        .filter(col("rk") === 1)
+        .select(col("src").as("node"), col("lbl"))
+        .coalesce(4).localCheckpoint()
+    }
+    val sizes = labels.groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("csize"))
+    labels.join(sizes, col("lbl") === col("community"))
+      .select(col("node"), col("lbl"), col("csize"))
+      .orderBy("node")
+  }
+
   val queries: Map[String, Q] = Map(
     "graph_triangles" -> triangles,
     "graph_pagerank" -> pagerank,
     "graph_bfs_khop" -> bfs,
+    "graph_label_prop" -> lpa,
   )
 
   val oracles: Map[String, String] = Map(
+    // two unrolled synchronous rounds with the same (count DESC, lbl ASC)
+    // argmax; QUALIFY keeps each round a single select
+    "graph_label_prop" ->
+      """WITH pl AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p),
+        |adj AS (SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v, u FROM e0),
+        |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM adj),
+        |c1 AS (SELECT adj.src, l0.lbl, COUNT(*) AS c FROM adj
+        |       JOIN l0 ON adj.dst = l0.node GROUP BY 1, 2),
+        |l1 AS (SELECT src AS node, lbl FROM c1
+        |       QUALIFY row_number() OVER (PARTITION BY src ORDER BY c DESC, lbl ASC) = 1),
+        |c2 AS (SELECT adj.src, l1.lbl, COUNT(*) AS c FROM adj
+        |       JOIN l1 ON adj.dst = l1.node GROUP BY 1, 2),
+        |l2 AS (SELECT src AS node, lbl FROM c2
+        |       QUALIFY row_number() OVER (PARTITION BY src ORDER BY c DESC, lbl ASC) = 1),
+        |sz AS (SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS csize FROM l2 GROUP BY 1)
+        |SELECT l2.node, l2.lbl, sz.csize FROM l2 JOIN sz ON l2.lbl = sz.community
+        |ORDER BY l2.node""".stripMargin,
     "graph_bfs_khop" ->
       """WITH RECURSIVE
         |pl AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

@@ -179,7 +179,61 @@ object Udf {
       .orderBy("event_id")
   }
 
+  /** NEAREST as-of (either direction, bounded tolerance) — the third
+    * member of the as-of family: each `error` event pairs with the SAME
+    * user's nearest `purchase` within 6 hours, whichever side of it.
+    * Composed from both directional emulations over ONE union: the two
+    * windows share the user_id partitioning (one key exchange + a
+    * re-sort), then exact integer µs deltas (`unix_micros`) pick the
+    * closer candidate — ties prefer the backward one, matching ASOF
+    * conventions. Tie-breaks inside a direction follow the directional
+    * queries (backward: latest, largest event_id; forward: earliest,
+    * smallest). At 100 TB this is still a single-shuffle shape; the
+    * tolerance bounds how stale a pairing can be, turning the
+    * unmatchable rows into explicit NULLs instead of 26-year-old joins.
+    */
+  private val joinAsofNearest: Q = (s, dir) => {
+    val e = Tables(s, dir, "events")
+    val errs = e.filter(col("event_type") === "error").select(
+      col("user_id").as("k"), col("ts").as("t"), lit(1).as("side"),
+      col("event_id"), lit(null).cast("long").as("p_id"),
+      lit(null).cast("double").as("p_value"))
+    val purch = e.filter(col("event_type") === "purchase").select(
+      col("user_id").as("k"), col("ts").as("t"), lit(0).as("side"),
+      lit(null).cast("long").as("event_id"),
+      col("event_id").as("p_id"), col("value").as("p_value"))
+    val wb = Window.partitionBy("k").orderBy(col("t"), col("side"), col("p_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy("k").orderBy(col("t"), col("side").desc, col("p_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val tol = 21600000000L // 6 h in µs
+    errs.unionAll(purch)
+      .withColumn("prev_id", last(col("p_id"), ignoreNulls = true).over(wb))
+      .withColumn("prev_val", last(col("p_value"), ignoreNulls = true).over(wb))
+      .withColumn("prev_t", last(when(col("side") === 0, col("t")), ignoreNulls = true).over(wb))
+      .withColumn("next_id", first(col("p_id"), ignoreNulls = true).over(wf))
+      .withColumn("next_val", first(col("p_value"), ignoreNulls = true).over(wf))
+      .withColumn("next_t", first(when(col("side") === 0, col("t")), ignoreNulls = true).over(wf))
+      .filter(col("side") === 1)
+      .withColumn("dprev", expr("unix_micros(t) - unix_micros(prev_t)"))
+      .withColumn("dnext", expr("unix_micros(next_t) - unix_micros(t)"))
+      .withColumn("use_prev",
+        col("dprev").isNotNull && col("dprev") <= tol &&
+          (col("dnext").isNull || col("dnext") > tol || col("dprev") <= col("dnext")))
+      .withColumn("use_next",
+        !col("use_prev") && col("dnext").isNotNull && col("dnext") <= tol)
+      .select(col("event_id"), col("k").as("user_id"),
+        when(col("use_prev"), col("prev_id")).when(col("use_next"), col("next_id"))
+          .as("near_purchase_id"),
+        when(col("use_prev"), col("prev_val")).when(col("use_next"), col("next_val"))
+          .as("near_value"),
+        when(col("use_prev"), col("dprev")).when(col("use_next"), col("dnext"))
+          .as("dt_us"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "join_asof_nearest" -> joinAsofNearest,
     "fn_udf_scalar" -> udfScalar,
     "agg_udaf_geomean" -> udafGeomean,
     "fn_udtf_bigrams" -> udtfBigrams,
@@ -189,6 +243,22 @@ object Udf {
   )
 
   val oracles: Map[String, String] = Map(
+    // declarative nearest-within-tolerance; tie order mirrors the window
+    // emulation (closer first, then backward, then the directional id rule)
+    "join_asof_nearest" ->
+      """SELECT e.event_id, e.user_id, o.p_id AS near_purchase_id,
+        |  o.p_value AS near_value, o.adt AS dt_us
+        |FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |LEFT JOIN LATERAL (
+        |  SELECT p.event_id AS p_id, p.value AS p_value,
+        |    abs(epoch_us(p.ts) - epoch_us(e.ts)) AS adt
+        |  FROM events p
+        |  WHERE p.event_type = 'purchase' AND p.user_id = e.user_id
+        |    AND abs(epoch_us(p.ts) - epoch_us(e.ts)) <= 21600000000
+        |  ORDER BY adt ASC, CASE WHEN p.ts <= e.ts THEN 0 ELSE 1 END ASC,
+        |    CASE WHEN p.ts <= e.ts THEN -p.event_id ELSE p.event_id END ASC
+        |  LIMIT 1) o ON true
+        |ORDER BY e.event_id""".stripMargin,
     "fn_udf_scalar" ->
       """SELECT p_partkey, p_name,
         | trim(regexp_replace(lower(p_name), '[^a-z0-9]+', '-', 'g'), '-') AS slug
