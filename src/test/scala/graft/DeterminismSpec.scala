@@ -38,6 +38,8 @@ class DeterminismSpec extends AnyFunSuite {
     "flow_markov_transitions", // lag window + exact-count division
     "emb_kmeans_iter",     // integer-quantized centroid sums under any partitioning
     "emb_pq_encode",       // codebook snap ties + fixed-order distance sums
+    "join_asof_nearest",   // dual-window nearest choice on integer microsecond deltas
+    "graph_label_prop",    // synchronous rounds + explicit argmax tie-break
   )
 
   underTest.foreach { name =>
