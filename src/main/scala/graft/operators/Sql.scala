@@ -162,7 +162,50 @@ object Sql {
       .orderBy("segment")
   }
 
+  /** SQL UNPIVOT clause (wide → long in the parser, not a stack() call):
+    * the relational-reshape surface SQL users expect. Catalyst plans it
+    * as the same Expand a stack() projection gets — one scan, rows × 3
+    * out — so the syntax is free at scale.
+    */
+  private val sqlUnpivot: Q = (s, dir) => {
+    val o = view(s, dir, "orders")
+    s.sql(
+      s"""SELECT o_orderstatus, metric, val
+         |FROM (
+         |  SELECT o_orderstatus,
+         |    CAST(COUNT(*) AS BIGINT) AS n_total,
+         |    CAST(COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent,
+         |    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust
+         |  FROM $o GROUP BY o_orderstatus)
+         |UNPIVOT (val FOR metric IN (n_total, n_urgent, n_cust))
+         |ORDER BY o_orderstatus, metric""".stripMargin)
+  }
+
+  /** SQL PIVOT clause with MULTIPLE aggregates per cell — long → wide in
+    * the parser. Money pivots in exact integer cents (a double SUM per
+    * cell would be merge-order-dependent); empty cells coalesce to 0 on
+    * both engines (Spark pivot yields NULL, DuckDB FILTER COUNT yields 0
+    * — the r2 pivot lesson). The explicit value list avoids the
+    * distinct-values pre-scan a dynamic pivot pays at 100 TB.
+    */
+  private val sqlPivot: Q = (s, dir) => {
+    val o = view(s, dir, "orders")
+    s.sql(
+      s"""SELECT o_orderstatus,
+         |  coalesce(urgent_n, 0L) AS urgent_n,
+         |  coalesce(urgent_cents, 0L) AS urgent_cents,
+         |  coalesce(high_n, 0L) AS high_n,
+         |  coalesce(high_cents, 0L) AS high_cents
+         |FROM (SELECT o_orderstatus, o_orderpriority,
+         |        CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM $o)
+         |PIVOT (COUNT(*) AS n, SUM(cents) AS cents
+         |       FOR o_orderpriority IN ('1-URGENT' AS urgent, '2-HIGH' AS high))
+         |ORDER BY o_orderstatus""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "sql_unpivot" -> sqlUnpivot,
+    "sql_pivot_multi" -> sqlPivot,
     "sql_group_by_all" -> groupByAll,
     "fn_collation_lcase" -> collationLcase,
     "sql_q3_shipping" -> q3Shipping,
@@ -173,6 +216,28 @@ object Sql {
   )
 
   val oracles: Map[String, String] = Map(
+    "sql_unpivot" ->
+      """WITH w AS (
+        |  SELECT o_orderstatus,
+        |    CAST(COUNT(*) AS BIGINT) AS n_total,
+        |    CAST(COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent,
+        |    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust
+        |  FROM orders GROUP BY o_orderstatus)
+        |SELECT o_orderstatus, 'n_total' AS metric, n_total AS val FROM w
+        |UNION ALL
+        |SELECT o_orderstatus, 'n_urgent', n_urgent FROM w
+        |UNION ALL
+        |SELECT o_orderstatus, 'n_cust', n_cust FROM w
+        |ORDER BY o_orderstatus, metric""".stripMargin,
+    "sql_pivot_multi" ->
+      """SELECT o_orderstatus,
+        |  CAST(COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS urgent_n,
+        |  CAST(COALESCE(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+        |    FILTER (WHERE o_orderpriority = '1-URGENT'), 0) AS BIGINT) AS urgent_cents,
+        |  CAST(COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS BIGINT) AS high_n,
+        |  CAST(COALESCE(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+        |    FILTER (WHERE o_orderpriority = '2-HIGH'), 0) AS BIGINT) AS high_cents
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "sql_group_by_all" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
