@@ -116,6 +116,48 @@ class PlanEvidenceSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(scans <= 1, s"expected a single orders scan, got $scans:\n$p")
   }
 
+  test("flow_markov_transitions shuffles once on user_id; the matrix agg partial-aggregates map-side") {
+    val df = operators.Flow.queries("flow_markov_transitions")(s, dir)
+    val p = planString(df).split("== Initial Plan ==").head
+    // one user_id exchange for the lag window; the pair-count agg and the
+    // per-source normalizing window ride on top of tiny intermediates
+    assert(p.contains("partial_count"), s"pair counts must map-side combine:\n$p")
+    val userExchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(userExchanges == 1, s"expected one user_id exchange, got $userExchanges:\n$p")
+  }
+
+  test("join_interval_overlap plans a bounded Generate + broadcast bin join, no theta") {
+    val df = operators.Relational.queries("join_interval_overlap")(s, dir)
+    val p = planString(df).split("== Initial Plan ==").head
+    assert(p.contains("Generate explode"), s"month-bin explode missing:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"bin join should broadcast:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop theta crept back in:\n$p")
+  }
+
+  test("join_asof_nearest shuffles once: both directional windows share the user_id exchange") {
+    val df = operators.Udf.queries("join_asof_nearest")(s, dir)
+    val p = planString(df).split("== Initial Plan ==").head
+    val hashExchanges = "Exchange hashpartitioning\\(k".r.findAllIn(p).size
+    assert(hashExchanges == 1,
+      s"expected one shared k exchange for both windows, got $hashExchanges:\n$p")
+    assert(!p.contains("Join"), s"nearest must stay a window shape, not a join:\n$p")
+  }
+
+  test("dq_checksum is one scan with map-side-combining fingerprint partials") {
+    val df = operators.Ingest.queries("dq_checksum")(s, dir)
+    val p = planString(df).split("== Initial Plan ==").head
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"fingerprint must be a single pass, got $scans scans:\n$p")
+    assert(p.contains("partial_"), s"combiners must partial-aggregate:\n$p")
+  }
+
+  test("emb_pq_encode broadcasts the codebook; no corpus shuffle before the snap") {
+    val df = operators.Sim.queries("emb_pq_encode")(s, dir)
+    val p = planString(df).split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"), s"codebook should broadcast:\n$p")
+  }
+
   test("AQE re-plans a small sort-merge join into a broadcast join") {
     import org.apache.spark.sql.functions._
     val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
