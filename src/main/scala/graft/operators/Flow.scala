@@ -347,7 +347,50 @@ object Flow {
       .orderBy("prev_type", "next_type")
   }
 
+  /** Point-in-time (PIT) lookup against an SCD2 dimension — the query
+    * CDC exists to serve: account state changes (signup/error events,
+    * consecutive duplicates collapsed) become validity versions, and
+    * each purchase reads the version in force AT ITS TIMESTAMP — never a
+    * later one (the leakage a plain latest-value join commits, and the
+    * correctness rule feature stores call PIT). Executed as a backward
+    * as-of over ONE union: dimension rows sort before probes at equal
+    * ts, `last(... ignoreNulls)` carries the in-force version's
+    * attributes forward, purchases before any state row surface NULLs.
+    * One user_id exchange at any scale — interval containment needs no
+    * range join because SCD2 validity is gapless by construction.
+    */
+  private val pitScd2: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(s, dir, "events")
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val dim = e.filter(col("event_type").isin("signup", "error"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .withColumn("version", row_number().over(byUser).cast("long"))
+      .select(col("user_id").as("k"), col("ts").as("t"), lit(0).as("side"),
+        lit(null).cast("long").as("event_id"),
+        col("event_type").as("state_type"), col("version"))
+    val probes = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("k"), col("ts").as("t"), lit(1).as("side"),
+        col("event_id"), lit(null).cast("string").as("state_type"),
+        lit(null).cast("long").as("version"))
+    val w = Window.partitionBy("k").orderBy(col("t"), col("side"), col("version"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    probes.unionAll(dim)
+      .withColumn("pit_type", last(col("state_type"), ignoreNulls = true).over(w))
+      .withColumn("pit_version", last(col("version"), ignoreNulls = true).over(w))
+      .withColumn("pit_from",
+        last(when(col("side") === 0, col("t")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("k").as("user_id"),
+        col("pit_type"), col("pit_version"),
+        date_format(col("pit_from"), "yyyy-MM-dd HH:mm:ss").as("valid_from"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "join_pit_scd2" -> pitScd2,
     "flow_markov_transitions" -> markov,
     "cdc_incremental_agg" -> incrementalAgg,
     "win_gaps_islands" -> gapsIslands,
@@ -362,6 +405,24 @@ object Flow {
   )
 
   val oracles: Map[String, String] = Map(
+    // declarative PIT: latest dim version with valid_from <= probe ts
+    "join_pit_scd2" ->
+      """WITH st AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events WHERE event_type IN ('signup', 'error')),
+        |dim AS (
+        |  SELECT user_id, ts, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version
+        |  FROM st WHERE prev IS NULL OR prev <> event_type),
+        |p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, d.event_type AS pit_type,
+        |  d.version AS pit_version, strftime(d.ts, '%Y-%m-%d %H:%M:%S') AS valid_from
+        |FROM p LEFT JOIN LATERAL (
+        |  SELECT event_type, version, ts FROM dim
+        |  WHERE dim.user_id = p.user_id AND dim.ts <= p.ts
+        |  ORDER BY dim.ts DESC, dim.version DESC LIMIT 1) d ON true
+        |ORDER BY p.event_id""".stripMargin,
     "flow_markov_transitions" ->
       """WITH l AS (
         |  SELECT user_id, event_type,
