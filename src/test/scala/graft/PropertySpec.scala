@@ -167,4 +167,46 @@ class PropertySpec extends AnyFunSuite {
     }
     check("bpe-count-equivalence", p, 6)
   }
+
+  test("property: kmv_sketch is partition-invariant and equals the true bottom-k set") {
+    import org.apache.spark.sql.graft.VecFunctions
+    val hashes: Gen[List[Long]] =
+      Gen.listOfN(200, Gen.chooseNum(0L, 1L << 60)).map(_.distinct)
+    val p = Prop.forAll(hashes, Gen.chooseNum(1, 32)) { (hs: List[Long], parts: Int) =>
+      hs.nonEmpty && {
+        import s.implicits._
+        val k = 16
+        // the sketch is a pure function of the SET: any repartitioning
+        // (merge order) must produce the same sorted bottom-k array
+        val arr = hs.toDF("h").repartition(parts)
+          .agg(VecFunctions.kmv_sketch(col("h"), k).as("sk"))
+          .collect()(0).getSeq[Long](0)
+        arr == hs.sorted.take(k)
+      }
+    }
+    check("kmv-sketch-bottom-k", p, 8)
+  }
+
+  test("property: dyadic EWMA window fold equals a reference Scala recomputation") {
+    val cents: Gen[List[Long]] = Gen.listOfN(30, Gen.chooseNum(-100000L, 100000L))
+    val p = Prop.forAll(cents) { (cs: List[Long]) =>
+      cs.nonEmpty && {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.orderBy("i").rowsBetween(-7, Window.currentRow)
+        val rows = cs.zipWithIndex.map { case (c, i) => (i, c) }
+          .toDF("i", "cents")
+          .withColumn("hist", collect_list(col("cents")).over(w))
+          .select(col("i"), expr(
+            "aggregate(transform(hist, (x, j) -> x * shiftleft(CAST(1 AS BIGINT), j)), CAST(0 AS BIGINT), (a, x) -> a + x)"))
+          .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+        cs.indices.forall { i =>
+          val frame = cs.slice(math.max(0, i - 7), i + 1)
+          val ref = frame.zipWithIndex.map { case (x, j) => x << j }.sum
+          rows(i) == ref
+        }
+      }
+    }
+    check("ewma-dyadic-reference", p, 6)
+  }
 }
