@@ -40,6 +40,7 @@ class DeterminismSpec extends AnyFunSuite {
     "emb_pq_encode",       // codebook snap ties + fixed-order distance sums
     "join_asof_nearest",   // dual-window nearest choice on integer microsecond deltas
     "graph_label_prop",    // synchronous rounds + explicit argmax tie-break
+    "join_pit_scd2",       // as-of version carry with dim-before-probe tie order
   )
 
   underTest.foreach { name =>
