@@ -420,7 +420,65 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Distributed BPE MERGE TRAINING (3 rounds) — the corpus-scale half of
+    * the tokenizer story (text_bpe_count APPLIES a vocab; this LEARNS
+    * one): count adjacent symbol pairs across the distinct-word-collapsed
+    * corpus, adopt the most frequent pair (ties: count DESC, pair ASC) as
+    * a merge, apply it greedily left-to-right everywhere, repeat. The
+    * greedy non-overlapping application — inherently sequential-looking —
+    * is fully declarative: for an (x,y) merge with x≠y matches can never
+    * overlap, and for x=y the left-to-right choice is exactly "even
+    * offset within each maximal run of x" — a gaps-islands window, no
+    * per-row recursion. So each round is explode + two windows + a
+    * regroup, every step partitioned by word: at 100 TB pair counts
+    * partial-aggregate map-side over the VOCABULARY (duplicate text never
+    * multiplies symbol rows), and the merge table is the only global
+    * state. Exact integer counts; DuckDB replays all three rounds.
+    */
+  private val bpeTrain: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val words = Tables(s, dir, "documents")
+      .select(explode(expr(
+        "filter(split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')), ' '), t -> length(t) > 0 AND length(t) <= 24)"))
+        .as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    var rows = words
+      .select(col("w").as("wid"), col("cnt"),
+        explode(expr("sequence(1, length(w))")).as("pos"))
+      .withColumn("sym", expr("substr(wid, pos, 1)"))
+    val wOrd = Window.partitionBy("wid").orderBy("pos")
+    var merges: DataFrame = null
+    for (r <- 1 to 3) {
+      val withNext = rows.withColumn("nxt", lead(col("sym"), 1).over(wOrd))
+      val top = withNext.filter(col("nxt").isNotNull)
+        .groupBy(col("sym").as("x"), col("nxt").as("y"))
+        .agg(sum(col("cnt")).as("pair_cnt"))
+        .orderBy(col("pair_cnt").desc, col("x"), col("y")).limit(1)
+      val roundRow = top.select(lit(r).as("round"), col("x"), col("y"),
+        concat(col("x"), col("y")).as("merged"), col("pair_cnt"))
+      merges = if (merges == null) roundRow else merges.unionAll(roundRow)
+      val marked = withNext.crossJoin(broadcast(top.select(col("x"), col("y"))))
+        .withColumn("isnew",
+          when(lag(col("sym"), 1).over(wOrd).isNull
+            || lag(col("sym"), 1).over(wOrd) =!= col("sym"), 1L).otherwise(0L))
+        .withColumn("blk", sum(col("isnew")).over(wOrd))
+        .withColumn("off", row_number().over(
+          Window.partitionBy("wid", "blk").orderBy("pos")) - 1)
+        .withColumn("mark", coalesce(
+          col("sym") === col("x") && col("nxt") === col("y") &&
+            (col("x") =!= col("y") || col("off") % 2 === 0), lit(false)))
+        .withColumn("skip", coalesce(lag(col("mark"), 1).over(wOrd), lit(false)))
+      rows = marked.filter(!col("skip"))
+        .select(col("wid"), col("cnt"),
+          row_number().over(wOrd).as("pos"),
+          when(col("mark"), concat(col("x"), col("y"))).otherwise(col("sym")).as("sym"))
+        .localCheckpoint()
+    }
+    merges.orderBy("round")
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_bpe_train" -> bpeTrain,
     "text_bpe_count" -> bpeCount,
     "text_vocab_encode" -> vocabEncode,
     "text_heavy_hitters" -> heavyHitters,
@@ -470,6 +528,64 @@ object Text {
        |SELECT doc_id, n_words, n_bpe_tokens FROM bpd ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "text_bpe_train" ->
+      """WITH words AS (
+              |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+              |    SELECT unnest(list_filter(
+              |      string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+              |      t -> len(t) > 0 AND len(t) <= 24)) AS w
+              |    FROM documents) GROUP BY w),
+              |s1 AS (SELECT w AS wid, cnt, i + 1 AS pos, substr(w, i + 1, 1) AS sym
+              |  FROM (SELECT w, cnt, unnest(range(len(w))) AS i FROM words)),
+              |n1 AS (SELECT *, lead(sym) OVER (PARTITION BY wid ORDER BY pos) AS nxt FROM s1),
+              |t1 AS (SELECT sym AS x, nxt AS y, CAST(SUM(cnt) AS BIGINT) AS pair_cnt FROM n1
+              |  WHERE nxt IS NOT NULL GROUP BY 1, 2 ORDER BY pair_cnt DESC, x, y LIMIT 1),
+              |m1 AS (SELECT n.*, t.x, t.y,
+              |    CASE WHEN lag(n.sym) OVER (PARTITION BY n.wid ORDER BY n.pos) IS NULL
+              |           OR lag(n.sym) OVER (PARTITION BY n.wid ORDER BY n.pos) <> n.sym
+              |         THEN 1 ELSE 0 END AS isnew
+              |  FROM n1 n, t1 t),
+              |b1 AS (SELECT *, SUM(isnew) OVER (PARTITION BY wid ORDER BY pos) AS blk FROM m1),
+              |o1 AS (SELECT *, row_number() OVER (PARTITION BY wid, blk ORDER BY pos) - 1 AS off FROM b1),
+              |k1 AS (SELECT *, coalesce(sym = x AND nxt = y AND (x <> y OR off % 2 = 0), FALSE) AS mark FROM o1),
+              |f1 AS (SELECT *, coalesce(lag(mark) OVER (PARTITION BY wid ORDER BY pos), FALSE) AS skip FROM k1),
+              |s2 AS (SELECT wid, cnt, row_number() OVER (PARTITION BY wid ORDER BY pos) AS pos,
+              |    CASE WHEN mark THEN x || y ELSE sym END AS sym
+              |  FROM f1 WHERE NOT skip),
+              |n2 AS (SELECT *, lead(sym) OVER (PARTITION BY wid ORDER BY pos) AS nxt FROM s2),
+              |t2 AS (SELECT sym AS x, nxt AS y, CAST(SUM(cnt) AS BIGINT) AS pair_cnt FROM n2
+              |  WHERE nxt IS NOT NULL GROUP BY 1, 2 ORDER BY pair_cnt DESC, x, y LIMIT 1),
+              |m2 AS (SELECT n.*, t.x, t.y,
+              |    CASE WHEN lag(n.sym) OVER (PARTITION BY n.wid ORDER BY n.pos) IS NULL
+              |           OR lag(n.sym) OVER (PARTITION BY n.wid ORDER BY n.pos) <> n.sym
+              |         THEN 1 ELSE 0 END AS isnew
+              |  FROM n2 n, t2 t),
+              |b2 AS (SELECT *, SUM(isnew) OVER (PARTITION BY wid ORDER BY pos) AS blk FROM m2),
+              |o2 AS (SELECT *, row_number() OVER (PARTITION BY wid, blk ORDER BY pos) - 1 AS off FROM b2),
+              |k2 AS (SELECT *, coalesce(sym = x AND nxt = y AND (x <> y OR off % 2 = 0), FALSE) AS mark FROM o2),
+              |f2 AS (SELECT *, coalesce(lag(mark) OVER (PARTITION BY wid ORDER BY pos), FALSE) AS skip FROM k2),
+              |s3 AS (SELECT wid, cnt, row_number() OVER (PARTITION BY wid ORDER BY pos) AS pos,
+              |    CASE WHEN mark THEN x || y ELSE sym END AS sym
+              |  FROM f2 WHERE NOT skip),
+              |n3 AS (SELECT *, lead(sym) OVER (PARTITION BY wid ORDER BY pos) AS nxt FROM s3),
+              |t3 AS (SELECT sym AS x, nxt AS y, CAST(SUM(cnt) AS BIGINT) AS pair_cnt FROM n3
+              |  WHERE nxt IS NOT NULL GROUP BY 1, 2 ORDER BY pair_cnt DESC, x, y LIMIT 1),
+              |m3 AS (SELECT n.*, t.x, t.y,
+              |    CASE WHEN lag(n.sym) OVER (PARTITION BY n.wid ORDER BY n.pos) IS NULL
+              |           OR lag(n.sym) OVER (PARTITION BY n.wid ORDER BY n.pos) <> n.sym
+              |         THEN 1 ELSE 0 END AS isnew
+              |  FROM n3 n, t3 t),
+              |b3 AS (SELECT *, SUM(isnew) OVER (PARTITION BY wid ORDER BY pos) AS blk FROM m3),
+              |o3 AS (SELECT *, row_number() OVER (PARTITION BY wid, blk ORDER BY pos) - 1 AS off FROM b3),
+              |k3 AS (SELECT *, coalesce(sym = x AND nxt = y AND (x <> y OR off % 2 = 0), FALSE) AS mark FROM o3),
+              |f3 AS (SELECT *, coalesce(lag(mark) OVER (PARTITION BY wid ORDER BY pos), FALSE) AS skip FROM k3),
+              |s4 AS (SELECT wid, cnt, row_number() OVER (PARTITION BY wid ORDER BY pos) AS pos,
+              |    CASE WHEN mark THEN x || y ELSE sym END AS sym
+              |  FROM f3 WHERE NOT skip)
+              |SELECT 1 AS round, x, y, x || y AS merged, pair_cnt FROM t1
+              |UNION ALL SELECT 2, x, y, x || y, pair_cnt FROM t2
+              |UNION ALL SELECT 3, x, y, x || y, pair_cnt FROM t3
+              |ORDER BY round""".stripMargin,
     "text_bpe_count" -> oBpe,
     "text_vocab_encode" ->
       s"""WITH tok AS (SELECT unnest($oToks) AS w FROM documents),
