@@ -41,6 +41,7 @@ class DeterminismSpec extends AnyFunSuite {
     "join_asof_nearest",   // dual-window nearest choice on integer microsecond deltas
     "graph_label_prop",    // synchronous rounds + explicit argmax tie-break
     "join_pit_scd2",       // as-of version carry with dim-before-probe tie order
+    "text_bpe_train",      // 3 argmax rounds with (count DESC, pair ASC) ties
   )
 
   underTest.foreach { name =>
