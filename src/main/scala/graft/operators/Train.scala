@@ -112,6 +112,41 @@ object Train {
       .orderBy("doc_id")
   }
 
+  /** Bigram-LM cross-entropy with add-one smoothing — the conditional
+    * upgrade of [[unigramXent]] (CCNet/KenLM-style quality filtering):
+    * p(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁)+V) from exact corpus counts, scored
+    * over every 20th doc. Same determinism route: each -cnt·ln(p) term
+    * is one ln + one multiply, snapped to DECIMAL(28,18) so the per-doc
+    * sum is order-free; the final entropy is a single decimal→double
+    * division. Corpus bigram/unigram tables join on their natural keys
+    * (shuffle joins Catalyst sizes itself); only the 5% scored slice
+    * crosses into the final aggregation. One lead-window pass (doc_id
+    * partitioned) builds bigrams — embarrassingly parallel at 100 TB.
+    */
+  private val bigramXent: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val tk = Tables(s, dir, "documents")
+      .select(col("doc_id"), posexplode(expr(toksExpr)))
+      .select(col("doc_id"), col("pos"), col("col").as("w1"))
+    val bg = tk.withColumn("w2",
+        lead(col("w1"), 1).over(Window.partitionBy("doc_id").orderBy("pos")))
+      .filter(col("w2").isNotNull)
+    val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val cu = tk.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    val vocab = tk.agg(countDistinct(col("w1")).as("v"))
+    val sel = bg.filter(col("doc_id") % 20 === 0)
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("cnt"))
+    sel.join(cb, Seq("w1", "w2")).join(cu, "w1").crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        sum(expr(
+          "cast(-cnt * ln(cast(cb + 1 as double) / (cu + v)) as decimal(28,18))"))
+          .as("sx"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("sx").cast("double") / col("n_bigrams"), 6).as("xent2"))
+      .orderBy("doc_id")
+  }
+
   /** Unigram-LM cross-entropy per doc against the corpus language model —
     * the CCNet-style perplexity quality filter: boilerplate full of
     * corpus-frequent tokens scores low, rare-token noise scores high.
@@ -275,6 +310,7 @@ object Train {
     "sample_split_stratified" -> splitStratified,
     "text_entropy" -> textEntropy,
     "text_unigram_xent" -> unigramXent,
+    "text_bigram_xent" -> bigramXent,
     "dedup_url" -> dedupUrl,
     "text_domain_stats" -> domainStats,
     "text_length_clip" -> lengthClip,
@@ -354,6 +390,26 @@ object Train {
         |SELECT doc_id, MAX(n_tok) AS n_tok, MAX(n_uniq) AS n_uniq,
         |  round(CAST(SUM(CAST(-p * ln(p) AS DECIMAL(28,18))) AS DOUBLE), 6) AS entropy
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_bigram_xent" ->
+      """WITH tok AS (
+        |  SELECT doc_id, i AS pos, t[i] AS w1 FROM (
+        |    SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+        |    FROM documents), unnest(range(1, len(t) + 1)) u(i)),
+        |bg AS (SELECT doc_id, w1,
+        |    lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |  FROM tok QUALIFY w2 IS NOT NULL),
+        |cb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb FROM bg GROUP BY 1, 2),
+        |cu AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS cu FROM tok GROUP BY 1),
+        |v AS (SELECT CAST(COUNT(DISTINCT w1) AS BIGINT) AS v FROM tok),
+        |sel AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM bg WHERE doc_id % 20 = 0 GROUP BY 1, 2, 3),
+        |x AS (SELECT sel.doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+        |    SUM(CAST(-cnt * ln(CAST(cb + 1 AS DOUBLE) / (cu + (SELECT v FROM v)))
+        |      AS DECIMAL(28,18))) AS sx
+        |  FROM sel JOIN cb USING (w1, w2) JOIN cu USING (w1) GROUP BY 1)
+        |SELECT doc_id, n_bigrams,
+        |  round(CAST(sx AS DOUBLE) / n_bigrams, 6) AS xent2
+        |FROM x ORDER BY doc_id""".stripMargin,
     "text_unigram_xent" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS token
