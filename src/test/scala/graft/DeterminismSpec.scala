@@ -42,6 +42,7 @@ class DeterminismSpec extends AnyFunSuite {
     "graph_label_prop",    // synchronous rounds + explicit argmax tie-break
     "join_pit_scd2",       // as-of version carry with dim-before-probe tie order
     "text_bpe_train",      // 3 argmax rounds with (count DESC, pair ASC) ties
+    "text_bigram_xent",    // decimal-routed log sums over shuffle joins
   )
 
   underTest.foreach { name =>
