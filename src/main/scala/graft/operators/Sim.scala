@@ -266,6 +266,7 @@ object Sim {
     a1.join(a2, "vec_id")
       .select(col("vec_id"), col("cell_1"), col("cell_2"),
         (col("cell_1") =!= col("cell_2")).as("moved"),
+        round(col("cell_1_cos"), 6).as("cos_before"),
         round(col("cell_2_cos"), 6).as("cos_after"))
       .orderBy("vec_id")
   }
@@ -415,8 +416,10 @@ object Sim {
         |        FROM x, range(1, 65) t(i) GROUP BY 1, 2),
         |c1 AS (SELECT cell1, cv, sqrt(list_sum(list_transform(cv, t -> t * t))) AS cn
         |       FROM (SELECT label AS cell1, list(cx ORDER BY i) AS cv FROM c1d GROUP BY 1)),
-        |a1 AS (SELECT vec_id, cell1 AS cell_1, x, xn FROM (
+        |a1 AS (SELECT vec_id, cell1 AS cell_1, ccos1, x, xn FROM (
         |  SELECT xn.vec_id, c1.cell1, xn.x, xn.xn,
+        |    list_sum(list_transform(range(64), i -> xn.x[i+1] * c1.cv[i+1]))
+        |      / (xn.xn * c1.cn) AS ccos1,
         |    row_number() OVER (PARTITION BY xn.vec_id ORDER BY
         |      list_sum(list_transform(range(64), i -> xn.x[i+1] * c1.cv[i+1]))
         |        / (xn.xn * c1.cn) DESC, c1.cell1) AS rk
@@ -434,7 +437,7 @@ object Sim {
         |        / (xn.xn * c2.cn) DESC, c2.cell2) AS rk
         |  FROM xn CROSS JOIN c2) WHERE rk = 1)
         |SELECT a1.vec_id, a1.cell_1, a2.cell_2, a1.cell_1 <> a2.cell_2 AS moved,
-        |  round(a2.ccos, 6) AS cos_after
+        |  round(a1.ccos1, 6) AS cos_before, round(a2.ccos, 6) AS cos_after
         |FROM a1 JOIN a2 USING (vec_id) ORDER BY vec_id""".stripMargin,
     "emb_assign_nearest" ->
       s"""WITH $oIvfCte

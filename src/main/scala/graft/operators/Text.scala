@@ -457,6 +457,9 @@ object Text {
       val roundRow = top.select(lit(r).as("round"), col("x"), col("y"),
         concat(col("x"), col("y")).as("merged"), col("pair_cnt"))
       merges = if (merges == null) roundRow else merges.unionAll(roundRow)
+      if (r == 3) {
+        // the learned merge is the output — applying it would be dead work
+      } else {
       val marked = withNext.crossJoin(broadcast(top.select(col("x"), col("y"))))
         .withColumn("isnew",
           when(lag(col("sym"), 1).over(wOrd).isNull
@@ -473,6 +476,7 @@ object Text {
           row_number().over(wOrd).as("pos"),
           when(col("mark"), concat(col("x"), col("y"))).otherwise(col("sym")).as("sym"))
         .localCheckpoint()
+      }
     }
     merges.orderBy("round")
   }
