@@ -297,7 +297,33 @@ object Analytic {
       .orderBy("l_returnflag")
   }
 
+  /** Clamped-at-zero running balance (Lindley's recursion) — the
+    * inventory/credit-balance fold b_t = max(0, b_{t-1} + x_t) that looks
+    * inherently sequential, made declarative via the closed form
+    * b_t = S_t − min(0, min_{k≤t} S_k): one cumulative sum and one
+    * running minimum over the same user_id window — one exchange, no
+    * per-row recursion, so it runs at full parallelism on 100 TB of
+    * ledger. The ORACLE deliberately computes the SEQUENTIAL fold (a
+    * recursive CTE stepping row by row), so the hash match is a
+    * cross-engine proof of the identity, not a replay of the same
+    * algebra. Deltas are exact signed cents; every value stays integer.
+    */
+  private val winClampedCumsum: Q = (s, dir) => {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(s, dir, "events")
+      .withColumn("delta", expr(
+        """CASE WHEN event_id % 3 = 0 THEN -CAST(round(value * 100) AS BIGINT)
+          |ELSE CAST(round(value * 100) AS BIGINT) END""".stripMargin))
+      .withColumn("s", sum(col("delta")).over(running))
+      .withColumn("bal",
+        col("s") - least(lit(0L), min(col("s")).over(running)))
+      .select(col("user_id"), col("event_id"), col("delta"), col("bal"))
+      .orderBy("user_id", "event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "win_clamped_cumsum" -> winClampedCumsum,
     "ts_ewma_dyadic" -> tsEwmaDyadic,
     "agg_spearman" -> aggSpearman,
     "ts_anomaly_mad" -> tsAnomalyMad,
@@ -314,6 +340,23 @@ object Analytic {
   )
 
   val oracles: Map[String, String] = Map(
+    // the SEQUENTIAL fold — hash-matching it proves the Lindley closed form
+    "win_clamped_cumsum" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, event_id,
+        |    CASE WHEN event_id % 3 = 0 THEN -CAST(round(value * 100) AS BIGINT)
+        |         ELSE CAST(round(value * 100) AS BIGINT) END AS delta,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |f(user_id, rn, event_id, delta, bal) AS (
+        |  SELECT user_id, rn, event_id, delta,
+        |    greatest(CAST(0 AS BIGINT), delta) FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.rn, e.event_id, e.delta,
+        |    greatest(CAST(0 AS BIGINT), f.bal + e.delta)
+        |  FROM f JOIN e ON e.user_id = f.user_id AND e.rn = f.rn + 1)
+        |SELECT user_id, event_id, delta, bal FROM f
+        |ORDER BY user_id, event_id""".stripMargin,
     // same integer arithmetic; DuckDB lambda index is 1-based, Spark's 0-based
     "ts_ewma_dyadic" ->
       """WITH h AS (

@@ -389,7 +389,40 @@ object Flow {
       .orderBy("event_id")
   }
 
+  /** CEP-style sequence pattern over per-user event streams — the batch
+    * form of Flink-CEP / MATCH_RECOGNIZE: `view (¬error)* purchase`
+    * within a 3-event lookahead. A bounded pattern compiles to lead()
+    * columns and one CASE — no joins, no state machine, one user_id
+    * exchange; at 100 TB this is how short funnels-with-guards run as a
+    * plain window pass. Emits the matched purchase id and its distance;
+    * streams ending mid-pattern simply do not match (lead NULLs).
+    */
+  private val cepPattern: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables(s, dir, "events")
+      .withColumn("t1", lead(col("event_type"), 1).over(w))
+      .withColumn("t2", lead(col("event_type"), 2).over(w))
+      .withColumn("t3", lead(col("event_type"), 3).over(w))
+      .withColumn("i1", lead(col("event_id"), 1).over(w))
+      .withColumn("i2", lead(col("event_id"), 2).over(w))
+      .withColumn("i3", lead(col("event_id"), 3).over(w))
+      .filter(col("event_type") === "view")
+      .withColumn("dist", expr(
+        """CASE WHEN t1 = 'purchase' THEN 1
+          |WHEN t1 <> 'error' AND t2 = 'purchase' THEN 2
+          |WHEN t1 <> 'error' AND t2 <> 'error' AND t3 = 'purchase' THEN 3
+          |END""".stripMargin))
+      .filter(col("dist").isNotNull)
+      .select(col("user_id"), col("event_id").as("view_id"),
+        expr("CASE dist WHEN 1 THEN i1 WHEN 2 THEN i2 ELSE i3 END")
+          .as("purchase_id"),
+        col("dist").cast("bigint").as("dist"))
+      .orderBy("view_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "flow_cep_pattern" -> cepPattern,
     "join_pit_scd2" -> pitScd2,
     "flow_markov_transitions" -> markov,
     "cdc_incremental_agg" -> incrementalAgg,
@@ -405,6 +438,25 @@ object Flow {
   )
 
   val oracles: Map[String, String] = Map(
+    "flow_cep_pattern" ->
+      """WITH l AS (
+        |  SELECT user_id, event_id, event_type,
+        |    lead(event_type, 1) OVER w AS t1, lead(event_type, 2) OVER w AS t2,
+        |    lead(event_type, 3) OVER w AS t3,
+        |    lead(event_id, 1) OVER w AS i1, lead(event_id, 2) OVER w AS i2,
+        |    lead(event_id, 3) OVER w AS i3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |m AS (SELECT *,
+        |    CASE WHEN t1 = 'purchase' THEN 1
+        |         WHEN t1 <> 'error' AND t2 = 'purchase' THEN 2
+        |         WHEN t1 <> 'error' AND t2 <> 'error' AND t3 = 'purchase' THEN 3
+        |    END AS dist
+        |  FROM l WHERE event_type = 'view')
+        |SELECT user_id, event_id AS view_id,
+        |  CASE dist WHEN 1 THEN i1 WHEN 2 THEN i2 ELSE i3 END AS purchase_id,
+        |  CAST(dist AS BIGINT) AS dist
+        |FROM m WHERE dist IS NOT NULL ORDER BY view_id""".stripMargin,
     // declarative PIT: latest dim version with valid_from <= probe ts
     "join_pit_scd2" ->
       """WITH st AS (
