@@ -43,6 +43,7 @@ class DeterminismSpec extends AnyFunSuite {
     "join_pit_scd2",       // as-of version carry with dim-before-probe tie order
     "text_bpe_train",      // 3 argmax rounds with (count DESC, pair ASC) ties
     "text_bigram_xent",    // decimal-routed log sums over shuffle joins
+    "win_clamped_cumsum",  // Lindley closed form: integer windows only
   )
 
   underTest.foreach { name =>
