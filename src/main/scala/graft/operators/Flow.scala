@@ -421,7 +421,31 @@ object Flow {
       .orderBy("view_id")
   }
 
+  /** 7-day rolling distinct users (WAU) per active day — the growth
+    * metric a RANGE-frame COUNT(DISTINCT) window cannot express in
+    * either engine at scale. The scalable formulation: each (user,
+    * active-day) pair EXPLODES into the ≤7 report days it contributes
+    * to (bounded fan-out), then one hash countDistinct per report day —
+    * map-side collapsible, no range self-join of the fact table. The
+    * oracle runs exactly that naive range join, pinning equivalence.
+    * At 100 TB the contribution table is |user-days|×7 ints, and the
+    * distinct state per report day is bounded by the active-user domain.
+    */
+  private val rollingWau: Q = (s, dir) => {
+    val ud = Tables(s, dir, "events")
+      .select(col("user_id"), date_trunc("day", col("ts")).cast("date").as("d"))
+      .distinct()
+    val spine = ud.select(col("d").as("rd")).distinct()
+    ud.select(col("user_id"),
+        explode(expr("sequence(d, date_add(d, 6))")).as("rd"))
+      .join(spine, "rd")
+      .groupBy("rd")
+      .agg(countDistinct(col("user_id")).as("wau"))
+      .orderBy("rd")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ts_rolling_wau" -> rollingWau,
     "flow_cep_pattern" -> cepPattern,
     "join_pit_scd2" -> pitScd2,
     "flow_markov_transitions" -> markov,
@@ -438,6 +462,14 @@ object Flow {
   )
 
   val oracles: Map[String, String] = Map(
+    // the naive trailing-range join — equivalent to the contribution explode
+    "ts_rolling_wau" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+        |            FROM events),
+        |days AS (SELECT DISTINCT d AS rd FROM ud)
+        |SELECT days.rd, CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) AS wau
+        |FROM days JOIN ud ON ud.d BETWEEN days.rd - 6 AND days.rd
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "flow_cep_pattern" ->
       """WITH l AS (
         |  SELECT user_id, event_id, event_type,
