@@ -417,6 +417,43 @@ object Relational {
         col("exact_union"), col("exact_inter"))
   }
 
+  /** 2-D skyline (Pareto front): orders that are CHEAP and RECENT —
+    * no other order is at-most-as-expensive AND at-least-as-recent with
+    * one strict. The textbook definition is an O(n²) NOT EXISTS
+    * anti-join (exactly what the oracle runs); the engine runs the
+    * sort-based linear algorithm instead: distinct points ordered by
+    * (price ASC, date DESC) are on the front iff their date strictly
+    * exceeds the running max over all strictly-preceding rows. Two
+    * phases, skyline-of-skylines: a per-partition local front first
+    * (any global survivor survives locally, whatever the partitioning),
+    * so the single-partition global pass sees only the few local
+    * survivors — at 100 TB every full-data step stays parallel and the
+    * serial step is front-sized. Hash-matching the two algorithms
+    * proves the algorithm, not just the numbers. Prices compare in
+    * exact cents; the OUTPUT is partitioning-independent even though
+    * the intermediate candidate set is not.
+    */
+  private val skylinePareto: Q = (s, dir) => {
+    val pts = Tables(s, dir, "orders")
+      .select(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("price_cents"),
+        col("o_orderdate").as("od"))
+      .groupBy("price_cents", "od").agg(count(lit(1)).as("n_orders"))
+    val wl = Window.partitionBy("pid")
+      .orderBy(col("price_cents").asc, col("od").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cand = pts.withColumn("pid", spark_partition_id())
+      .withColumn("bp", max(col("od")).over(wl))
+      .filter(col("bp").isNull || col("od") > col("bp"))
+      .drop("pid", "bp")
+    val w = Window.orderBy(col("price_cents").asc, col("od").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cand.withColumn("best_prev", max(col("od")).over(w))
+      .filter(col("best_prev").isNull || col("od") > col("best_prev"))
+      .select(col("price_cents"),
+        date_format(col("od"), "yyyy-MM-dd").as("order_day"), col("n_orders"))
+      .orderBy("price_cents")
+  }
+
   private val aggRollup: Q = (s, dir) => {
     val o = Tables(s, dir, "orders")
     o.rollup("o_orderstatus", "o_orderpriority")
@@ -746,6 +783,7 @@ object Relational {
     "agg_hll_union" -> aggHllUnion,
     "agg_cms_heavy" -> aggCmsHeavy,
     "sketch_kmv_setops" -> sketchKmvSetops,
+    "sql_skyline_pareto" -> skylinePareto,
     "agg_hash" -> aggHash,
     "agg_distinct" -> aggDistinct,
     "agg_approx_distinct" -> aggApproxDistinct,
@@ -779,6 +817,19 @@ object Relational {
         |  COUNT(DISTINCT l_partkey) AS exact_nd_part,
         |  TRUE AS within_5pct
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the O(n^2) textbook definition — dominance anti-join
+    "sql_skyline_pareto" ->
+      """WITH pts AS (
+        |  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |    o_orderdate AS od, CAST(COUNT(*) AS BIGINT) AS n_orders
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT a.price_cents, strftime(a.od, '%Y-%m-%d') AS order_day, a.n_orders
+        |FROM pts a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM pts b
+        |  WHERE b.price_cents <= a.price_cents AND b.od >= a.od
+        |    AND (b.price_cents < a.price_cents OR b.od > a.od))
+        |ORDER BY a.price_cents""".stripMargin,
     // exact sketch replay: bottom-64 per segment, KMV merge + estimators
     "sketch_kmv_setops" ->
       """WITH s AS (
