@@ -44,6 +44,7 @@ class DeterminismSpec extends AnyFunSuite {
     "text_bpe_train",      // 3 argmax rounds with (count DESC, pair ASC) ties
     "text_bigram_xent",    // decimal-routed log sums over shuffle joins
     "win_clamped_cumsum",  // Lindley closed form: integer windows only
+    "sql_skyline_pareto",  // output is partitioning-independent; candidates are not
   )
 
   underTest.foreach { name =>
