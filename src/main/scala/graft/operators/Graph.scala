@@ -198,10 +198,12 @@ object Graph {
     for (_ <- 1 to 2) {
       val counts = adj.join(labels, adj("dst") === labels("node"))
         .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
-      labels = counts.withColumn("rk", row_number().over(
-          Window.partitionBy("src").orderBy(col("c").desc, col("lbl").asc)))
-        .filter(col("rk") === 1)
-        .select(col("src").as("node"), col("lbl"))
+      // argmax by (count DESC, lbl ASC) as a HASH AGG, not a sort window:
+      // (c, -lbl) is unique per (src, lbl) group, so max_by is total —
+      // this removes the per-round sort of the neighbor-label table
+      labels = counts.groupBy(col("src").as("node"))
+        .agg(max_by(col("lbl"),
+          struct(col("c"), (-col("lbl")).as("nl"))).as("lbl"))
         .coalesce(4).localCheckpoint()
     }
     val sizes = labels.groupBy(col("lbl").as("community"))
