@@ -322,7 +322,37 @@ object Analytic {
       .orderBy("user_id", "event_id")
   }
 
+  /** Rolling regression slope over the trailing 8 events per user — the
+    * windowed trend detector (is this user's spend accelerating?). The
+    * regressor is the ROW INDEX within the frame-able history (exact
+    * integers) and the response exact cents, so all four rolling sums
+    * (Σx, Σy, Σxy, Σx²) are pure BIGINT window aggregates — order-free —
+    * and the slope n·Σxy−ΣxΣy / n·Σx²−(Σx)² is integer until one final
+    * IEEE division. Same single user_id exchange as every events
+    * window; contrast agg_regression (whole-group regr_* from decimal
+    * moments) — this is its frame-bounded streaming sibling.
+    */
+  private val winRollingRegr: Q = (s, dir) => {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val frame = byUser.rowsBetween(-7, Window.currentRow)
+    Tables(s, dir, "events")
+      .withColumn("x", row_number().over(byUser).cast("long"))
+      .withColumn("y", expr("CAST(round(value * 100) AS BIGINT)"))
+      .withColumn("n", count(lit(1)).over(frame))
+      .withColumn("sx", sum(col("x")).over(frame))
+      .withColumn("sy", sum(col("y")).over(frame))
+      .withColumn("sxy", sum(col("x") * col("y")).over(frame))
+      .withColumn("sxx", sum(col("x") * col("x")).over(frame))
+      .select(col("user_id"), col("event_id"), col("n"),
+        when(col("n") > 1,
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("slope_cents_per_step"))
+      .orderBy("user_id", "event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "win_rolling_regr" -> winRollingRegr,
     "win_clamped_cumsum" -> winClampedCumsum,
     "ts_ewma_dyadic" -> tsEwmaDyadic,
     "agg_spearman" -> aggSpearman,
@@ -340,6 +370,23 @@ object Analytic {
   )
 
   val oracles: Map[String, String] = Map(
+    "win_rolling_regr" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    CAST(row_number() OVER w AS BIGINT) AS x,
+        |    CAST(round(value * 100) AS BIGINT) AS y
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |r AS (SELECT user_id, event_id,
+        |    CAST(COUNT(*) OVER f AS BIGINT) AS n,
+        |    CAST(SUM(x) OVER f AS BIGINT) AS sx, CAST(SUM(y) OVER f AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) OVER f AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) OVER f AS BIGINT) AS sxx
+        |  FROM e WINDOW f AS (PARTITION BY user_id ORDER BY x
+        |                      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, n,
+        |  CASE WHEN n > 1 THEN CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope_cents_per_step
+        |FROM r ORDER BY user_id, event_id""".stripMargin,
     // the SEQUENTIAL fold — hash-matching it proves the Lindley closed form
     "win_clamped_cumsum" ->
       """WITH RECURSIVE e AS (

@@ -313,10 +313,34 @@ object Ingest {
       .orderBy("l_returnflag")
   }
 
+  /** Sequence-gap detection — the "did we lose records?" DQ probe over a
+    * supposedly-dense key: one lead() window over the sorted distinct
+    * keys emits each gap's bounds and size. TPC-H orderkeys are sparse
+    * by design (1-8 mod 32), so the non-vacuous fixture restricts to a
+    * dense residue slice (keys ≡ 1 mod 32, gaps injected by dropping
+    * keys whose quotient ≡ 3 mod 5 — mirrored in the oracle). One
+    * exchange on the sort; at 100 TB run it per key-range partition and
+    * union the per-range gaps.
+    */
+  private val dqSequenceGaps: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val keys = Tables(s, dir, "orders")
+      .filter(col("o_orderkey") % 32 === 1)
+      .select(expr("(o_orderkey - 1) div 32").as("k"))
+      .distinct()
+      .filter(col("k") % 5 =!= 3)
+    keys.withColumn("nxt", lead(col("k"), 1).over(Window.orderBy("k")))
+      .filter(col("nxt").isNotNull && col("nxt") - col("k") > 1)
+      .select(col("k").as("gap_after"), col("nxt").as("resume_at"),
+        (col("nxt") - col("k") - 1).as("n_missing"))
+      .orderBy("gap_after")
+  }
+
   val queries: Map[String, Q] = Map(
     "dq_profile" -> dqProfile,
     "dq_rules" -> dqRules,
     "dq_checksum" -> dqChecksum,
+    "dq_sequence_gaps" -> dqSequenceGaps,
     "sink_copy_format" -> sinkCopyFormat,
     "scan_merge_schema" -> scanMergeSchema,
     "scan_dsv2_source" -> scanDsv2,
@@ -337,6 +361,15 @@ object Ingest {
     "l_shipdate")
 
   val oracles: Map[String, String] = Map(
+    "dq_sequence_gaps" ->
+      """WITH k AS (
+        |  SELECT DISTINCT (o_orderkey - 1) // 32 AS k
+        |  FROM orders WHERE o_orderkey % 32 = 1),
+        |d AS (SELECT k, lead(k) OVER (ORDER BY k) AS nxt
+        |      FROM k WHERE k % 5 <> 3)
+        |SELECT k AS gap_after, nxt AS resume_at, nxt - k - 1 AS n_missing
+        |FROM d WHERE nxt IS NOT NULL AND nxt - k > 1
+        |ORDER BY gap_after""".stripMargin,
     "dq_checksum" ->
       """WITH t AS (
         |  SELECT l_returnflag,
