@@ -45,6 +45,7 @@ class DeterminismSpec extends AnyFunSuite {
     "text_bigram_xent",    // decimal-routed log sums over shuffle joins
     "win_clamped_cumsum",  // Lindley closed form: integer windows only
     "sql_skyline_pareto",  // output is partitioning-independent; candidates are not
+    "win_rolling_regr",    // BIGINT rolling sums; one final division
   )
 
   underTest.foreach { name =>
