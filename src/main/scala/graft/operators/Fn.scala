@@ -186,6 +186,73 @@ object Fn {
     * everywhere. This is also the mergeable formulation a distributed
     * profiler wants at 100 TB (per-partition moment vectors merge by +).
     */
+  /** Welch's two-sample t statistic — the experimentation-platform
+    * primitive (did variant B move the metric?). Groups are a
+    * deterministic user split (user_id % 2) over event values in exact
+    * cents; each side's (n, Σ, Σ²) are exact mergeable sufficient
+    * statistics (integer cents sums fit BIGINT), so at 100 TB the test
+    * costs one map-side-combining aggregation — no resampling, no
+    * per-row state. The t/df formula is then one identical IEEE chain in
+    * both engines, round6'd. Includes Welch–Satterthwaite df, not just
+    * the pooled-variance shortcut.
+    */
+  private val aggTTest: Q = (s, dir) => {
+    val e = Tables(s, dir, "events")
+      .select((col("user_id") % 2 === 0).as("is_a"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val sides = e.groupBy("is_a")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s1"),
+        sum(col("cents") * col("cents")).as("s2"))
+    val a = sides.filter(col("is_a")).select(
+      col("n").as("na"), col("s1").as("sa"), col("s2").as("sa2"))
+    val b = sides.filter(!col("is_a")).select(
+      col("n").as("nb"), col("s1").as("sb"), col("s2").as("sb2"))
+    a.crossJoin(b)
+      .withColumn("ma", col("sa").cast("double") / col("na"))
+      .withColumn("mb", col("sb").cast("double") / col("nb"))
+      .withColumn("va",
+        (col("sa2").cast("double") - col("sa").cast("double") * col("ma")) /
+          (col("na") - 1))
+      .withColumn("vb",
+        (col("sb2").cast("double") - col("sb").cast("double") * col("mb")) /
+          (col("nb") - 1))
+      .withColumn("sea", col("va") / col("na"))
+      .withColumn("seb", col("vb") / col("nb"))
+      .select(col("na"), col("nb"),
+        round(col("ma"), 6).as("mean_a"), round(col("mb"), 6).as("mean_b"),
+        round((col("ma") - col("mb")) / sqrt(col("sea") + col("seb")), 6).as("t_stat"),
+        round((col("sea") + col("seb")) * (col("sea") + col("seb")) /
+          (col("sea") * col("sea") / (col("na") - 1) +
+           col("seb") * col("seb") / (col("nb") - 1)), 6).as("welch_df"))
+  }
+
+  /** Gini coefficient per group — the concentration metric (how unequal
+    * is spend across line items?): with values sorted ascending,
+    * G = (2·Σ i·xᵢ)/(n·Σx) − (n+1)/n. Ranks come from one window; all
+    * sums are exact BIGINT (cents × rank ≤ 2^47 at any pinned SF), so
+    * the whole statistic is integer until one final IEEE division pair.
+    * Tie order cannot matter: equal values contribute the same Σ i·xᵢ
+    * under any permutation of their ranks. One exchange, map-side
+    * partials.
+    */
+  private val aggGini: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy("cents", "l_orderkey", "l_linenumber")
+    Tables(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"),
+        sum(col("i") * col("cents")).as("iwsum"))
+      .select(col("l_returnflag"), col("n"), col("total_cents"),
+        round((lit(2.0) * col("iwsum").cast("double")) /
+          (col("n").cast("double") * col("total_cents").cast("double")) -
+          (col("n") + 1).cast("double") / col("n").cast("double"), 6).as("gini"))
+      .orderBy("l_returnflag")
+  }
+
   private val aggStatsMoments: Q = (s, dir) => {
     import graft.Det
     def dsumSq(c: String) = sum((col(c) * col(c)).cast(Det.Scale)).cast("double")
@@ -289,6 +356,8 @@ object Fn {
     "fn_try" -> fnTry,
     "fn_higher_order" -> fnHigherOrder,
     "agg_stats_moments" -> aggStatsMoments,
+    "agg_t_test" -> aggTTest,
+    "agg_gini" -> aggGini,
     "fn_string" -> fnString,
     "fn_date" -> fnDate,
     "fn_math" -> fnMath,
@@ -355,6 +424,40 @@ object Fn {
         |    x -> CAST(x AS VARCHAR)), ',') AS lens_desc,
         |  array_to_string(flatten([tk[1:2], tk[3:4]]), ',') AS first4
         |FROM u ORDER BY doc_id""".stripMargin,
+    "agg_t_test" ->
+      """WITH e AS (SELECT (user_id % 2 = 0) AS is_a,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |g AS (SELECT is_a, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(cents) AS BIGINT) AS s1,
+        |    CAST(SUM(cents * cents) AS BIGINT) AS s2
+        |  FROM e GROUP BY 1),
+        |a AS (SELECT n AS na, s1 AS sa, s2 AS sa2 FROM g WHERE is_a),
+        |b AS (SELECT n AS nb, s1 AS sb, s2 AS sb2 FROM g WHERE NOT is_a),
+        |x AS (SELECT na, nb,
+        |    CAST(sa AS DOUBLE) / na AS ma, CAST(sb AS DOUBLE) / nb AS mb,
+        |    (CAST(sa2 AS DOUBLE) - CAST(sa AS DOUBLE) * (CAST(sa AS DOUBLE) / na)) / (na - 1) AS va,
+        |    (CAST(sb2 AS DOUBLE) - CAST(sb AS DOUBLE) * (CAST(sb AS DOUBLE) / nb)) / (nb - 1) AS vb
+        |  FROM a, b),
+        |y AS (SELECT na, nb, ma, mb, va / na AS sea, vb / nb AS seb FROM x)
+        |SELECT na, nb, round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+        |  round((ma - mb) / sqrt(sea + seb), 6) AS t_stat,
+        |  round((sea + seb) * (sea + seb)
+        |    / (sea * sea / (na - 1) + seb * seb / (nb - 1)), 6) AS welch_df
+        |FROM y""".stripMargin,
+    "agg_gini" ->
+      """WITH r AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    CAST(row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT),
+        |               l_orderkey, l_linenumber) AS BIGINT) AS i
+        |  FROM lineitem)
+        |SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS total_cents,
+        |  round(2.0 * CAST(CAST(SUM(i * cents) AS BIGINT) AS DOUBLE)
+        |      / (CAST(COUNT(*) AS DOUBLE) * CAST(CAST(SUM(cents) AS BIGINT) AS DOUBLE))
+        |    - CAST(COUNT(*) + 1 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS gini
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_stats_moments" ->
       """WITH m AS (
         |  SELECT l_returnflag,
