@@ -46,6 +46,8 @@ class DeterminismSpec extends AnyFunSuite {
     "win_clamped_cumsum",  // Lindley closed form: integer windows only
     "sql_skyline_pareto",  // output is partitioning-independent; candidates are not
     "win_rolling_regr",    // BIGINT rolling sums; one final division
+    "agg_t_test",          // exact moments; mirrored IEEE t/df chain
+    "agg_gini",            // rank-sum statistic, tie-order invariant
   )
 
   underTest.foreach { name =>
