@@ -336,10 +336,40 @@ object Ingest {
       .orderBy("gap_after")
   }
 
+  /** k-anonymity audit — the privacy gate a data release (or a
+    * training-corpus metadata table) runs before shipping: every row
+    * joins a quasi-identifier group (market segment × account-balance
+    * bucket of width 2000); any group smaller than k=5 re-identifies
+    * its members through the released attributes alone. Per segment the
+    * report gives the release's effective k (min group size), the
+    * groups/rows below threshold, and the at-risk fraction. Two hash
+    * aggregations, both map-side combining — at 100 TB this shuffles
+    * only (QI-tuple, count) records, never row data, and the second
+    * level is |segments|-sized. The bucket floor is a single IEEE op on
+    * both engines, so group boundaries agree bit-exactly.
+    */
+  private val dqKanonymity: Q = (s, dir) => {
+    val g = Tables(s, dir, "customer")
+      .select(col("c_mktsegment"),
+        expr("cast(floor(c_acctbal / 2000.0) as bigint)").as("bal_bucket"))
+      .groupBy("c_mktsegment", "bal_bucket")
+      .agg(count(lit(1)).as("n"))
+    g.groupBy(col("c_mktsegment"))
+      .agg(
+        sum(col("n")).as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        min(col("n")).as("k_anonymity"),
+        sum(when(col("n") < 5, 1L).otherwise(0L)).as("n_unsafe_groups"),
+        sum(when(col("n") < 5, col("n")).otherwise(lit(0L))).as("rows_at_risk"))
+      .withColumn("at_risk_frac", col("rows_at_risk").cast("double") / col("n_rows"))
+      .orderBy("c_mktsegment")
+  }
+
   val queries: Map[String, Q] = Map(
     "dq_profile" -> dqProfile,
     "dq_rules" -> dqRules,
     "dq_checksum" -> dqChecksum,
+    "dq_kanonymity" -> dqKanonymity,
     "dq_sequence_gaps" -> dqSequenceGaps,
     "sink_copy_format" -> sinkCopyFormat,
     "scan_merge_schema" -> scanMergeSchema,
@@ -370,6 +400,22 @@ object Ingest {
         |SELECT k AS gap_after, nxt AS resume_at, nxt - k - 1 AS n_missing
         |FROM d WHERE nxt IS NOT NULL AND nxt - k > 1
         |ORDER BY gap_after""".stripMargin,
+    "dq_kanonymity" ->
+      """WITH g AS (
+        |  SELECT c_mktsegment,
+        |    CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS bal_bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM customer GROUP BY 1, 2),
+        |m AS (
+        |  SELECT c_mktsegment,
+        |    CAST(SUM(n) AS BIGINT) AS n_rows,
+        |    CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |    MIN(n) AS k_anonymity,
+        |    CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_unsafe_groups,
+        |    CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk
+        |  FROM g GROUP BY 1)
+        |SELECT *, CAST(rows_at_risk AS DOUBLE) / n_rows AS at_risk_frac
+        |FROM m ORDER BY c_mktsegment""".stripMargin,
     "dq_checksum" ->
       """WITH t AS (
         |  SELECT l_returnflag,

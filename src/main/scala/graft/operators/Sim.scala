@@ -314,8 +314,100 @@ object Sim {
       .orderBy("vec_id")
   }
 
+  /** IVF-PQ query — the assembled ANN index the previous pieces build
+    * toward (coarse IVF probe from [[ivfTopk]] + the PQ codebook from
+    * [[pqEncode]]), scored the way a production IVFADC engine scores:
+    *  1. the query probes its 3 nearest coarse centroids;
+    *  2. an 8×K lookup table per query holds the partial dot of each
+    *     query SUBVECTOR against each codeword — candidates are then
+    *     scored WITHOUT touching their floats: dot(q, recon(v)) =
+    *     Σ_sub LUT[sub, code(v, sub)], an 8-term add per candidate
+    *     instead of a 64-term float dot (and ‖recon‖² is a
+    *     query-independent per-(sub,code) table the same way);
+    *  3. the ADC top-5 is re-ranked against the exact vectors
+    *     (`cos_exact`) — the standard refine stage, touching only k
+    *     full vectors per query.
+    * At 100 TB the corpus side is 8 B of codes per vector (32×
+    * compression), the LUT + codebooks broadcast, and the probe set
+    * bounds the scan to nprobe/K of the corpus — this is the shape that
+    * makes billion-vector ANN feasible at all. Determinism: the ADC sum
+    * folds the 8 LUT partials in sub order (sorted collect_list →
+    * sequential aggregate), mirroring DuckDB's ordered list_sum, so the
+    * approximate scores — not just the ids — hash-verify cross-engine.
+    */
+  private val ivfpqTopk: Q = (s, dir) => {
+    val e = vectors(s, dir)
+    val cent = centroids(s, dir)
+    // PQ codebook per (sub, codebook-group): 2 codewords per label
+    // (parity-split midranges, 20 total per subspace) — enough
+    // granularity that same-cell candidates get distinct
+    // reconstructions and ADC actually ranks them; a k-means-trained
+    // codebook would slot in unchanged
+    val cb = e
+      .select((col("label") * 2 + pmod(col("vec_id"), lit(2))).as("cbk"), posexplode(col("v")))
+      .groupBy("cbk", "pos").agg(((min(col("col")) + max(col("col"))) / 2).as("cx"))
+      .withColumn("sub", expr("pos DIV 8"))
+      .groupBy("sub", "cbk")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cx))), p -> p.cx)").as("cw"))
+      .withColumn("cwn2", vec_dot(col("cw"), col("cw")))
+    // PQ-encode the corpus: nearest codeword per subspace (L2, ties on id)
+    val codes = e.select(col("vec_id"), col("v"), explode(expr("sequence(0, 7)")).as("sub"))
+      .withColumn("sv", expr("slice(v, sub * 8 + 1, 8)"))
+      .join(broadcast(cb), "sub")
+      .withColumn("d2", expr(
+        "aggregate(zip_with(sv, cw, (a, b) -> (a - b) * (a - b)), 0.0D, (acc, t) -> acc + t)"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id", "sub").orderBy(col("d2").asc, col("cbk"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id").as("cvid"), col("sub").as("csub"),
+        col("cbk").as("code"), col("cwn2"))
+    // ‖recon‖² per vector: sub-ordered fold of the chosen codeword norms
+    val recn = codes.groupBy(col("cvid").as("rvid"))
+      .agg(expr(
+        "aggregate(transform(array_sort(collect_list(struct(csub, cwn2))), p -> p.cwn2), 0.0D, (acc, t) -> acc + t)")
+        .as("recn2"))
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    // coarse probe: same nprobe=3 expression as sim_cosine_topk_ivf
+    val qCells = q.crossJoin(broadcast(cent))
+      .withColumn("ccos", vec_dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("ccos").desc, col("cell"))))
+      .filter(col("crk") <= 3)
+      .select(col("q_id"), col("qn"), col("cell"))
+    // ADC lookup table: dot of each query subvector against each codeword
+    val lut = q.crossJoin(broadcast(cb))
+      .withColumn("pdot", vec_dot(expr("slice(qv, sub * 8 + 1, 8)"), col("cw")))
+      .select(col("q_id").as("lq"), col("sub").as("lsub"),
+        col("cbk").as("lcode"), col("pdot"))
+    // candidates = corpus vectors in probed cells; scored from codes only
+    val cand = broadcast(qCells).join(e, col("cell") === col("label"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("qn"), col("vec_id").as("cand_id"))
+    val adc = cand
+      .join(codes, col("cand_id") === col("cvid"))
+      .join(broadcast(lut),
+        col("q_id") === col("lq") && col("csub") === col("lsub") && col("code") === col("lcode"))
+      .groupBy(col("q_id"), col("cand_id"), col("qn"))
+      .agg(expr(
+        "aggregate(transform(array_sort(collect_list(struct(csub, pdot))), p -> p.pdot), 0.0D, (acc, t) -> acc + t)")
+        .as("adc_dot"))
+      .join(recn, col("cand_id") === col("rvid"))
+      .withColumn("adc_sim", round(col("adc_dot") / (col("qn") * sqrt(col("recn2"))), 6))
+    val w = Window.partitionBy("q_id").orderBy(col("adc_sim").desc, col("cand_id"))
+    // refine: exact cosine for the ADC winners only
+    adc.withColumn("rk", row_number().over(w)).filter(col("rk") <= K)
+      .join(e.select(col("vec_id").as("evid"), col("v").as("ev"), col("nrm").as("en")),
+        col("cand_id") === col("evid"))
+      .join(q.select(col("q_id").as("q2"), col("qv")), col("q_id") === col("q2"))
+      .withColumn("cos_exact", round(vec_dot(col("qv"), col("ev")) / (col("qn") * col("en")), 6))
+      .select(col("q_id"), col("rk"), col("cand_id"), col("adc_sim"), col("cos_exact"))
+      .orderBy("q_id", "rk")
+  }
+
   val queries: Map[String, Q] = Map(
     "emb_pq_encode" -> pqEncode,
+    "sim_cosine_topk_ivfpq" -> ivfpqTopk,
     "emb_kmeans_iter" -> kmeansIter,
     "emb_assign_nearest" -> assignNearest,
     "sim_cosine_topk" -> bruteTopk,
@@ -404,6 +496,51 @@ object Sim {
         |  round(list_sum(list_transform(range(64), i -> v.v[i+1] * enc.recon[i+1]))
         |    / (v.nrm * sqrt(list_sum(list_transform(enc.recon, x -> x * x)))), 6) AS recon_cos
         |FROM enc JOIN v USING (vec_id) ORDER BY vec_id""".stripMargin,
+    // IVFADC replay: coarse probe CTEs shared with the IVF oracle; PQ
+    // codebook/codes as in emb_pq_encode; the ADC dot is an ordered
+    // list_sum of the 8 per-subspace LUT partials, matching the Spark
+    // side's sub-sorted sequential fold bit for bit
+    "sim_cosine_topk_ivfpq" ->
+      s"""WITH $oIvfCte,
+         |pcd AS (SELECT vc.label * 2 + vc.vec_id % 2 AS cbk, t.i,
+         |        (MIN(vc.v[t.i]) + MAX(vc.v[t.i])) / 2 AS cx
+         |        FROM v vc, range(1, 65) t(i) GROUP BY 1, 2),
+         |pcb AS (SELECT CAST((i - 1) // 8 AS BIGINT) AS sub, cbk, list(cx ORDER BY i) AS cw
+         |        FROM pcd GROUP BY 1, 2),
+         |pcbn AS (SELECT sub, cbk, cw,
+         |        list_sum(list_transform(cw, x -> x * x)) AS cwn2 FROM pcb),
+         |psv AS (SELECT vec_id, s.sub, v[s.sub * 8 + 1 : s.sub * 8 + 8] AS sv
+         |        FROM v, (SELECT unnest(range(8)) AS sub) s),
+         |psc AS (SELECT psv.vec_id, psv.sub, p.cbk AS code, p.cwn2,
+         |  row_number() OVER (PARTITION BY psv.vec_id, psv.sub ORDER BY
+         |    list_sum(list_transform(range(8),
+         |      k -> (psv.sv[k+1] - p.cw[k+1]) * (psv.sv[k+1] - p.cw[k+1]))) ASC,
+         |    p.cbk) AS rk
+         |  FROM psv JOIN pcbn p USING (sub)),
+         |pcode AS (SELECT vec_id, sub, code, cwn2 FROM psc WHERE rk = 1),
+         |prec AS (SELECT vec_id, list_sum(list(cwn2 ORDER BY sub)) AS recn2
+         |         FROM pcode GROUP BY 1),
+         |plut AS (SELECT q.q_id, p.sub, p.cbk AS code,
+         |  list_sum(list_transform(range(8), k -> q.qv[p.sub * 8 + k + 1] * p.cw[k+1])) AS pdot
+         |  FROM q CROSS JOIN pcbn p),
+         |pcand AS (SELECT qc.q_id, qc.qn, w.vec_id AS cand_id
+         |          FROM qc JOIN v w ON qc.cell = w.label AND qc.q_id <> w.vec_id),
+         |padc AS (SELECT c.q_id, c.cand_id, c.qn,
+         |    list_sum(list(l.pdot ORDER BY l.sub)) AS adc_dot
+         |  FROM pcand c
+         |  JOIN pcode pc ON pc.vec_id = c.cand_id
+         |  JOIN plut l ON l.q_id = c.q_id AND l.sub = pc.sub AND l.code = pc.code
+         |  GROUP BY 1, 2, 3),
+         |pscore AS (SELECT a.q_id, a.cand_id,
+         |    round(a.adc_dot / (a.qn * sqrt(r.recn2)), 6) AS adc_sim
+         |  FROM padc a JOIN prec r ON r.vec_id = a.cand_id),
+         |ptop AS (SELECT q_id, rk, cand_id, adc_sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc_sim DESC, cand_id) AS rk
+         |  FROM pscore) WHERE rk <= 5)
+         |SELECT t.q_id, t.rk, t.cand_id, t.adc_sim,
+         |  round(list_sum(list_transform(range(64), i -> q.qv[i+1] * w.v[i+1])) / (q.qn * w.nrm), 6) AS cos_exact
+         |FROM ptop t JOIN q ON q.q_id = t.q_id JOIN v w ON w.vec_id = t.cand_id
+         |ORDER BY t.q_id, t.rk""".stripMargin,
     // full Lloyd-step replay on the same ×2^20 integer quantization
     "emb_kmeans_iter" ->
       """WITH x AS (

@@ -83,6 +83,38 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Readability scoring — Flesch reading ease + Flesch–Kincaid grade
+    * from three EXACT integer counts per document: words (whitespace
+    * tokens), sentences (runs of `[.!?]`, floored at 1 so a fragment
+    * still scores), and syllables (vowel groups `[aeiouy]+` per word,
+    * floored at 1 per word — the standard dictionary-free heuristic).
+    * The corpus-quality use: readability is a cheap fluency prior next
+    * to text_quality's ratio heuristics, and because the inputs are
+    * integers the two final formulas are a handful of IEEE ops each —
+    * replayed with the identical literal coefficients and association
+    * in DuckDB, so the doubles hash cross-engine. One scan, per-row
+    * codegen expressions, no shuffle: embarrassingly parallel at 100 TB.
+    */
+  private val readability: Q = (s, dir) => {
+    Tables(s, dir, "documents")
+      .withColumn("tk", expr(toksExpr))
+      .select(col("doc_id"), col("lang"),
+        expr("cast(size(tk) as bigint)").as("n_words"),
+        expr("cast(greatest(size(regexp_extract_all(text, '[.!?]+', 0)), 1) as bigint)")
+          .as("n_sents"),
+        expr("cast(aggregate(tk, 0, (a, t) -> a + greatest(size(regexp_extract_all(t, '[aeiouy]+', 0)), 1)) as bigint)")
+          .as("n_syll"))
+      .withColumn("flesch", round(
+        lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double") / col("n_sents"))
+          - lit(84.6) * (col("n_syll").cast("double") / col("n_words")), 6))
+      .withColumn("grade_fk", round(
+        lit(0.39) * (col("n_words").cast("double") / col("n_sents"))
+          + lit(11.8) * (col("n_syll").cast("double") / col("n_words"))
+          - lit(15.59), 6))
+      .orderBy("doc_id")
+  }
+
   /** Marker sets per language for the lang-ID heuristic (distinct-token
     * overlap count; ties resolve in fixed lang order de<en<es<fr<zh).
     */
@@ -495,6 +527,7 @@ object Text {
     "text_tokenize_stats" -> tokenizeStats,
     "text_token_count" -> tokenCount,
     "text_quality" -> quality,
+    "text_readability" -> readability,
     "text_lang_id" -> langId,
     "text_fingerprint" -> fingerprint,
     "text_lang_source_pivot" -> langSourcePivot,
@@ -709,6 +742,20 @@ object Text {
          | CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
          | CAST(CASE WHEN len(tk) BETWEEN 10 AND 10000 AND len(list_distinct(tk)) > 5 THEN 1 ELSE 0 END AS INT) AS keep
          |FROM (SELECT *, $oToks AS tk FROM documents) ORDER BY doc_id""".stripMargin,
+    "text_readability" ->
+      s"""WITH t AS (SELECT doc_id, lang, text, $oToks AS tk FROM documents),
+         |c AS (SELECT doc_id, lang,
+         |  CAST(len(tk) AS BIGINT) AS n_words,
+         |  CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sents,
+         |  CAST(list_sum(list_transform(tk,
+         |    t -> greatest(len(regexp_extract_all(t, '[aeiouy]+')), 1))) AS BIGINT) AS n_syll
+         |  FROM t)
+         |SELECT doc_id, lang, n_words, n_sents, n_syll,
+         |  round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+         |    - 84.6 * (CAST(n_syll AS DOUBLE) / n_words), 6) AS flesch,
+         |  round(0.39 * (CAST(n_words AS DOUBLE) / n_sents)
+         |    + 11.8 * (CAST(n_syll AS DOUBLE) / n_words) - 15.59, 6) AS grade_fk
+         |FROM c ORDER BY doc_id""".stripMargin,
     "text_lang_id" -> {
       def arr(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
       val scores = markers.map { case (l, ws) =>

@@ -81,4 +81,46 @@ class RoundFiveOpsSpec extends AnyFunSuite {
     assert(nullRow.length == 1, "exactly one NULL-day group must survive the <=> join")
     assert(nullRow.head.getLong(1) > 0 && nullRow.head.getLong(2) > 0)
   }
+
+  test("sim_cosine_topk_ivfpq: ADC winners carry near-IVF exact quality and bounded ADC error") {
+    val pq = operators.Sim.queries("sim_cosine_topk_ivfpq")(s, dir).collect()
+    assert(pq.length == 8 * 5, "5 ADC winners per query vector")
+    // ADC score approximates the exact cosine through an 8-byte code:
+    // reconstruction error is bounded, never sign-flipping, on this corpus
+    assert(pq.forall { r =>
+      math.abs(r.getAs[Double]("adc_sim") - r.getAs[Double]("cos_exact")) < 0.5
+    })
+    // quality: the EXACT cosine of the ADC-selected candidates must sit
+    // near what exact scoring over the same probed cells achieves — the
+    // guarantee an ADC+refine stage actually offers (per-rank recall
+    // inside a tight cluster is noise-dominated at this corpus size)
+    val ivfMean = operators.Sim.queries("sim_cosine_topk_ivf")(s, dir).collect()
+      .map(_.getAs[Double]("cos_sim")).sum / 40
+    val adcMean = pq.map(_.getAs[Double]("cos_exact")).sum / 40
+    assert(adcMean >= ivfMean - 0.15,
+      s"ADC selection quality collapsed: exact-of-ADC mean $adcMean vs IVF mean $ivfMean")
+  }
+
+  test("text_readability counts are exact and formulas agree with a reference recomputation") {
+    val rows = operators.Text.queries("text_readability")(s, dir).collect()
+    assert(rows.nonEmpty)
+    rows.take(50).foreach { r =>
+      val (w, se, sy) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_sents"), r.getAs[Long]("n_syll"))
+      assert(w > 0 && se >= 1 && sy >= w, "every word contributes >= 1 syllable")
+      val flesch = BigDecimal(206.835 - 1.015 * (w.toDouble / se) - 84.6 * (sy.toDouble / w))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(flesch - r.getAs[Double]("flesch")) < 1e-9)
+    }
+  }
+
+  test("dq_kanonymity partitions every customer row and k bounds are consistent") {
+    val rows = operators.Ingest.queries("dq_kanonymity")(s, dir).collect()
+    val total = rows.map(_.getAs[Long]("n_rows")).sum
+    assert(total == Tables(s, dir, "customer").count(), "metrics must cover every row")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("k_anonymity") >= 1)
+      assert(r.getAs[Long]("rows_at_risk") <= r.getAs[Long]("n_rows"))
+      assert((r.getAs[Long]("n_unsafe_groups") == 0) == (r.getAs[Long]("rows_at_risk") == 0))
+    }
+  }
 }
