@@ -444,7 +444,35 @@ object Flow {
       .orderBy("rd")
   }
 
+  /** Top event paths — "what do users actually do first": each user's
+    * first 5 events (by time, ties on event_id) collapse to a
+    * '>'-joined path signature; paths are counted and the 10 most
+    * common ship with their user counts. One user_id exchange (window +
+    * ordered collapse), then a count shuffle of ONE row per user and a
+    * top-k over path signatures — bounded by |event_types|^5 regardless
+    * of corpus size, so the final global window never sees more than a
+    * few thousand rows at any scale. The ordered collapse is the sorted
+    * collect_list struct fold (same discipline as text_span_scrub).
+    */
+  private val pathTopk: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val paths = Tables(s, dir, "events")
+      .withColumn("rn", row_number().over(byUser))
+      .filter(col("rn") <= 5)
+      .groupBy("user_id")
+      .agg(expr(
+        "array_join(transform(array_sort(collect_list(struct(rn, event_type))), p -> p.event_type), '>')")
+        .as("path"))
+    paths.groupBy("path")
+      .agg(count(lit(1)).as("n_users"))
+      .withColumn("rk", row_number().over(Window.orderBy(col("n_users").desc, col("path"))))
+      .filter(col("rk") <= 10)
+      .orderBy("rk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "flow_path_topk" -> pathTopk,
     "ts_rolling_wau" -> rollingWau,
     "flow_cep_pattern" -> cepPattern,
     "join_pit_scd2" -> pitScd2,
@@ -462,6 +490,17 @@ object Flow {
   )
 
   val oracles: Map[String, String] = Map(
+    "flow_path_topk" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |      FROM r WHERE rn <= 5 GROUP BY 1),
+        |c AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users FROM p GROUP BY 1),
+        |k AS (SELECT path, n_users,
+        |      row_number() OVER (ORDER BY n_users DESC, path) AS rk FROM c)
+        |SELECT path, n_users, rk FROM k WHERE rk <= 10 ORDER BY rk""".stripMargin,
     // the naive trailing-range join — equivalent to the contribution explode
     "ts_rolling_wau" ->
       """WITH ud AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d

@@ -365,11 +365,42 @@ object Ingest {
       .orderBy("c_mktsegment")
   }
 
+  /** Local-DP count via randomized response (ε = ln 3): each row
+    * reports its sensitive bit (mktsegment = BUILDING) FLIPPED with
+    * p = 1/4, then the per-nation debiased estimate
+    * (reported − p·n) / (1 − 2p) recovers the true count in
+    * expectation without any row having disclosed its bit with
+    * certainty. The flip coin here is a per-row md5 hash so the
+    * mechanism replays bit-exactly in the oracle (a real deployment
+    * draws fresh randomness; the estimator is unchanged), and
+    * `true_count` is emitted ONLY as the verification column — a
+    * release ships the estimate alone. All counts are exact integers;
+    * the estimate is two IEEE ops mirrored structurally in the oracle.
+    * Scale shape: one map-side-combining aggregation, nothing else.
+    */
+  private val dpRrCount: Q = (s, dir) => {
+    val c = Tables(s, dir, "customer")
+      .withColumn("flag", (col("c_mktsegment") === "BUILDING").cast("int"))
+      .withColumn("coin", expr(
+        "cast(conv(substr(md5(cast(c_custkey as string)), 1, 8), 16, 10) as bigint) % 100"))
+      .withColumn("reported",
+        when(col("coin") < 25, lit(1) - col("flag")).otherwise(col("flag")))
+    c.groupBy("c_nationkey")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("flag").cast("bigint")).as("true_count"),
+        sum(col("reported").cast("bigint")).as("reported_count"))
+      .withColumn("dp_estimate",
+        (col("reported_count").cast("double") - lit(0.25) * col("n")) / lit(0.5))
+      .orderBy("c_nationkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "dq_profile" -> dqProfile,
     "dq_rules" -> dqRules,
     "dq_checksum" -> dqChecksum,
     "dq_kanonymity" -> dqKanonymity,
+    "dp_rr_count" -> dpRrCount,
     "dq_sequence_gaps" -> dqSequenceGaps,
     "sink_copy_format" -> sinkCopyFormat,
     "scan_merge_schema" -> scanMergeSchema,
@@ -400,6 +431,21 @@ object Ingest {
         |SELECT k AS gap_after, nxt AS resume_at, nxt - k - 1 AS n_missing
         |FROM d WHERE nxt IS NOT NULL AND nxt - k > 1
         |ORDER BY gap_after""".stripMargin,
+    "dp_rr_count" ->
+      """WITH c AS (
+        |  SELECT c_nationkey,
+        |    CAST(c_mktsegment = 'BUILDING' AS INT) AS flag,
+        |    CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS coin
+        |  FROM customer),
+        |r AS (SELECT c_nationkey, flag,
+        |    CASE WHEN coin < 25 THEN 1 - flag ELSE flag END AS reported FROM c),
+        |m AS (SELECT c_nationkey,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(flag) AS BIGINT) AS true_count,
+        |    CAST(SUM(reported) AS BIGINT) AS reported_count
+        |  FROM r GROUP BY 1)
+        |SELECT *, (CAST(reported_count AS DOUBLE) - 0.25 * n) / 0.5 AS dp_estimate
+        |FROM m ORDER BY c_nationkey""".stripMargin,
     "dq_kanonymity" ->
       """WITH g AS (
         |  SELECT c_mktsegment,

@@ -113,6 +113,30 @@ class RoundFiveOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("flow_path_topk: ranks are dense, counts non-increasing, paths at most 5 steps") {
+    val rows = operators.Flow.queries("flow_path_topk")(s, dir).collect()
+    assert(rows.map(_.getAs[Int]("rk")).toSeq == (1 to rows.length))
+    val counts = rows.map(_.getAs[Long]("n_users"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    assert(rows.forall(_.getAs[String]("path").split(">").length <= 5))
+    val users = Tables(s, dir, "events").select("user_id").distinct().count()
+    assert(counts.sum <= users, "top-10 path users cannot exceed the user population")
+  }
+
+  test("dp_rr_count: debias identity holds and the estimate tracks the true count") {
+    val rows = operators.Ingest.queries("dp_rr_count")(s, dir).collect()
+    rows.foreach { r =>
+      val (n, t, rep) = (r.getAs[Long]("n"), r.getAs[Long]("true_count"),
+        r.getAs[Long]("reported_count"))
+      assert(rep >= 0 && rep <= n && t <= n)
+      val est = (rep.toDouble - 0.25 * n) / 0.5
+      assert(est == r.getAs[Double]("dp_estimate"))
+      // hash-coin noise is binomial: 4·sqrt(n·p·(1−p))/(1−2p) ≈ 3.5·sqrt(n)
+      assert(math.abs(est - t) <= 3.5 * math.sqrt(n.toDouble) + 1,
+        s"nation ${r.get(0)}: estimate $est too far from true $t (n=$n)")
+    }
+  }
+
   test("dq_kanonymity partitions every customer row and k bounds are consistent") {
     val rows = operators.Ingest.queries("dq_kanonymity")(s, dir).collect()
     val total = rows.map(_.getAs[Long]("n_rows")).sum
