@@ -157,7 +157,35 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Framed audio-feature extraction: the payload's bytes stand in for
+    * PCM samples (STUB — a decoder would emit real samples; everything
+    * downstream is the production shape). Each doc yields up to 8
+    * non-overlapping 32-sample frames; per frame the exact integer
+    * energy Σ(v−64)², its RMS (one IEEE sqrt of an exact ratio —
+    * correctly rounded, so bit-identical cross-engine), and the peak
+    * sample. The per-sample fan-out goes through the posexplode
+    * generator barrier (phash's inlining lesson) and collapses in one
+    * doc-keyed hash aggregation — frames per doc are bounded, so output
+    * is O(docs) and the shape is embarrassingly parallel at 100 TB.
+    */
+  private val audioEnergy: Q = (s, dir) => {
+    val v = Tables(s, dir, "documents")
+      .filter(length(col("text")) >= 32)
+      .withColumn("nf", least(lit(8), (length(col("text")) / 32).cast("int")))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, nf * 32 - 1), i -> ascii(substr(text, i + 1, 1)))"))
+        .as(Seq("i", "v")))
+    v.groupBy(col("doc_id"), expr("cast(i div 32 as bigint)").as("frame_idx"))
+      .agg(
+        sum(expr("cast((v - 64) * (v - 64) as bigint)")).as("energy"),
+        max(col("v")).cast("bigint").as("peak"))
+      .withColumn("rms", round(sqrt(col("energy").cast("double") / lit(32.0)), 6))
+      .select("doc_id", "frame_idx", "energy", "rms", "peak")
+      .orderBy("doc_id", "frame_idx")
+  }
+
   val queries: Map[String, Q] = Map(
+    "mm_audio_energy" -> audioEnergy,
     "mm_resize_stub" -> resizeStub,
     "mm_binary_meta" -> binaryMeta,
     "mm_decode_stub" -> decodeStub,
@@ -166,6 +194,21 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    "mm_audio_energy" ->
+      """WITH n AS (SELECT doc_id, text,
+        |    least(8, length(text) // 32) AS nf
+        |  FROM documents WHERE length(text) >= 32),
+        |u AS (SELECT doc_id, text, unnest(range(0, nf * 32)) AS i FROM n),
+        |s AS (SELECT doc_id, i,
+        |    ascii(substr(text, CAST(i AS INT) + 1, 1)) AS v
+        |  FROM u),
+        |f AS (SELECT doc_id, CAST(i // 32 AS BIGINT) AS frame_idx,
+        |    CAST(SUM((v - 64) * (v - 64)) AS BIGINT) AS energy,
+        |    CAST(MAX(v) AS BIGINT) AS peak
+        |  FROM s GROUP BY 1, 2)
+        |SELECT doc_id, frame_idx, energy,
+        |  round(sqrt(CAST(energy AS DOUBLE) / 32.0), 6) AS rms, peak
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
     "mm_phash" ->
       """WITH v AS (SELECT doc_id,
         |    list_transform(range(0, 60),

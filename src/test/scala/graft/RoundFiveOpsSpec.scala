@@ -137,6 +137,22 @@ class RoundFiveOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("mm_audio_energy frames are complete, bounded, and rms^2 recovers energy/32") {
+    val rows = operators.Multimodal.queries("mm_audio_energy")(s, dir).collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.values.foreach { fs =>
+      val idx = fs.map(_.getAs[Long]("frame_idx")).sorted
+      assert(idx.head == 0 && idx.last == idx.length - 1 && idx.length <= 8,
+        "frame indices must be dense 0..n-1 with at most 8 frames")
+    }
+    rows.foreach { r =>
+      val (e, rms) = (r.getAs[Long]("energy"), r.getAs[Double]("rms"))
+      assert(e >= 0 && r.getAs[Long]("peak") <= 127)
+      assert(math.abs(rms * rms - e.toDouble / 32.0) < 1e-3)
+    }
+  }
+
   test("dq_kanonymity partitions every customer row and k bounds are consistent") {
     val rows = operators.Ingest.queries("dq_kanonymity")(s, dir).collect()
     val total = rows.map(_.getAs[Long]("n_rows")).sum
