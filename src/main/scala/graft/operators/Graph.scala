@@ -213,14 +213,41 @@ object Graph {
       .orderBy("node")
   }
 
+  /** Log2-binned degree distribution — the first diagnostic run on any
+    * large graph (is it power-law? where do the celebrity nodes start?)
+    * and the input to every skew-mitigation decision the other graph
+    * operators document. The bin is the integer binary length of the
+    * degree (length(bin(d)) − 1 = floor(log2 d)) — no float log, so bin
+    * boundaries at exact powers of two are bit-safe in both engines.
+    * Cost: one aggregation over the cached degree table; output is
+    * O(log max-degree) rows at any scale.
+    */
+  private val degreeStats: Q = (s, dir) => {
+    degrees(s, dir)
+      .withColumn("bin", (length(expr("conv(cast(d as string), 10, 2)")) - 1).cast("bigint"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_nodes"), min(col("d")).as("min_deg"), max(col("d")).as("max_deg"))
+      .orderBy("bin")
+  }
+
   val queries: Map[String, Q] = Map(
     "graph_triangles" -> triangles,
     "graph_pagerank" -> pagerank,
     "graph_bfs_khop" -> bfs,
     "graph_label_prop" -> lpa,
+    "graph_degree_stats" -> degreeStats,
   )
 
   val oracles: Map[String, String] = Map(
+    "graph_degree_stats" ->
+      """WITH pl AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p),
+        |adj AS (SELECT u AS src FROM e0 UNION ALL SELECT v FROM e0),
+        |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+        |b AS (SELECT CAST(length(bin(d)) - 1 AS BIGINT) AS bin, d FROM deg)
+        |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |  MIN(d) AS min_deg, MAX(d) AS max_deg
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     // two unrolled synchronous rounds with the same (count DESC, lbl ASC)
     // argmax; QUALIFY keeps each round a single select
     "graph_label_prop" ->

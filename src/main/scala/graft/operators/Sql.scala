@@ -128,6 +128,34 @@ object Sql {
       .limit(10)
   }
 
+  /** TPC-H Q18 shape ("large-volume customers"): a HAVING-gated
+    * aggregation of the LARGEST table feeds an IN-subquery that gates
+    * the join back to orders + customer. Catalyst turns the IN into a
+    * semi-join against the aggregated (small) side, so the 100 TB plan
+    * is: one map-side-combining agg of lineitem, a broadcast/keyed
+    * semi-join, then dimension joins — the fact table is never joined
+    * to itself row-for-row. Quantities are exact cents so the HAVING
+    * threshold and output sums hash cross-engine.
+    */
+  private val q18BigOrders: Q = (s, dir) => {
+    val (c, o, li) = (view(s, dir, "customer"), view(s, dir, "orders"), view(s, dir, "lineitem"))
+    s.sql(
+      s"""SELECT c_custkey, o_orderkey,
+         |  date_format(o_orderdate, 'yyyy-MM-dd') AS order_date,
+         |  cast(round(o_totalprice * 100, 0) as bigint) AS total_cents,
+         |  sum(cast(round(l_quantity * 100, 0) as bigint)) AS sum_qty_c,
+         |  cast(count(*) as bigint) AS n_lines
+         |FROM $c JOIN $o ON c_custkey = o_custkey
+         |        JOIN $li ON o_orderkey = l_orderkey
+         |WHERE o_orderkey IN (
+         |  SELECT l_orderkey FROM $li
+         |  GROUP BY l_orderkey
+         |  HAVING sum(cast(round(l_quantity * 100, 0) as bigint)) > 20000)
+         |GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+         |ORDER BY total_cents DESC, o_orderkey
+         |LIMIT 20""".stripMargin)
+  }
+
   /** GROUP BY ALL / ORDER BY ALL — the modern SQL shorthand (every
     * non-aggregate select item becomes a grouping key). Pure parser
     * surface; the plan is the identical hash aggregate, so the oracle is
@@ -209,6 +237,7 @@ object Sql {
     "sql_group_by_all" -> groupByAll,
     "fn_collation_lcase" -> collationLcase,
     "sql_q3_shipping" -> q3Shipping,
+    "sql_q18_big_orders" -> q18BigOrders,
     "fn_variant" -> variant,
     "sql_lateral_topk" -> lateralTopk,
     "sql_recursive_cte" -> recursiveCte,
@@ -216,6 +245,21 @@ object Sql {
   )
 
   val oracles: Map[String, String] = Map(
+    "sql_q18_big_orders" ->
+      """SELECT c_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS total_cents,
+        |  CAST(SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |              JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey
+        |  HAVING SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) > 20000)
+        |GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY total_cents DESC, o_orderkey
+        |LIMIT 20""".stripMargin,
     "sql_unpivot" ->
       """WITH w AS (
         |  SELECT o_orderstatus,

@@ -153,6 +153,25 @@ class RoundFiveOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sql_q18_big_orders: every order clears the HAVING threshold and totals are consistent") {
+    val rows = operators.Sql.queries("sql_q18_big_orders")(s, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows.forall(_.getAs[Long]("sum_qty_c") > 20000L))
+    val totals = rows.map(_.getAs[Long]("total_cents"))
+    assert(totals.zip(totals.tail).forall { case (a, b) => a >= b }, "sorted by total desc")
+  }
+
+  test("graph_degree_stats bins partition the node set with consistent bounds") {
+    val rows = operators.Graph.queries("graph_degree_stats")(s, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val bin = r.getAs[Long]("bin")
+      val (lo, hi) = (1L << bin, (1L << (bin + 1)) - 1)
+      assert(r.getAs[Long]("min_deg") >= lo && r.getAs[Long]("max_deg") <= hi,
+        s"bin $bin bounds [${r.getAs[Long]("min_deg")}, ${r.getAs[Long]("max_deg")}] outside [$lo, $hi]")
+    }
+  }
+
   test("dq_kanonymity partitions every customer row and k bounds are consistent") {
     val rows = operators.Ingest.queries("dq_kanonymity")(s, dir).collect()
     val total = rows.map(_.getAs[Long]("n_rows")).sum
