@@ -471,7 +471,69 @@ object Flow {
       .orderBy("rk")
   }
 
+  /** RFM segmentation — the classic customer-value cut: per user,
+    * Recency (days since last purchase, against the corpus max day so
+    * the query is reproducible), Frequency (purchase count), Monetary
+    * (exact cents); each scored into quintiles by ntile(5) with a
+    * user_id tiebreak so bucket edges are total-ordered and replay
+    * identically in DuckDB. Three windows share ONE global ordering
+    * each over the per-user aggregate (|users| rows, not events) — at
+    * 100 TB the event scan collapses to user grain first, and the
+    * quintile windows run on the collapsed table; the segment string is
+    * the downstream join key for campaign tables.
+    */
+  private val rfm: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val p = Tables(s, dir, "events").filter(col("event_type") === "purchase")
+    val anchor = p.agg(max(date_trunc("day", col("ts")).cast("date")).as("maxd"))
+    val u = p.groupBy("user_id")
+      .agg(
+        max(date_trunc("day", col("ts")).cast("date")).as("lastd"),
+        count(lit(1)).as("frequency"),
+        sum(expr("cast(round(value * 100, 0) as bigint)")).as("monetary_c"))
+      .crossJoin(broadcast(anchor))
+      .withColumn("recency_days", datediff(col("maxd"), col("lastd")).cast("bigint"))
+      .drop("maxd", "lastd")
+    val scored = u
+      .withColumn("r_score", ntile(5).over(Window.orderBy(col("recency_days"), col("user_id"))))
+      .withColumn("f_score", ntile(5).over(Window.orderBy(col("frequency").desc, col("user_id"))))
+      .withColumn("m_score", ntile(5).over(Window.orderBy(col("monetary_c").desc, col("user_id"))))
+    scored.select(col("user_id"), col("recency_days"), col("frequency"), col("monetary_c"),
+        col("r_score"), col("f_score"), col("m_score"),
+        expr("concat(cast(r_score as string), cast(f_score as string), cast(m_score as string))")
+          .as("segment"))
+      .orderBy("user_id")
+  }
+
+  /** CUSUM change-point detection over the daily event-count series —
+    * did traffic shift regime, and when? The page-Hinkley/CUSUM running
+    * sum S_t = Σ(x_i − mean) is kept in EXACT integers by scaling by
+    * the day count D: s_scaled_t = Σ(x_i·D − total), so no float
+    * accumulates across the cumulative window and the argmax day (the
+    * most likely change point) pins bit-exactly. The series is one row
+    * per day (bounded), so the single-partition cumulative window is
+    * metadata-sized at any corpus scale — the heavy work is the one
+    * map-side-combining daily count underneath.
+    */
+  private val cusum: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables(s, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("d"))
+      .agg(count(lit(1)).as("n"))
+    val tot = daily.agg(sum(col("n")).as("total"), count(lit(1)).as("nd"))
+    val w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withS = daily.crossJoin(broadcast(tot))
+      .withColumn("s_scaled", sum(col("n") * col("nd") - col("total")).over(w))
+    val mn = withS.agg(min(col("s_scaled")).as("mns"))
+    withS.crossJoin(broadcast(mn))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"), col("n"),
+        col("s_scaled"), (col("s_scaled") === col("mns")).as("is_min_cusum"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "flow_rfm_segments" -> rfm,
+    "ts_cusum_changepoint" -> cusum,
     "flow_path_topk" -> pathTopk,
     "ts_rolling_wau" -> rollingWau,
     "flow_cep_pattern" -> cepPattern,
@@ -490,6 +552,43 @@ object Flow {
   )
 
   val oracles: Map[String, String] = Map(
+    "flow_rfm_segments" ->
+      """WITH p AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |a AS (SELECT MAX(d) AS maxd FROM p),
+        |u AS (SELECT user_id, MAX(d) AS lastd,
+        |    CAST(COUNT(*) AS BIGINT) AS frequency,
+        |    CAST(SUM(cents) AS BIGINT) AS monetary_c
+        |  FROM p GROUP BY 1),
+        |r AS (SELECT user_id,
+        |    CAST(datediff('day', lastd, (SELECT maxd FROM a)) AS BIGINT) AS recency_days,
+        |    frequency, monetary_c
+        |  FROM u),
+        |sc AS (SELECT *,
+        |    ntile(5) OVER (ORDER BY recency_days, user_id) AS r_score,
+        |    ntile(5) OVER (ORDER BY frequency DESC, user_id) AS f_score,
+        |    ntile(5) OVER (ORDER BY monetary_c DESC, user_id) AS m_score
+        |  FROM r)
+        |SELECT user_id, recency_days, frequency, monetary_c,
+        |  r_score, f_score, m_score,
+        |  CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) || CAST(m_score AS VARCHAR) AS segment
+        |FROM sc ORDER BY user_id""".stripMargin,
+    "ts_cusum_changepoint" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+        |      CAST(COUNT(*) AS BIGINT) AS nd FROM daily),
+        |s AS (SELECT d, n,
+        |    SUM(n * t.nd - t.total) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_scaled
+        |  FROM daily, t),
+        |m AS (SELECT MIN(s_scaled) AS mns FROM s)
+        |SELECT strftime(d, '%Y-%m-%d') AS day, n,
+        |  CAST(s_scaled AS BIGINT) AS s_scaled, s_scaled = m.mns AS is_min_cusum
+        |FROM s, m ORDER BY day""".stripMargin,
     "flow_path_topk" ->
       """WITH r AS (
         |  SELECT user_id, event_type,

@@ -172,6 +172,29 @@ class RoundFiveOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("flow_rfm_segments: quintile scores are 1..5 and balanced within one row") {
+    val rows = operators.Flow.queries("flow_rfm_segments")(s, dir).collect()
+    assert(rows.nonEmpty)
+    Seq("r_score", "f_score", "m_score").foreach { c =>
+      val byScore = rows.groupBy(_.getAs[Int](c)).view.mapValues(_.length)
+      assert(byScore.keys.forall(k => k >= 1 && k <= 5))
+      // ntile balance: bucket sizes differ by at most 1
+      assert(byScore.values.max - byScore.values.min <= 1, s"$c buckets unbalanced")
+    }
+    assert(rows.forall(r => r.getAs[String]("segment") ==
+      s"${r.getAs[Int]("r_score")}${r.getAs[Int]("f_score")}${r.getAs[Int]("m_score")}"))
+  }
+
+  test("ts_cusum_changepoint: scaled cusum telescopes to zero and flags the global min") {
+    val rows = operators.Flow.queries("ts_cusum_changepoint")(s, dir).collect()
+    assert(rows.nonEmpty)
+    // sum over all days of (n*D - total) telescopes to exactly 0
+    assert(rows.last.getAs[Long]("s_scaled") == 0L)
+    val mins = rows.filter(_.getAs[Boolean]("is_min_cusum"))
+    val minVal = rows.map(_.getAs[Long]("s_scaled")).min
+    assert(mins.nonEmpty && mins.forall(_.getAs[Long]("s_scaled") == minVal))
+  }
+
   test("dq_kanonymity partitions every customer row and k bounds are consistent") {
     val rows = operators.Ingest.queries("dq_kanonymity")(s, dir).collect()
     val total = rows.map(_.getAs[Long]("n_rows")).sum
