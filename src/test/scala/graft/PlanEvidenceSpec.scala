@@ -158,6 +158,31 @@ class PlanEvidenceSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(p.contains("BroadcastHashJoin"), s"codebook should broadcast:\n$p")
   }
 
+  test("sql_q18_big_orders plans the IN-subquery as a semi-join, never a fact-fact join") {
+    val p = planString(operators.Sql.queries("sql_q18_big_orders")(s, dir))
+      .split("== Initial Plan ==").head
+    assert(p.contains("LeftSemi") || p.contains("ExistenceJoin"),
+      s"HAVING-gated IN should plan as a semi-join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), "top-20 must not be a global sort")
+  }
+
+  test("sim_cosine_topk_ivfpq: LUT and codebook broadcast; no cartesian on the corpus") {
+    val df = operators.Sim.queries("sim_cosine_topk_ivfpq")(s, dir)
+    val p = planString(df).split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"), s"LUT/probe joins should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"corpus side must never cross-join:\n$p")
+  }
+
+  test("flow_path_topk collapses to one row per user before the path count") {
+    val df = operators.Flow.queries("flow_path_topk")(s, dir)
+    val p = planString(df).split("== Initial Plan ==").head
+    // events shuffle once on user_id (window + collapse share it); the
+    // path count then aggregates user-grain rows
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 3, s"expected user_id + path (+final rank) exchanges only, got $exchanges:\n$p")
+  }
+
   test("AQE re-plans a small sort-merge join into a broadcast join") {
     import org.apache.spark.sql.functions._
     val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
