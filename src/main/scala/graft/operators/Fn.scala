@@ -348,7 +348,30 @@ object Fn {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Malformed-record handling — the PERMISSIVE-parse contract an event
+    * pipeline needs: corrupt payloads (deterministically injected — the
+    * leading brace is stripped for every 13th event, mirrored in the
+    * oracle) parse to NULL instead of failing the job, and the report
+    * counts them per event type next to the aggregate the valid rows
+    * still produce. One scan, per-row codegen JSON parse, one hash agg;
+    * at 100 TB the corrupt rows cost the same as the valid ones and
+    * nothing stops the pipeline.
+    */
+  private val fnJsonCorrupt: Q = (s, dir) => {
+    val e = Tables(s, dir, "events")
+      .withColumn("raw",
+        when(col("event_id") % 13 === 0, expr("substr(props, 2)")).otherwise(col("props")))
+      .withColumn("k", expr("from_json(raw, 'k INT').k"))
+    e.groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_corrupt"),
+        sum(col("k").cast("bigint")).as("k_sum"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "fn_json_corrupt" -> fnJsonCorrupt,
     "fn_round_half_even" -> fnRoundHalfEven,
     "agg_regression" -> aggRegression,
     "fn_url_mask" -> fnUrlMask,
@@ -368,6 +391,17 @@ object Fn {
   )
 
   val oracles: Map[String, String] = Map(
+    "fn_json_corrupt" ->
+      """WITH e AS (SELECT event_type,
+        |    CASE WHEN event_id % 13 = 0 THEN substr(props, 2) ELSE props END AS raw
+        |  FROM events),
+        |p AS (SELECT event_type,
+        |    CASE WHEN json_valid(raw) THEN CAST(json_extract(raw, '$.k') AS BIGINT) END AS k
+        |  FROM e)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+        |  CAST(SUM(k) AS BIGINT) AS k_sum
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_regression" ->
       """WITH m AS (
         |  SELECT l_returnflag,
