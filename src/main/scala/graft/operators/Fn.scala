@@ -306,6 +306,45 @@ object Fn {
       .orderBy("l_returnflag")
   }
 
+  /** Two-feature OLS (y = b0 + b1·x1 + b2·x2) per group from EXACT
+    * sufficient statistics — the multi-feature step past agg_regression:
+    * the scan accumulates 8 decimal-exact sums (n, Σx1, Σx2, Σy, Σx1²,
+    * Σx2², Σx1x2, Σx1y, Σx2y) map-side, and the normal-equations 2×2
+    * solve on centered moments is a handful of IEEE ops mirrored
+    * structurally in the oracle. This is how distributed OLS actually
+    * runs at 100 TB: sufficient statistics shuffle, never rows — the
+    * same shape generalizes to k features with a k×k driver-side solve.
+    */
+  private val aggOls2: Q = (s, dir) => {
+    import graft.Det
+    val base = Tables(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        Det.dsum(col("l_quantity")).as("sx1"),
+        Det.dsum(col("l_discount")).as("sx2"),
+        Det.dsum(col("l_extendedprice")).as("sy"),
+        sum((col("l_quantity") * col("l_quantity")).cast(Det.Scale)).cast("double").as("s11"),
+        sum((col("l_discount") * col("l_discount")).cast(Det.Scale)).cast("double").as("s22"),
+        sum((col("l_quantity") * col("l_discount")).cast(Det.Scale)).cast("double").as("s12"),
+        sum((col("l_quantity") * col("l_extendedprice")).cast(Det.Scale)).cast("double").as("s1y"),
+        sum((col("l_discount") * col("l_extendedprice")).cast(Det.Scale)).cast("double").as("s2y"))
+    val m11 = col("n") * col("s11") - col("sx1") * col("sx1")
+    val m22 = col("n") * col("s22") - col("sx2") * col("sx2")
+    val m12 = col("n") * col("s12") - col("sx1") * col("sx2")
+    val m1y = col("n") * col("s1y") - col("sx1") * col("sy")
+    val m2y = col("n") * col("s2y") - col("sx2") * col("sy")
+    val det = m11 * m22 - m12 * m12
+    val b1 = (m22 * m1y - m12 * m2y) / det
+    val b2 = (m11 * m2y - m12 * m1y) / det
+    base.select(
+        col("l_returnflag"), col("n").cast("bigint").as("n_rows"),
+        round(b1, 6).as("b_qty"),
+        round(b2, 6).as("b_disc"),
+        round((col("sy") - b1 * col("sx1") - b2 * col("sx2")) / col("n"), 6).as("b0"))
+      .orderBy("l_returnflag")
+  }
+
   /** URL parsing (parse_url HOST/PATH/QUERY) and data masking (mask:
     * upper→X, lower→x, digit→n) over synthesized crawl-style URLs — the
     * two per-row transforms every web-corpus pipeline runs. The DuckDB
@@ -374,6 +413,7 @@ object Fn {
     "fn_json_corrupt" -> fnJsonCorrupt,
     "fn_round_half_even" -> fnRoundHalfEven,
     "agg_regression" -> aggRegression,
+    "agg_ols2" -> aggOls2,
     "fn_url_mask" -> fnUrlMask,
     "agg_listagg" -> aggListagg,
     "fn_try" -> fnTry,
@@ -418,6 +458,34 @@ object Fn {
         |  round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
         |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
         |FROM m ORDER BY l_returnflag""".stripMargin,
+    "agg_ols2" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sx1,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(25,6))) AS DOUBLE) AS sx2,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS s11,
+        |    CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(25,6))) AS DOUBLE) AS s22,
+        |    CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(25,6))) AS DOUBLE) AS s12,
+        |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS s1y,
+        |    CAST(SUM(CAST(l_discount * l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS s2y
+        |  FROM lineitem GROUP BY l_returnflag),
+        |c AS (SELECT l_returnflag, n, sx1, sx2, sy,
+        |    n * s11 - sx1 * sx1 AS m11,
+        |    n * s22 - sx2 * sx2 AS m22,
+        |    n * s12 - sx1 * sx2 AS m12,
+        |    n * s1y - sx1 * sy AS m1y,
+        |    n * s2y - sx2 * sy AS m2y
+        |  FROM m),
+        |b AS (SELECT l_returnflag, n, sx1, sx2, sy,
+        |    (m22 * m1y - m12 * m2y) / (m11 * m22 - m12 * m12) AS b1,
+        |    (m11 * m2y - m12 * m1y) / (m11 * m22 - m12 * m12) AS b2
+        |  FROM c)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+        |  round(b1, 6) AS b_qty, round(b2, 6) AS b_disc,
+        |  round((sy - b1 * sx1 - b2 * sx2) / n, 6) AS b0
+        |FROM b ORDER BY l_returnflag""".stripMargin,
     "fn_round_half_even" ->
       """SELECT l_orderkey, l_linenumber,
         |  l_extendedprice - 50000.0 AS v,

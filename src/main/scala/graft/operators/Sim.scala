@@ -432,9 +432,27 @@ object Sim {
       .orderBy("q_id", "rk")
   }
 
+  /** Recall@5 of the IVF-PQ ADC ranking against brute force — the ANN
+    * recall gate applied to the third index family (after
+    * [[lshRecall]] / [[ivfRecall]]). The number quantifies what ADC
+    * compression costs on this corpus, pinned cross-engine.
+    */
+  private val ivfpqRecall: Q = (s, dir) => {
+    val brute = bruteTopk(s, dir).select(col("q_id"), col("cand_id"))
+    val approx = ivfpqTopk(s, dir)
+      .select(col("q_id").as("aq"), col("cand_id").as("ac"))
+    brute.join(approx,
+        col("q_id") === col("aq") && col("cand_id") === col("ac"), "left")
+      .groupBy("q_id")
+      .agg(expr("cast(count(ac) as bigint)").as("n_hit"))
+      .withColumn("recall_at_5", col("n_hit").cast("double") / 5)
+      .orderBy("q_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "emb_pq_encode" -> pqEncode,
     "sim_cosine_topk_ivfpq" -> ivfpqTopk,
+    "sim_ivfpq_recall" -> ivfpqRecall,
     "emb_kmeans_iter" -> kmeansIter,
     "emb_assign_nearest" -> assignNearest,
     "sim_cosine_topk" -> bruteTopk,
@@ -497,6 +515,50 @@ object Sim {
        |  WHERE rk <= 5)""".stripMargin
   }
 
+  /** DuckDB replay of the full IVF-PQ pipeline through the ADC top-5
+    * (`ptop`): coarse-probe CTEs shared with [[oIvfCte]], parity-split
+    * PQ codebook/codes as in emb_pq_encode, and ADC dots as ordered
+    * list_sums of the 8 per-subspace LUT partials — matching the Spark
+    * side's sub-sorted sequential folds bit for bit.
+    */
+  private val oIvfPqCte: String =
+    s"""$oIvfCte,
+       |pcd AS (SELECT vc.label * 2 + vc.vec_id % 2 AS cbk, t.i,
+       |        (MIN(vc.v[t.i]) + MAX(vc.v[t.i])) / 2 AS cx
+       |        FROM v vc, range(1, 65) t(i) GROUP BY 1, 2),
+       |pcb AS (SELECT CAST((i - 1) // 8 AS BIGINT) AS sub, cbk, list(cx ORDER BY i) AS cw
+       |        FROM pcd GROUP BY 1, 2),
+       |pcbn AS (SELECT sub, cbk, cw,
+       |        list_sum(list_transform(cw, x -> x * x)) AS cwn2 FROM pcb),
+       |psv AS (SELECT vec_id, s.sub, v[s.sub * 8 + 1 : s.sub * 8 + 8] AS sv
+       |        FROM v, (SELECT unnest(range(8)) AS sub) s),
+       |psc AS (SELECT psv.vec_id, psv.sub, p.cbk AS code, p.cwn2,
+       |  row_number() OVER (PARTITION BY psv.vec_id, psv.sub ORDER BY
+       |    list_sum(list_transform(range(8),
+       |      k -> (psv.sv[k+1] - p.cw[k+1]) * (psv.sv[k+1] - p.cw[k+1]))) ASC,
+       |    p.cbk) AS rk
+       |  FROM psv JOIN pcbn p USING (sub)),
+       |pcode AS (SELECT vec_id, sub, code, cwn2 FROM psc WHERE rk = 1),
+       |prec AS (SELECT vec_id, list_sum(list(cwn2 ORDER BY sub)) AS recn2
+       |         FROM pcode GROUP BY 1),
+       |plut AS (SELECT q.q_id, p.sub, p.cbk AS code,
+       |  list_sum(list_transform(range(8), k -> q.qv[p.sub * 8 + k + 1] * p.cw[k+1])) AS pdot
+       |  FROM q CROSS JOIN pcbn p),
+       |pcand AS (SELECT qc.q_id, qc.qn, w.vec_id AS cand_id
+       |          FROM qc JOIN v w ON qc.cell = w.label AND qc.q_id <> w.vec_id),
+       |padc AS (SELECT c.q_id, c.cand_id, c.qn,
+       |    list_sum(list(l.pdot ORDER BY l.sub)) AS adc_dot
+       |  FROM pcand c
+       |  JOIN pcode pc ON pc.vec_id = c.cand_id
+       |  JOIN plut l ON l.q_id = c.q_id AND l.sub = pc.sub AND l.code = pc.code
+       |  GROUP BY 1, 2, 3),
+       |pscore AS (SELECT a.q_id, a.cand_id,
+       |    round(a.adc_dot / (a.qn * sqrt(r.recn2)), 6) AS adc_sim
+       |  FROM padc a JOIN prec r ON r.vec_id = a.cand_id),
+       |ptop AS (SELECT q_id, rk, cand_id, adc_sim FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc_sim DESC, cand_id) AS rk
+       |  FROM pscore) WHERE rk <= 5)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // PQ replay: midrange codebook, per-subspace L2 snap, reconstruction
     "emb_pq_encode" ->
@@ -528,46 +590,25 @@ object Sim {
     // list_sum of the 8 per-subspace LUT partials, matching the Spark
     // side's sub-sorted sequential fold bit for bit
     "sim_cosine_topk_ivfpq" ->
-      s"""WITH $oIvfCte,
-         |pcd AS (SELECT vc.label * 2 + vc.vec_id % 2 AS cbk, t.i,
-         |        (MIN(vc.v[t.i]) + MAX(vc.v[t.i])) / 2 AS cx
-         |        FROM v vc, range(1, 65) t(i) GROUP BY 1, 2),
-         |pcb AS (SELECT CAST((i - 1) // 8 AS BIGINT) AS sub, cbk, list(cx ORDER BY i) AS cw
-         |        FROM pcd GROUP BY 1, 2),
-         |pcbn AS (SELECT sub, cbk, cw,
-         |        list_sum(list_transform(cw, x -> x * x)) AS cwn2 FROM pcb),
-         |psv AS (SELECT vec_id, s.sub, v[s.sub * 8 + 1 : s.sub * 8 + 8] AS sv
-         |        FROM v, (SELECT unnest(range(8)) AS sub) s),
-         |psc AS (SELECT psv.vec_id, psv.sub, p.cbk AS code, p.cwn2,
-         |  row_number() OVER (PARTITION BY psv.vec_id, psv.sub ORDER BY
-         |    list_sum(list_transform(range(8),
-         |      k -> (psv.sv[k+1] - p.cw[k+1]) * (psv.sv[k+1] - p.cw[k+1]))) ASC,
-         |    p.cbk) AS rk
-         |  FROM psv JOIN pcbn p USING (sub)),
-         |pcode AS (SELECT vec_id, sub, code, cwn2 FROM psc WHERE rk = 1),
-         |prec AS (SELECT vec_id, list_sum(list(cwn2 ORDER BY sub)) AS recn2
-         |         FROM pcode GROUP BY 1),
-         |plut AS (SELECT q.q_id, p.sub, p.cbk AS code,
-         |  list_sum(list_transform(range(8), k -> q.qv[p.sub * 8 + k + 1] * p.cw[k+1])) AS pdot
-         |  FROM q CROSS JOIN pcbn p),
-         |pcand AS (SELECT qc.q_id, qc.qn, w.vec_id AS cand_id
-         |          FROM qc JOIN v w ON qc.cell = w.label AND qc.q_id <> w.vec_id),
-         |padc AS (SELECT c.q_id, c.cand_id, c.qn,
-         |    list_sum(list(l.pdot ORDER BY l.sub)) AS adc_dot
-         |  FROM pcand c
-         |  JOIN pcode pc ON pc.vec_id = c.cand_id
-         |  JOIN plut l ON l.q_id = c.q_id AND l.sub = pc.sub AND l.code = pc.code
-         |  GROUP BY 1, 2, 3),
-         |pscore AS (SELECT a.q_id, a.cand_id,
-         |    round(a.adc_dot / (a.qn * sqrt(r.recn2)), 6) AS adc_sim
-         |  FROM padc a JOIN prec r ON r.vec_id = a.cand_id),
-         |ptop AS (SELECT q_id, rk, cand_id, adc_sim FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc_sim DESC, cand_id) AS rk
-         |  FROM pscore) WHERE rk <= 5)
+      s"""WITH $oIvfPqCte
          |SELECT t.q_id, t.rk, t.cand_id, t.adc_sim,
          |  round(list_sum(list_transform(range(64), i -> q.qv[i+1] * w.v[i+1])) / (q.qn * w.nrm), 6) AS cos_exact
          |FROM ptop t JOIN q ON q.q_id = t.q_id JOIN v w ON w.vec_id = t.cand_id
          |ORDER BY t.q_id, t.rk""".stripMargin,
+    // recall@5 of the ADC ranking vs brute-force truth — the ANN recall
+    // gate completed for the third index family (LSH, IVF, IVF-PQ)
+    "sim_ivfpq_recall" ->
+      s"""WITH $oIvfPqCte,
+         |bs AS (SELECT q.q_id, w.vec_id AS cand_id,
+         |  round(list_sum(list_transform(range(64), i -> q.qv[i+1] * w.v[i+1])) / (q.qn * w.nrm), 6) AS cos_sim
+         |  FROM q JOIN v w ON q.q_id <> w.vec_id),
+         |br AS (SELECT q_id, cand_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id) AS rk
+         |  FROM bs) WHERE rk <= 5)
+         |SELECT br.q_id, CAST(COUNT(p.cand_id) AS BIGINT) AS n_hit,
+         |  CAST(COUNT(p.cand_id) AS DOUBLE) / 5 AS recall_at_5
+         |FROM br LEFT JOIN ptop p ON br.q_id = p.q_id AND br.cand_id = p.cand_id
+         |GROUP BY br.q_id ORDER BY br.q_id""".stripMargin,
     // full Lloyd-step replay on the same ×2^20 integer quantization
     "emb_kmeans_iter" ->
       """WITH x AS (

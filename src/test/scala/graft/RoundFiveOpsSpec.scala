@@ -195,6 +195,25 @@ class RoundFiveOpsSpec extends AnyFunSuite {
     assert(mins.nonEmpty && mins.forall(_.getAs[Long]("s_scaled") == minVal))
   }
 
+  test("agg_ols2 covers every lineitem row and produces finite coefficients") {
+    val rows = operators.Fn.queries("agg_ols2")(s, dir).collect()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == Tables(s, dir, "lineitem").count())
+    rows.foreach { r =>
+      Seq("b_qty", "b_disc", "b0").foreach { c =>
+        val v = r.getAs[Double](c)
+        assert(!v.isNaN && !v.isInfinite, s"$c not finite: $v")
+      }
+    }
+  }
+
+  test("sim_ivfpq_recall: one row per query, recall in [0,1] and above random") {
+    val rows = operators.Sim.queries("sim_ivfpq_recall")(s, dir).collect()
+    assert(rows.length == 8)
+    val recalls = rows.map(_.getAs[Double]("recall_at_5"))
+    assert(recalls.forall(r => r >= 0.0 && r <= 1.0))
+    assert(recalls.sum / 8 >= 0.1, s"mean ADC recall collapsed: ${recalls.sum / 8}")
+  }
+
   test("dq_kanonymity partitions every customer row and k bounds are consistent") {
     val rows = operators.Ingest.queries("dq_kanonymity")(s, dir).collect()
     val total = rows.map(_.getAs[Long]("n_rows")).sum
