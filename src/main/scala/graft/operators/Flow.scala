@@ -531,7 +531,44 @@ object Flow {
       .orderBy("day")
   }
 
+  /** MERGE with the full op set — the missing D in cdc_upsert's I/U
+    * story: a change feed carrying inserts (every 13th key, shifted),
+    * updates (every 7th, price bump + status 'U'), and DELETE
+    * tombstones (every 11th; delete wins over update on overlap, the
+    * standard CDC precedence) applies in ONE full-outer join keyed on
+    * the primary key — tombstones drop the row, updates coalesce over
+    * base, untouched rows pass through. The result is aggregated per
+    * status so the oracle pins the post-merge table state exactly. At
+    * 100 TB: one keyed shuffle of the (small) change feed against a
+    * bucketed base — identical cost to cdc_upsert, deletes add nothing.
+    */
+  private val cdcDeletes: Q = (s, dir) => {
+    val o = Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val dels = o.filter(col("o_orderkey") % 11 === 0)
+      .select(col("o_orderkey").as("k"), lit("D").as("op"),
+        lit(null).cast("string").as("c_status"), lit(null).cast("double").as("c_price"))
+    val ups = o.filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") % 11 =!= 0)
+      .select(col("o_orderkey").as("k"), lit("U").as("op"),
+        lit("U").as("c_status"), (col("o_totalprice") * 1.05).as("c_price"))
+    val ins = o.filter(col("o_orderkey") % 13 === 0)
+      .select((col("o_orderkey") + 10000000L).as("k"), lit("I").as("op"),
+        lit("N").as("c_status"), col("o_totalprice").as("c_price"))
+    val changes = dels.unionAll(ups).unionAll(ins)
+    val merged = o.join(changes, col("o_orderkey") === col("k"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(
+        coalesce(col("o_orderkey"), col("k")).as("key"),
+        coalesce(col("c_status"), col("o_orderstatus")).as("status"),
+        coalesce(col("c_price"), col("o_totalprice")).as("price"))
+    merged.groupBy("status")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(round(price * 100, 0) as bigint)")).as("total_cents"))
+      .orderBy("status")
+  }
+
   val queries: Map[String, Q] = Map(
+    "cdc_apply_deletes" -> cdcDeletes,
     "flow_rfm_segments" -> rfm,
     "ts_cusum_changepoint" -> cusum,
     "flow_path_topk" -> pathTopk,
@@ -552,6 +589,19 @@ object Flow {
   )
 
   val oracles: Map[String, String] = Map(
+    // the declared post-merge state: survivors (with updates applied)
+    // plus inserts — pinning the MERGE semantics, not the join shape
+    "cdc_apply_deletes" ->
+      """WITH survivors AS (
+        |  SELECT CASE WHEN o_orderkey % 7 = 0 THEN 'U' ELSE o_orderstatus END AS status,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.05 ELSE o_totalprice END AS price
+        |  FROM orders WHERE o_orderkey % 11 <> 0),
+        |ins AS (SELECT 'N' AS status, o_totalprice AS price
+        |        FROM orders WHERE o_orderkey % 13 = 0),
+        |m AS (SELECT * FROM survivors UNION ALL SELECT * FROM ins)
+        |SELECT status, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(round(price * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     "flow_rfm_segments" ->
       """WITH p AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
         |    CAST(round(value * 100, 0) AS BIGINT) AS cents

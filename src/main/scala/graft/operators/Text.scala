@@ -144,6 +144,23 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Confusion matrix of the lang-ID heuristic — the evaluation a
+    * classifier ships with: (true lang, predicted lang) counts and the
+    * within-true-lang share, so per-language precision/recall read off
+    * directly. Runs the identical argmax as text_lang_id, then ONE hash
+    * aggregation to a |langs|² matrix — the eval is as parallel as the
+    * classifier itself, and at 100 TB the matrix is still 25 rows.
+    */
+  private val langConfusion: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    langId(s, dir)
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share_of_true",
+        col("n").cast("double") / sum(col("n")).over(Window.partitionBy("lang")).cast("double"))
+      .orderBy("lang", "pred_lang")
+  }
+
   /** Document fingerprinting: md5 of the normalized text (exact-dup key)
     * plus the minimum md5 over all 8-char grams of the normalized text
     * (a 1-gram winnow — stable under small edits).
@@ -529,6 +546,7 @@ object Text {
     "text_quality" -> quality,
     "text_readability" -> readability,
     "text_lang_id" -> langId,
+    "text_lang_confusion" -> langConfusion,
     "text_fingerprint" -> fingerprint,
     "text_lang_source_pivot" -> langSourcePivot,
   )
@@ -773,6 +791,26 @@ object Text {
          |SELECT *, $pred AS pred_lang,
          | CAST(($pred) = lang AS INT) AS is_correct
          |FROM sc ORDER BY doc_id""".stripMargin
+    },
+    "text_lang_confusion" -> {
+      def arr(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      val scores = markers.map { case (l, ws) =>
+        s"len(list_intersect(list_distinct(tk), ${arr(ws)})) AS s_$l"
+      }.mkString(",\n ")
+      val langs = markers.map(_._1)
+      val pred = langs.init.zipWithIndex.map { case (l, i) =>
+          val rest = langs.drop(i + 1).map(r => s"s_$l >= s_$r").mkString(" AND ")
+          s"WHEN $rest THEN '$l'"
+        }.mkString("CASE ", " ", s" ELSE '${langs.last}' END")
+      s"""WITH t AS (SELECT doc_id, lang, $oToks AS tk FROM documents),
+         |sc AS (SELECT doc_id, lang,
+         | $scores
+         |FROM t),
+         |p AS (SELECT lang, $pred AS pred_lang FROM sc),
+         |c AS (SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY 1, 2)
+         |SELECT lang, pred_lang, n,
+         |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY lang) AS DOUBLE) AS share_of_true
+         |FROM c ORDER BY lang, pred_lang""".stripMargin
     },
     "text_fingerprint" ->
       """SELECT doc_id, md5(nrm) AS fp_exact,

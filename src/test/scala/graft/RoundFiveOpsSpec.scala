@@ -214,6 +214,29 @@ class RoundFiveOpsSpec extends AnyFunSuite {
     assert(recalls.sum / 8 >= 0.1, s"mean ADC recall collapsed: ${recalls.sum / 8}")
   }
 
+  test("cdc_apply_deletes: post-merge row count = base - deletes + inserts") {
+    val o = Tables(s, dir, "orders")
+    val base = o.count()
+    val dels = o.filter(col("o_orderkey") % 11 === 0).count()
+    val ins = o.filter(col("o_orderkey") % 13 === 0).count()
+    val merged = operators.Flow.queries("cdc_apply_deletes")(s, dir).collect()
+    assert(merged.map(_.getAs[Long]("n")).sum == base - dels + ins)
+    assert(merged.exists(_.getAs[String]("status") == "U"), "updates must surface")
+    assert(merged.exists(_.getAs[String]("status") == "N"), "inserts must surface")
+  }
+
+  test("text_lang_confusion: shares sum to 1 per true lang and diagonal dominates") {
+    val rows = operators.Text.queries("text_lang_confusion")(s, dir).collect()
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      val total = rs.map(_.getAs[Double]("share_of_true")).sum
+      assert(math.abs(total - 1.0) < 1e-9, s"$lang shares sum to $total")
+    }
+    val n = rows.map(r => ((r.getAs[String]("lang"), r.getAs[String]("pred_lang")), r.getAs[Long]("n"))).toMap
+    val diag = n.collect { case ((a, b), v) if a == b => v }.sum
+    assert(diag.toDouble / n.values.sum > 0.25,
+      "lang-ID should beat 5-class chance (0.2) on its own corpus")
+  }
+
   test("dq_kanonymity partitions every customer row and k bounds are consistent") {
     val rows = operators.Ingest.queries("dq_kanonymity")(s, dir).collect()
     val total = rows.map(_.getAs[Long]("n_rows")).sum
