@@ -395,7 +395,46 @@ object Ingest {
       .orderBy("c_nationkey")
   }
 
+  /** Central-DP noisy counts via the geometric mechanism (discrete
+    * Laplace, ε = ln 2): per-(nation, segment) counts get integer noise
+    * Z with P(Z=k) = (1/3)·(1/2)^|k| — the exact-integer counterpart
+    * of Laplace noise, and the mechanism actually used for counting
+    * queries because it never leaves ℤ. The inverse CDF is an unrolled
+    * CASE over LITERAL dyadic thresholds (no log(), whose rounding
+    * differs across engines), driven by a 24-bit md5 hash of the group
+    * key so the draw replays bit-exactly in the oracle (a deployment
+    * uses fresh randomness; estimator and noise distribution are
+    * unchanged). Noise clamps at ±8 (mass beyond: 2·(1/3)·2⁻⁸ < 0.3%).
+    * `n` ships only as the verification column. One aggregation, one
+    * per-group expression — free at any scale.
+    */
+  private val dpGeometric: Q = (s, dir) => {
+    val g = Tables(s, dir, "customer")
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("u", expr(
+        "cast(conv(substr(md5(concat(cast(c_nationkey as string), '|', c_mktsegment)), 1, 6), 16, 10) as double) / 16777216.0"))
+    // inverse CDF: P(0)=1/3; tails split the remaining 2/3 evenly, with
+    // conditional magnitude CDF 1/2, 3/4, 7/8, ... (dyadic literals).
+    // Staged columns t (tail position) / r (within-tail position) are
+    // mirrored 1:1 in the oracle so every IEEE op matches structurally.
+    g.withColumn("t", (col("u") - lit(0.3333333333333333)) * lit(1.5))
+      .withColumn("r",
+        when(col("t") < 0.5, col("t") * 2.0).otherwise((col("t") - 0.5) * 2.0))
+      .withColumn("mag", expr(
+        """CASE WHEN r < 0.5 THEN 1L WHEN r < 0.75 THEN 2L WHEN r < 0.875 THEN 3L
+          | WHEN r < 0.9375 THEN 4L WHEN r < 0.96875 THEN 5L WHEN r < 0.984375 THEN 6L
+          | WHEN r < 0.9921875 THEN 7L ELSE 8L END""".stripMargin))
+      .withColumn("noise",
+        when(col("u") < 0.3333333333333333, lit(0L))
+          .otherwise(when(col("t") < 0.5, col("mag")).otherwise(-col("mag"))))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("n"),
+        col("noise"), (col("n") + col("noise")).as("dp_count"))
+      .orderBy("c_nationkey", "c_mktsegment")
+  }
+
   val queries: Map[String, Q] = Map(
+    "dp_geometric_counts" -> dpGeometric,
     "dq_profile" -> dqProfile,
     "dq_rules" -> dqRules,
     "dq_checksum" -> dqChecksum,
@@ -431,6 +470,24 @@ object Ingest {
         |SELECT k AS gap_after, nxt AS resume_at, nxt - k - 1 AS n_missing
         |FROM d WHERE nxt IS NOT NULL AND nxt - k > 1
         |ORDER BY gap_after""".stripMargin,
+    "dp_geometric_counts" ->
+      """WITH g AS (
+        |  SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(CAST(('0x' || substr(md5(CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment), 1, 6)) AS BIGINT) AS DOUBLE) / 16777216.0 AS u
+        |  FROM customer GROUP BY 1, 2),
+        |s AS (SELECT *, (u - 0.3333333333333333) * 1.5 AS t FROM g),
+        |s2 AS (SELECT *, CASE WHEN t < 0.5 THEN t * 2.0 ELSE (t - 0.5) * 2.0 END AS r FROM s),
+        |s3 AS (SELECT *,
+        |    CASE WHEN r < 0.5 THEN 1 WHEN r < 0.75 THEN 2 WHEN r < 0.875 THEN 3
+        |         WHEN r < 0.9375 THEN 4 WHEN r < 0.96875 THEN 5 WHEN r < 0.984375 THEN 6
+        |         WHEN r < 0.9921875 THEN 7 ELSE 8 END AS mag
+        |  FROM s2),
+        |s4 AS (SELECT *,
+        |    CAST(CASE WHEN u < 0.3333333333333333 THEN 0
+        |         WHEN t < 0.5 THEN mag ELSE -mag END AS BIGINT) AS noise
+        |  FROM s3)
+        |SELECT c_nationkey, c_mktsegment, n, noise, n + noise AS dp_count
+        |FROM s4 ORDER BY c_nationkey, c_mktsegment""".stripMargin,
     "dp_rr_count" ->
       """WITH c AS (
         |  SELECT c_nationkey,

@@ -237,6 +237,22 @@ class RoundFiveOpsSpec extends AnyFunSuite {
       "lang-ID should beat 5-class chance (0.2) on its own corpus")
   }
 
+  test("dp_geometric_counts: noise clamps at 8 and the zero mass tracks 1/3") {
+    // run at sf0.01 for enough groups to test the distribution shape
+    val rows = operators.Ingest.queries("dp_geometric_counts")(s, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val z = r.getAs[Long]("noise")
+      assert(math.abs(z) <= 8)
+      assert(r.getAs[Long]("dp_count") == r.getAs[Long]("n") + z)
+    }
+    val zeroShare = rows.count(_.getAs[Long]("noise") == 0L).toDouble / rows.length
+    // P(0) = 1/3; allow 4 sigma of binomial spread
+    val tol = 4 * math.sqrt((1.0 / 3) * (2.0 / 3) / rows.length)
+    assert(math.abs(zeroShare - 1.0 / 3) < tol,
+      s"zero-noise share $zeroShare departs from 1/3 (tol $tol)")
+  }
+
   test("dq_kanonymity partitions every customer row and k bounds are consistent") {
     val rows = operators.Ingest.queries("dq_kanonymity")(s, dir).collect()
     val total = rows.map(_.getAs[Long]("n_rows")).sum
