@@ -230,7 +230,42 @@ object Graph {
       .orderBy("bin")
   }
 
+  /** Common-neighbor link prediction — "which non-edges are most likely
+    * edges": every eligible center contributes its neighbor pairs as
+    * wedge candidates, pairs collapse to a common-neighbor count,
+    * existing edges anti-join away, top-20 survive. The scale guard is
+    * the HUB CAP: centers with degree > 2× average are excluded
+    * (corpus-relative, as an exact integer cross-multiplication
+    * d·n_nodes ≤ 2·Σd) — celebrity centers otherwise contribute
+    * degree² wedges while carrying almost no signal (Adamic-Adar
+    * weights them ~1/log d for the same reason). With the cap, wedge
+    * fan-out per center is bounded and the whole plan is two keyed
+    * shuffles + a broadcast anti-join — the same df-cap discipline the
+    * ngram dedup uses.
+    */
+  private val linkPredict: Q = (s, dir) => {
+    val deg = degrees(s, dir)
+    val tot = deg.agg(sum(col("d")).as("sumd"), count(lit(1)).as("nn"))
+    val centers = deg.crossJoin(broadcast(tot))
+      .filter(col("d") * col("nn") <= lit(2) * col("sumd"))
+      .select(col("src").as("c"))
+    val a2 = adjacency(s, dir).join(centers, col("src") === col("c"))
+      .select(col("src"), col("dst"))
+    val cn = a2.as("a").join(a2.as("b"),
+        col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
+      .select(col("a.dst").as("u"), col("b.dst").as("v"))
+      .groupBy("u", "v")
+      .agg(count(lit(1)).as("common"))
+    val e = edges(s, dir)
+    cn.join(e, cn("u") === e("u") && cn("v") === e("v"), "left_anti")
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("common").desc, col("u"), col("v"))))
+      .filter(col("rk") <= 20)
+      .orderBy("rk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "graph_link_predict" -> linkPredict,
     "graph_triangles" -> triangles,
     "graph_pagerank" -> pagerank,
     "graph_bfs_khop" -> bfs,
@@ -239,6 +274,21 @@ object Graph {
   )
 
   val oracles: Map[String, String] = Map(
+    "graph_link_predict" ->
+      """WITH pl AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p),
+        |adj AS (SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v, u FROM e0),
+        |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(d) AS BIGINT) AS sumd, CAST(COUNT(*) AS BIGINT) AS nn FROM deg),
+        |ctr AS (SELECT src FROM deg, tot WHERE d * nn <= 2 * sumd),
+        |a2 AS (SELECT adj.src, adj.dst FROM adj JOIN ctr USING (src)),
+        |cn AS (SELECT a.dst AS u, b.dst AS v, CAST(COUNT(*) AS BIGINT) AS common
+        |       FROM a2 a JOIN a2 b ON a.src = b.src AND a.dst < b.dst
+        |       GROUP BY 1, 2),
+        |ne AS (SELECT cn.* FROM cn LEFT JOIN e0 ON cn.u = e0.u AND cn.v = e0.v
+        |       WHERE e0.u IS NULL),
+        |k AS (SELECT *, row_number() OVER (ORDER BY common DESC, u, v) AS rk FROM ne)
+        |SELECT u, v, common, rk FROM k WHERE rk <= 20 ORDER BY rk""".stripMargin,
     "graph_degree_stats" ->
       """WITH pl AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p),

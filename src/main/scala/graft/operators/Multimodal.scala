@@ -168,7 +168,10 @@ object Multimodal {
     * doc-keyed hash aggregation — frames per doc are bounded, so output
     * is O(docs) and the shape is embarrassingly parallel at 100 TB.
     */
-  private val audioEnergy: Q = (s, dir) => {
+  /** Per-(doc, frame) integer energy + peak over the stub PCM samples —
+    * shared by [[audioEnergy]] and [[shotBoundary]].
+    */
+  private def frames(s: SparkSession, dir: String) = {
     val v = Tables(s, dir, "documents")
       .filter(length(col("text")) >= 32)
       .withColumn("nf", least(lit(8), (length(col("text")) / 32).cast("int")))
@@ -179,13 +182,38 @@ object Multimodal {
       .agg(
         sum(expr("cast((v - 64) * (v - 64) as bigint)")).as("energy"),
         max(col("v")).cast("bigint").as("peak"))
+  }
+
+  private val audioEnergy: Q = (s, dir) =>
+    frames(s, dir)
       .withColumn("rms", round(sqrt(col("energy").cast("double") / lit(32.0)), 6))
       .select("doc_id", "frame_idx", "energy", "rms", "peak")
+      .orderBy("doc_id", "frame_idx")
+
+  /** Shot-boundary detection over the frame-energy series: a boundary
+    * fires where the energy jump against the previous frame exceeds 15%
+    * of it — the classic intensity-delta cut detector, thresholded at
+    * this corpus's 95th percentile jump, as the EXACT integer
+    * cross-multiplication 20·|e−prev| > 3·prev (no ratios, no floats). One doc-keyed lag window over the (doc, frame) table,
+    * so cost is the frame aggregation audio_energy already pays plus a
+    * per-doc window of ≤ 8 rows — the real video-segmentation shape
+    * with only the decoder stubbed.
+    */
+  private val shotBoundary: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    frames(s, dir)
+      .withColumn("prev_energy", lag(col("energy"), 1).over(w))
+      .filter(col("prev_energy").isNotNull)
+      .withColumn("is_boundary",
+        expr("20 * abs(energy - prev_energy) > 3 * prev_energy"))
+      .select("doc_id", "frame_idx", "energy", "prev_energy", "is_boundary")
       .orderBy("doc_id", "frame_idx")
   }
 
   val queries: Map[String, Q] = Map(
     "mm_audio_energy" -> audioEnergy,
+    "mm_shot_boundary" -> shotBoundary,
     "mm_resize_stub" -> resizeStub,
     "mm_binary_meta" -> binaryMeta,
     "mm_decode_stub" -> decodeStub,
@@ -209,6 +237,24 @@ object Multimodal {
         |SELECT doc_id, frame_idx, energy,
         |  round(sqrt(CAST(energy AS DOUBLE) / 32.0), 6) AS rms, peak
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    "mm_shot_boundary" ->
+      """WITH n AS (SELECT doc_id, text,
+        |    least(8, length(text) // 32) AS nf
+        |  FROM documents WHERE length(text) >= 32),
+        |u AS (SELECT doc_id, text, unnest(range(0, nf * 32)) AS i FROM n),
+        |s AS (SELECT doc_id, i,
+        |    ascii(substr(text, CAST(i AS INT) + 1, 1)) AS v
+        |  FROM u),
+        |f AS (SELECT doc_id, CAST(i // 32 AS BIGINT) AS frame_idx,
+        |    CAST(SUM((v - 64) * (v - 64)) AS BIGINT) AS energy
+        |  FROM s GROUP BY 1, 2),
+        |l AS (SELECT doc_id, frame_idx, energy,
+        |    lag(energy) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev_energy
+        |  FROM f)
+        |SELECT doc_id, frame_idx, energy, prev_energy,
+        |  20 * abs(energy - prev_energy) > 3 * prev_energy AS is_boundary
+        |FROM l WHERE prev_energy IS NOT NULL
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     "mm_phash" ->
       """WITH v AS (SELECT doc_id,
         |    list_transform(range(0, 60),

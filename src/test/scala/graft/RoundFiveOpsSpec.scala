@@ -253,6 +253,27 @@ class RoundFiveOpsSpec extends AnyFunSuite {
       s"zero-noise share $zeroShare departs from 1/3 (tol $tol)")
   }
 
+  test("graph_link_predict: predictions are non-edges with positive support, ranked densely") {
+    val rows = operators.Graph.queries("graph_link_predict")(s, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows.map(_.getAs[Int]("rk")).toSeq == (1 to rows.length))
+    assert(rows.forall(r => r.getAs[Long]("common") >= 1 &&
+      r.getAs[Long]("u") < r.getAs[Long]("v")))
+    val counts = rows.map(_.getAs[Long]("common"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("mm_shot_boundary agrees with the integer delta rule frame by frame") {
+    val rows = operators.Multimodal.queries("mm_shot_boundary")(s, dir).collect()
+    assert(rows.nonEmpty)
+    rows.take(200).foreach { r =>
+      val (e, p) = (r.getAs[Long]("energy"), r.getAs[Long]("prev_energy"))
+      assert(r.getAs[Boolean]("is_boundary") == (20 * math.abs(e - p) > 3 * p))
+    }
+    assert(rows.exists(_.getAs[Boolean]("is_boundary")) &&
+      rows.exists(!_.getAs[Boolean]("is_boundary")), "detector must be non-vacuous")
+  }
+
   test("dq_kanonymity partitions every customer row and k bounds are consistent") {
     val rows = operators.Ingest.queries("dq_kanonymity")(s, dir).collect()
     val total = rows.map(_.getAs[Long]("n_rows")).sum
