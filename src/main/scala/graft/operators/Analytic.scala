@@ -351,7 +351,36 @@ object Analytic {
       .orderBy("user_id", "event_id")
   }
 
+  /** Share-of-parent rollup — the BI staple "what fraction of its
+    * region's revenue does each nation carry": exact-cents revenue per
+    * (region, nation) from the dimension-joined fact table (both dims
+    * broadcast), then ONE region-partitioned window sums the parent
+    * total in place — no second aggregation pass, no self-join of the
+    * rollup. The share is a single int/int IEEE division. At 100 TB
+    * the fact scan is the only full-data pass; the window runs on
+    * |nations| rows.
+    */
+  private val winShareOfParent: Q = (s, dir) => {
+    val o = graft.Tables(s, dir, "orders")
+    val c = graft.Tables(s, dir, "customer")
+    val n = graft.Tables(s, dir, "nation")
+    val r = graft.Tables(s, dir, "region")
+    val base = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(expr("cast(round(o_totalprice * 100, 0) as bigint)")).as("nation_cents"))
+    base
+      .withColumn("region_cents",
+        sum(col("nation_cents")).over(Window.partitionBy("r_name")))
+      .withColumn("share",
+        round(col("nation_cents").cast("double") / col("region_cents"), 6))
+      .select("r_name", "n_name", "nation_cents", "region_cents", "share")
+      .orderBy("r_name", "n_name")
+  }
+
   val queries: Map[String, Q] = Map(
+    "win_share_of_parent" -> winShareOfParent,
     "win_rolling_regr" -> winRollingRegr,
     "win_clamped_cumsum" -> winClampedCumsum,
     "ts_ewma_dyadic" -> tsEwmaDyadic,
@@ -370,6 +399,19 @@ object Analytic {
   )
 
   val oracles: Map[String, String] = Map(
+    "win_share_of_parent" ->
+      """WITH b AS (
+        |  SELECT r_name, n_name,
+        |    CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS nation_cents
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2),
+        |w AS (SELECT *, CAST(SUM(nation_cents) OVER (PARTITION BY r_name) AS BIGINT) AS region_cents FROM b)
+        |SELECT r_name, n_name, nation_cents, region_cents,
+        |  round(CAST(nation_cents AS DOUBLE) / region_cents, 6) AS share
+        |FROM w ORDER BY r_name, n_name""".stripMargin,
     "win_rolling_regr" ->
       """WITH e AS (
         |  SELECT user_id, event_id,

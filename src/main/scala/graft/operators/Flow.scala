@@ -567,7 +567,31 @@ object Flow {
       .orderBy("status")
   }
 
+  /** Day-of-week seasonality index — the first question asked of any
+    * traffic series: how does each weekday run against the overall
+    * daily average? Exact integer event counts aggregate twice (per
+    * day, then per weekday), and the index is one IEEE division of
+    * exact averages, cross-multiplied to stay integer until the end:
+    * idx = (Σ_dow n · D) / (n_days_dow · Σ n). Output is 7 rows at any
+    * scale; the only full-data pass is the daily count.
+    */
+  private val dowSeasonality: Q = (s, dir) => {
+    val daily = Tables(s, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("d"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dow", dayofweek(col("d")).cast("bigint"))
+    val tot = daily.agg(sum(col("n")).as("total"), count(lit(1)).as("nd"))
+    daily.groupBy("dow")
+      .agg(sum(col("n")).as("n_events"), count(lit(1)).as("n_days"))
+      .crossJoin(broadcast(tot))
+      .withColumn("idx", round(
+        (col("n_events") * col("nd")).cast("double") / (col("n_days") * col("total")), 6))
+      .select("dow", "n_days", "n_events", "idx")
+      .orderBy("dow")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ts_dow_seasonality" -> dowSeasonality,
     "cdc_apply_deletes" -> cdcDeletes,
     "flow_rfm_segments" -> rfm,
     "ts_cusum_changepoint" -> cusum,
@@ -589,6 +613,19 @@ object Flow {
   )
 
   val oracles: Map[String, String] = Map(
+    "ts_dow_seasonality" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+        |      CAST(COUNT(*) AS BIGINT) AS nd FROM daily),
+        |w AS (SELECT CAST(dayofweek(d) + 1 AS BIGINT) AS dow,
+        |    CAST(SUM(n) AS BIGINT) AS n_events, CAST(COUNT(*) AS BIGINT) AS n_days
+        |  FROM daily GROUP BY 1)
+        |SELECT dow, n_days, n_events,
+        |  round(CAST(n_events * t.nd AS DOUBLE) / (n_days * t.total), 6) AS idx
+        |FROM w, t ORDER BY dow""".stripMargin,
     // the declared post-merge state: survivors (with updates applied)
     // plus inserts — pinning the MERGE semantics, not the join shape
     "cdc_apply_deletes" ->

@@ -274,6 +274,26 @@ class RoundFiveOpsSpec extends AnyFunSuite {
       rows.exists(!_.getAs[Boolean]("is_boundary")), "detector must be non-vacuous")
   }
 
+  test("ts_dow_seasonality: 7 indices whose day-weighted mean is exactly 1") {
+    val rows = operators.Flow.queries("ts_dow_seasonality")(s, dir).collect()
+    assert(rows.length == 7)
+    val totalDays = rows.map(_.getAs[Long]("n_days")).sum
+    // Σ dow (idx_dow · n_days_dow) / D = Σ n_events / total = 1 by construction
+    val weighted = rows.map(r => r.getAs[Double]("idx") * r.getAs[Long]("n_days")).sum / totalDays
+    assert(math.abs(weighted - 1.0) < 1e-4, s"weighted mean index $weighted != 1")
+  }
+
+  test("win_share_of_parent: shares sum to 1 per region and cents are consistent") {
+    val rows = operators.Analytic.queries("win_share_of_parent")(s, dir).collect()
+    rows.groupBy(_.getAs[String]("r_name")).foreach { case (region, rs) =>
+      assert(math.abs(rs.map(_.getAs[Double]("share")).sum - 1.0) < 1e-4,
+        s"$region shares do not sum to 1")
+      val rc = rs.head.getAs[Long]("region_cents")
+      assert(rs.forall(_.getAs[Long]("region_cents") == rc))
+      assert(rs.map(_.getAs[Long]("nation_cents")).sum == rc)
+    }
+  }
+
   test("dq_kanonymity partitions every customer row and k bounds are consistent") {
     val rows = operators.Ingest.queries("dq_kanonymity")(s, dir).collect()
     val total = rows.map(_.getAs[Long]("n_rows")).sum
