@@ -471,19 +471,48 @@ object Flow {
       .orderBy("rk")
   }
 
+  /** Exact global rank WITHOUT a global sort — the distributed ntile
+    * substrate: range-repartition on the sort key (each partition holds
+    * a contiguous key range), count rows per partition (32 numbers),
+    * prefix-sum those counts into per-partition offsets (a window over
+    * 32 rows — bounded by partition COUNT, not data), broadcast them
+    * back, and add each row's PARTITION-LOCAL row_number to its
+    * partition's offset. The result is the same total-order rank a
+    * global row_number window would produce — ranks are a function of
+    * the total order alone, so range-boundary sampling can place the
+    * cut anywhere without changing a single rank — but every sort is
+    * per-partition and the driver never sees a row. The sort key must
+    * be total (include a unique tiebreak) so ranks are well-defined.
+    */
+  private def globalRank(df: DataFrame, rankCol: String, sort: Column*): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val part = df.repartitionByRange(32, sort: _*)
+      .withColumn("_pid", spark_partition_id())
+    val offs = part.groupBy("_pid").agg(count(lit(1)).as("_pn"))
+      .withColumn("_off", coalesce(
+        sum(col("_pn")).over(Window.orderBy("_pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_pid", "_off")
+    part.join(broadcast(offs), "_pid")
+      .withColumn(rankCol, col("_off") +
+        row_number().over(Window.partitionBy("_pid").orderBy(sort: _*)))
+      .drop("_pid", "_off")
+  }
+
   /** RFM segmentation — the classic customer-value cut: per user,
     * Recency (days since last purchase, against the corpus max day so
     * the query is reproducible), Frequency (purchase count), Monetary
-    * (exact cents); each scored into quintiles by ntile(5) with a
-    * user_id tiebreak so bucket edges are total-ordered and replay
-    * identically in DuckDB. Three windows share ONE global ordering
-    * each over the per-user aggregate (|users| rows, not events) — at
-    * 100 TB the event scan collapses to user grain first, and the
-    * quintile windows run on the collapsed table; the segment string is
-    * the downstream join key for campaign tables.
+    * (exact cents); each scored into quintiles with a user_id tiebreak
+    * so bucket edges are total-ordered and replay identically in
+    * DuckDB's ntile(5). The quintiles do NOT use a global NTILE window
+    * (a single-task sort of the user-grain table — 10^8-10^9 rows at
+    * 100 TB): each score comes from the distributed globalRank above
+    * plus NTILE's closed form over (rank, n) — n rows into 5 tiles
+    * puts the first n%5 tiles at ceil(n/5) rows and the rest at
+    * floor(n/5), so the tile of rank r is arithmetic on two broadcast
+    * scalars. Bit-identical to ntile(5), zero single-partition sorts.
     */
   private val rfm: Q = (s, dir) => {
-    import org.apache.spark.sql.expressions.Window
     val p = Tables(s, dir, "events").filter(col("event_type") === "purchase")
     val anchor = p.agg(max(date_trunc("day", col("ts")).cast("date")).as("maxd"))
     val u = p.groupBy("user_id")
@@ -494,10 +523,26 @@ object Flow {
       .crossJoin(broadcast(anchor))
       .withColumn("recency_days", datediff(col("maxd"), col("lastd")).cast("bigint"))
       .drop("maxd", "lastd")
-    val scored = u
-      .withColumn("r_score", ntile(5).over(Window.orderBy(col("recency_days"), col("user_id"))))
-      .withColumn("f_score", ntile(5).over(Window.orderBy(col("frequency").desc, col("user_id"))))
-      .withColumn("m_score", ntile(5).over(Window.orderBy(col("monetary_c").desc, col("user_id"))))
+    val n = u.agg(count(lit(1)).as("_n"))
+    // ntile(5) closed form: q = n div 5 tiles of size q (+1 for the
+    // first n%5 tiles); guard the q=0 (n<5) case where every rank is
+    // its own tile.
+    def tile(rank: String): Column = expr(
+      s"""cast(CASE
+         |  WHEN $rank <= (_n % 5) * ((_n div 5) + 1)
+         |    THEN ($rank + (_n div 5)) div ((_n div 5) + 1)
+         |  ELSE (_n % 5) + ($rank - (_n % 5) * ((_n div 5) + 1) + (_n div 5) - 1) div (_n div 5)
+         |END as int)""".stripMargin)
+    val ranked =
+      globalRank(
+        globalRank(
+          globalRank(u, "_rr", col("recency_days"), col("user_id")),
+          "_fr", col("frequency").desc, col("user_id")),
+        "_mr", col("monetary_c").desc, col("user_id"))
+    val scored = ranked.crossJoin(broadcast(n))
+      .withColumn("r_score", tile("_rr"))
+      .withColumn("f_score", tile("_fr"))
+      .withColumn("m_score", tile("_mr"))
     scored.select(col("user_id"), col("recency_days"), col("frequency"), col("monetary_c"),
         col("r_score"), col("f_score"), col("m_score"),
         expr("concat(cast(r_score as string), cast(f_score as string), cast(m_score as string))")

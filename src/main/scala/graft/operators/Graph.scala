@@ -264,10 +264,16 @@ object Graph {
       .groupBy("u", "v")
       .agg(count(lit(1)).as("common"))
     val e = edges(s, dir)
-    cn.join(e, cn("u") === e("u") && cn("v") === e("v"), "left_anti")
-      .withColumn("rk", row_number().over(
+    // top-20 via orderBy+limit → TakeOrderedAndProject (per-partition
+    // heaps + driver merge of 20-row tops), NOT a global row_number
+    // window (single-task sort of the full candidate table — ~2 M pairs
+    // at sf0.1, unbounded with graph growth). The rank window then runs
+    // over exactly 20 rows.
+    val top = cn.join(e, cn("u") === e("u") && cn("v") === e("v"), "left_anti")
+      .orderBy(col("common").desc, col("u"), col("v"))
+      .limit(20)
+    top.withColumn("rk", row_number().over(
         Window.orderBy(col("common").desc, col("u"), col("v"))))
-      .filter(col("rk") <= 20)
       .orderBy("rk")
   }
 

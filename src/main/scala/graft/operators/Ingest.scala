@@ -288,14 +288,22 @@ object Ingest {
     * each row canonicalizes to a '|'-joined string of engine-stable
     * renderings (integers, exact cents, formatted dates — never raw
     * double-to-string), hashes to a 60-bit md5 prefix, and the per-group
-    * checksum is the pair (bit_xor of hashes, decimal sum of hashes).
-    * Both combiners are commutative+associative, so ANY partitioning of a
-    * 100 TB table yields the identical fingerprint with no sort and one
+    * checksum is (bit_xor of hashes, sum of hashes). Both combiners are
+    * commutative+associative, so ANY partitioning of a 100 TB table
+    * yields the identical fingerprint with no sort and one
     * map-side-combining scan — the cheap way to compare a table across
     * clusters/engines. XOR alone cancels duplicate-row PAIRS (a⊕a=0);
-    * the decimal SUM (exact at 38 digits: rows·2^60 ≪ 1e38) catches
-    * those, and together with the count the fingerprint distinguishes
-    * every corruption a checksum of this width can.
+    * the SUM catches those, and together with the count the fingerprint
+    * distinguishes every corruption a checksum of this width can.
+    *
+    * The sum is carried as THREE 20-bit limb sums (lo/mid/hi BIGINTs),
+    * not one DECIMAL(38,0): a 23-digit decimal proved to round-trip
+    * differently through downstream result-hashing layers (r5's only
+    * red row — the query itself replays bit-exact), and BIGINT is the
+    * one integer type every engine canonicalizes identically. Each limb
+    * is < 2^20, so the sums stay exact in int64 up to 2^43 rows per
+    * group — comfortably past 100 TB — and the full 60-bit sum is
+    * recoverable as lo + 2^20·mid + 2^40·hi in any wide-integer reader.
     */
   private val dqChecksum: Q = (s, dir) => {
     val li = Tables(s, dir, "lineitem")
@@ -309,7 +317,9 @@ object Ingest {
     li.groupBy("l_returnflag")
       .agg(count(lit(1)).as("n_rows"),
         expr("bit_xor(rh)").as("xor_sig"),
-        sum(col("rh").cast("decimal(38,0)")).as("sum_sig"))
+        sum(expr("rh % 1048576")).as("sum_lo"),
+        sum(expr("(rh div 1048576) % 1048576")).as("sum_mid"),
+        sum(expr("rh div 1099511627776")).as("sum_hi"))
       .orderBy("l_returnflag")
   }
 
@@ -531,7 +541,9 @@ object Ingest {
         |  FROM lineitem)
         |SELECT l_returnflag, COUNT(*) AS n_rows,
         |  CAST(bit_xor(rh) AS BIGINT) AS xor_sig,
-        |  CAST(SUM(CAST(rh AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sum_sig
+        |  CAST(SUM(rh % 1048576) AS BIGINT) AS sum_lo,
+        |  CAST(SUM((rh // 1048576) % 1048576) AS BIGINT) AS sum_mid,
+        |  CAST(SUM(rh // 1099511627776) AS BIGINT) AS sum_hi
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
     "dq_rules" ->
       """WITH o AS (SELECT o_orderkey, o_orderdate,

@@ -441,20 +441,25 @@ object Text {
   /** Vocabulary build + encode (the word2id step of training prep):
     * top-256 tokens by (tf DESC, token) get stable ids 1..256; each doc's
     * first 16 tokens encode to ids (0 = OOV), emitted as a csv string
-    * with the OOV count. The id-assignment window is global but runs on
-    * the AGGREGATED token-count table — bounded by vocab domain, not
-    * corpus size (same argument as text_heavy_hitters) — and the
-    * 256-row vocab broadcasts to the encode join. Reassembly is the
-    * ordered collect_list discipline from text_span_scrub.
+    * with the OOV count. Vocab selection is orderBy+limit →
+    * TakeOrderedAndProject (per-partition 256-row heaps + driver merge),
+    * NOT a global rank window over the full distinct-token table — on a
+    * web corpus that table is 10^7–10^8 rows and a global window sorts
+    * it on one task. Only AFTER the cut does a rank window assign stable
+    * ids, over exactly 256 rows; the 256-row vocab then broadcasts to
+    * the encode join. Reassembly is the ordered collect_list discipline
+    * from text_span_scrub.
     */
   private val vocabEncode: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
-    val vocab = Tables.docsSpread(s, dir)
+    val top = Tables.docsSpread(s, dir)
       .select(explode(expr(toksExpr)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("w"))
+      .limit(256)
+    val vocab = top
       .withColumn("id", row_number().over(
         Window.orderBy(col("tf").desc, col("w"))).cast("bigint"))
-      .filter(col("id") <= 256)
       .select("w", "id")
     val heads = Tables.docsSpread(s, dir)
       .select(col("doc_id"), posexplode(expr(s"slice($toksExpr, 1, 16)")))
