@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `sbt run` output normally passes through sbt's logger, which
+// prefixes every line with `[info] ` — that prefix has broken JSON
+// parsing of the Bench headline in every round so far. StdoutOutput
+// inherits the forked JVM's stdout/stderr directly, so the bench's
+// one-line JSON record lands bare on stdout.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -51,11 +51,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // The only global windows in the suite are value-domain-bounded (200
-    // sampled rows / one row per month / the 256-row vocab table — each
-    // plan-pinned in PlanEvidenceSpec or its query doc), so WindowExec's
-    // "No Partition Defined" warning is noise here; silence it rather
-    // than let it dominate the bench stderr tail.
+    // The only global windows in the suite are value-domain-bounded: 200
+    // sampled rows, one row per month/day, the POST-limit 256-row vocab
+    // table, the 32-row partition-offset table inside Flow.globalRank,
+    // and the 20-row post-TakeOrdered rank in graph_link_predict — each
+    // plan-pinned in PlanEvidenceSpec or its query doc. WindowExec's
+    // "No Partition Defined" warning is therefore noise here; silence it
+    // rather than let it dominate the bench stderr tail.
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)

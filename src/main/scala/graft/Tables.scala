@@ -16,10 +16,15 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects by
-    * default. Read nanos as long and floor-divide to a microsecond
-    * timestamp — the same ns->us truncation DuckDB applies, so oracle
-    * comparisons on ts agree.
+  /** events.ts has shipped in two physical forms across testdata
+    * generations: TIMESTAMP(NANOS) (which Spark 4 rejects by default —
+    * read nanos as long via the legacy flag and floor-divide to micros,
+    * the same ns->us truncation DuckDB applies) and plain timestamp[us]
+    * (which parquet annotates isAdjustedToUTC=false, so Spark reads
+    * TIMESTAMP_NTZ). Normalize both to session-timezone TimestampType —
+    * the session is pinned to UTC, so the NTZ->TZ cast reinterprets the
+    * same wall-clock instant and every downstream date/epoch function
+    * agrees with DuckDB's naive-timestamp reading of the same file.
     *
     * Deliberate trade-off: the legacy flag is session config (Spark has
     * no per-read option for it), and the driver owns the session, so it
@@ -28,8 +33,28 @@ object Tables {
     */
   private def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
+  }
+
+  /** readStream twin of [[events]]: file-source streams need an explicit
+    * schema, so peek at the stored batch schema first, then apply the
+    * same ts normalization. `path` is a directory holding events parquet
+    * (tests stage a copy; a production stream would watch a drop dir).
+    */
+  def eventsStream(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stored = spark.read.parquet(path).schema
+    val raw = spark.readStream.schema(stored).parquet(path)
+    stored("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** `documents` spread across the session's cores and persisted. The

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Dataflow-pipeline operators: CDC upsert (MERGE-style apply-changes),
@@ -486,8 +486,14 @@ object Flow {
     */
   private def globalRank(df: DataFrame, rankCol: String, sort: Column*): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // localCheckpoint pins ONE materialization of the range exchange:
+    // both consumers below (the offsets aggregate and the join probe)
+    // read the same partitions, so spark_partition_id() is consistent
+    // even if the optimizer would otherwise re-plan the exchange with
+    // fresh range-boundary samples per branch.
     val part = df.repartitionByRange(32, sort: _*)
       .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(true)
     val offs = part.groupBy("_pid").agg(count(lit(1)).as("_pn"))
       .withColumn("_off", coalesce(
         sum(col("_pn")).over(Window.orderBy("_pid")

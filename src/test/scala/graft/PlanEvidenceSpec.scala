@@ -109,6 +109,28 @@ class PlanEvidenceSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("text_vocab_encode cuts the vocab via TakeOrderedAndProject; the rank window sees 256 rows") {
+    val p = planString(operators.Text.queries("text_vocab_encode")(s, dir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"vocab cut must be bounded per-partition heaps, not a global rank window:\n$p")
+  }
+
+  test("graph_link_predict takes its top-20 via TakeOrderedAndProject, not a global sort window") {
+    val p = planString(operators.Graph.queries("graph_link_predict")(s, dir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"candidate-pair top-20 must be bounded per-partition heaps:\n$p")
+  }
+
+  test("flow_rfm_segments runs no NTILE; quintiles come from distributed rank + closed form") {
+    val df = operators.Flow.queries("flow_rfm_segments")(s, dir)
+    val p = planString(df).split("== Initial Plan ==").head
+    assert(!p.contains("ntile("),
+      s"global NTILE window crept back into the user-grain table:\n$p")
+    // each globalRank's per-partition offsets broadcast back to the rows
+    assert(p.contains("BroadcastHashJoin"),
+      s"partition offsets should broadcast, not shuffle:\n$p")
+  }
+
   test("dq_profile is one scan: all 30 metrics share a single aggregation pass") {
     val df = operators.Ingest.queries("dq_profile")(s, dir)
     val p = planString(df).split("== Initial Plan ==").head

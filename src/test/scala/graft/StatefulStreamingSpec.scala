@@ -21,12 +21,7 @@ class StatefulStreamingSpec extends AnyFunSuite {
     Files.copy(Paths.get(s"$sf/events.parquet"),
       dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
 
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-
-    val updates = spark.readStream.schema(schema).parquet(dir.toString)
+    val updates = Tables.eventsStream(spark, dir.toString)
       .select(col("user_id"), col("value")).as[(Long, Double)]
       .groupByKey(_._1)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {

@@ -15,14 +15,8 @@ import org.scalatest.funsuite.AnyFunSuite
 class StreamJoinSpec extends AnyFunSuite {
   import TestSpark.{sf, spark}
 
-  private val schema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
   private def eventStream(dir: String): DataFrame =
-    spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    Tables.eventsStream(spark, dir)
 
   private def stage(): String = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
