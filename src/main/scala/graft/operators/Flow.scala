@@ -582,6 +582,40 @@ object Flow {
       .orderBy("day")
   }
 
+  /** Autocorrelation of the daily event-count series at lags 1..7 — the
+    * seasonality detector behind "is traffic weekly-periodic?" (a lag-7
+    * spike) and the input to ARIMA-order picking. Deviations are kept
+    * EXACT by the cusum discipline (scale by the day count: dev = n·D −
+    * total, an integer), and the lag products route through
+    * DECIMAL(19,0)×DECIMAL(19,0)→DECIMAL(38,0) because dev² overflows
+    * BIGINT once daily counts pass ~10^9·days — the 100 TB case. One
+    * IEEE cast+division per lag at the end, mirrored in the oracle.
+    * The series is one row per day, so every window here is
+    * metadata-sized; the distributed work is the map-side-combining
+    * daily count underneath.
+    */
+  private val autocorr: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables(s, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("d"))
+      .agg(count(lit(1)).as("n"))
+    val tot = daily.agg(sum(col("n")).as("total"), count(lit(1)).as("nd"))
+    val w = Window.orderBy("d")
+    var dv = daily.crossJoin(broadcast(tot))
+      .withColumn("dev", (col("n") * col("nd") - col("total")).cast("decimal(19,0)"))
+    (1 to 7).foreach { k => dv = dv.withColumn(s"d$k", lead(col("dev"), k).over(w)) }
+    val den = dv.agg(sum(col("dev") * col("dev")).as("den"))
+    dv.select(expr(
+        "stack(7, " + (1 to 7).map(k => s"${k}L, dev * d$k").mkString(", ") +
+          ") AS (lag_k, prod)"))
+      .filter(col("prod").isNotNull)
+      .groupBy("lag_k").agg(sum(col("prod")).as("num"))
+      .crossJoin(broadcast(den))
+      .select(col("lag_k"),
+        round(col("num").cast("double") / col("den").cast("double"), 6).as("acf"))
+      .orderBy("lag_k")
+  }
+
   /** MERGE with the full op set — the missing D in cdc_upsert's I/U
     * story: a change feed carrying inserts (every 13th key, shifted),
     * updates (every 7th, price bump + status 'U'), and DELETE
@@ -646,6 +680,7 @@ object Flow {
     "cdc_apply_deletes" -> cdcDeletes,
     "flow_rfm_segments" -> rfm,
     "ts_cusum_changepoint" -> cusum,
+    "ts_autocorr" -> autocorr,
     "flow_path_topk" -> pathTopk,
     "ts_rolling_wau" -> rollingWau,
     "flow_cep_pattern" -> cepPattern,
@@ -712,6 +747,29 @@ object Flow {
         |  r_score, f_score, m_score,
         |  CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) || CAST(m_score AS VARCHAR) AS segment
         |FROM sc ORDER BY user_id""".stripMargin,
+    "ts_autocorr" -> {
+      val leads = (1 to 7).map(k => s"lead(dev, $k) OVER (ORDER BY d) AS d$k").mkString(",\n        |    ")
+      val stacks = (1 to 7).map(k =>
+        s"SELECT CAST($k AS BIGINT) AS lag_k, dev * d$k AS prod FROM ld WHERE d$k IS NOT NULL")
+        .mkString("\n        |  UNION ALL ")
+      s"""WITH daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+        |    CAST(COUNT(*) AS BIGINT) AS nd FROM daily),
+        |dv AS (SELECT d, CAST(n * t.nd - t.total AS DECIMAL(19,0)) AS dev
+        |  FROM daily, t),
+        |ld AS (SELECT d, dev,
+        |    $leads
+        |  FROM dv),
+        |den AS (SELECT SUM(dev * dev) AS den FROM dv),
+        |st AS (
+        |  $stacks)
+        |SELECT lag_k,
+        |  round(CAST(SUM(prod) AS DOUBLE) / CAST((SELECT den FROM den) AS DOUBLE), 6) AS acf
+        |FROM st GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "ts_cusum_changepoint" ->
       """WITH daily AS (
         |  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,

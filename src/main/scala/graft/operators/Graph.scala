@@ -277,7 +277,51 @@ object Graph {
       .orderBy("rk")
   }
 
+  /** k-core decomposition (k=3, 3 synchronous peel rounds) — the
+    * degeneracy primitive behind community cores, spam rings, and graph
+    * sparsification: repeatedly delete nodes of degree < k; what
+    * survives is the 3-core (up to the fixed round budget, mirrored
+    * EXACTLY in the oracle — the text_bpe_train fixed-rounds
+    * discipline). Each round is one hash-agg (degrees from the live
+    * edge list) + two anti-joins (drop incident edges); localCheckpoint
+    * per round keeps plan depth flat, the Pregel invariant from
+    * graph_pagerank. Per-round cost is edge-linear; removed nodes only
+    * shrink the frontier, so a 100 TB graph pays 3 edge passes, never
+    * quadratic work. Output: every node of the original edge list with
+    * the round that removed it (0 = survived all 3) and its final
+    * degree (0 if peeled).
+    */
+  private val kcore: Q = (s, dir) => {
+    val k = 3
+    var e = edges(s, dir).select(col("u"), col("v")).localCheckpoint(true)
+    val allNodes = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node"))).distinct().localCheckpoint(true)
+    var removed: DataFrame = null
+    for (r <- 1 to 3) {
+      val deg = e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val low = deg.filter(col("deg") < k)
+        .select(col("node"), lit(r.toLong).as("removed_round"))
+        .localCheckpoint(true)
+      removed = if (removed == null) low
+        else removed.unionAll(low).localCheckpoint(true)
+      e = e.join(low.select(col("node").as("u")), Seq("u"), "left_anti")
+        .join(low.select(col("node").as("v")), Seq("v"), "left_anti")
+        .localCheckpoint(true)
+    }
+    val finalDeg = e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("core_deg"))
+    allNodes
+      .join(removed, Seq("node"), "left")
+      .join(finalDeg, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("removed_round"), lit(0L)).as("removed_round"),
+        coalesce(col("core_deg"), lit(0L)).as("core_deg"))
+      .orderBy("node")
+  }
+
   val queries: Map[String, Q] = Map(
+    "graph_kcore" -> kcore,
     "graph_link_predict" -> linkPredict,
     "graph_triangles" -> triangles,
     "graph_pagerank" -> pagerank,
@@ -287,6 +331,36 @@ object Graph {
   )
 
   val oracles: Map[String, String] = Map(
+    // 3 peel rounds unrolled — identical round budget to the Spark side
+    "graph_kcore" ->
+      """WITH pl AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p),
+        |alln AS (SELECT DISTINCT u AS node FROM e0 UNION SELECT v FROM e0),
+        |d1 AS (SELECT node, COUNT(*) AS deg FROM
+        |  (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0) GROUP BY 1),
+        |r1 AS (SELECT node FROM d1 WHERE deg < 3),
+        |e1 AS (SELECT u, v FROM e0 WHERE u NOT IN (SELECT node FROM r1)
+        |  AND v NOT IN (SELECT node FROM r1)),
+        |d2 AS (SELECT node, COUNT(*) AS deg FROM
+        |  (SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1) GROUP BY 1),
+        |r2 AS (SELECT node FROM d2 WHERE deg < 3),
+        |e2 AS (SELECT u, v FROM e1 WHERE u NOT IN (SELECT node FROM r2)
+        |  AND v NOT IN (SELECT node FROM r2)),
+        |d3 AS (SELECT node, COUNT(*) AS deg FROM
+        |  (SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2) GROUP BY 1),
+        |r3 AS (SELECT node FROM d3 WHERE deg < 3),
+        |e3 AS (SELECT u, v FROM e2 WHERE u NOT IN (SELECT node FROM r3)
+        |  AND v NOT IN (SELECT node FROM r3)),
+        |rem AS (SELECT node, 1 AS removed_round FROM r1
+        |  UNION ALL SELECT node, 2 FROM r2
+        |  UNION ALL SELECT node, 3 FROM r3),
+        |fd AS (SELECT node, COUNT(*) AS core_deg FROM
+        |  (SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3) GROUP BY 1)
+        |SELECT alln.node,
+        |  CAST(COALESCE(rem.removed_round, 0) AS BIGINT) AS removed_round,
+        |  CAST(COALESCE(fd.core_deg, 0) AS BIGINT) AS core_deg
+        |FROM alln LEFT JOIN rem USING (node) LEFT JOIN fd USING (node)
+        |ORDER BY node""".stripMargin,
     "graph_link_predict" ->
       """WITH pl AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p),

@@ -443,7 +443,44 @@ object Ingest {
       .orderBy("c_nationkey", "c_mktsegment")
   }
 
+  /** Benford first-digit audit — the forensic DQ check for fabricated or
+    * truncated numeric columns: natural multiplicative data (prices,
+    * populations) has first-digit frequency log10(1 + 1/d); systematic
+    * deviation (flat digits, a spike at 5) flags synthetic or clipped
+    * values. Emits per-digit observed counts, observed vs expected
+    * share, and the chi-square contribution. The expected shares are
+    * LITERAL doubles (not computed log10 at runtime): both engines
+    * parse the same decimal literal to the same IEEE double, where a
+    * runtime log10 is not guaranteed correctly rounded and could differ
+    * in the last ulp between libm implementations. One
+    * map-side-combining scan; the digit domain is 9 rows.
+    */
+  private val dqBenford: Q = (s, dir) => {
+    val share = """CASE digit WHEN 1 THEN 0.3010299956639812
+      | WHEN 2 THEN 0.17609125905568124 WHEN 3 THEN 0.12493873660829992
+      | WHEN 4 THEN 0.09691001300805642 WHEN 5 THEN 0.07918124604762482
+      | WHEN 6 THEN 0.06694678963061322 WHEN 7 THEN 0.05799194697768673
+      | WHEN 8 THEN 0.05115252244738129 ELSE 0.04575749056067514 END""".stripMargin
+    val obs = Tables(s, dir, "orders")
+      .filter(col("o_totalprice") >= 1)
+      .withColumn("digit",
+        expr("cast(substr(cast(cast(floor(o_totalprice) as bigint) as string), 1, 1) as bigint)"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val tot = obs.agg(sum(col("n_obs")).as("n_total"))
+    obs.crossJoin(broadcast(tot))
+      .withColumn("exp_share", expr(s"cast(($share) as double)"))
+      .select(col("digit"), col("n_obs"),
+        round(col("n_obs").cast("double") / col("n_total"), 6).as("obs_share"),
+        round(col("exp_share"), 6).as("expected_share"),
+        round(
+          (col("n_obs") - col("n_total") * col("exp_share")) *
+            (col("n_obs") - col("n_total") * col("exp_share")) /
+            (col("n_total") * col("exp_share")), 6).as("chi2_term"))
+      .orderBy("digit")
+  }
+
   val queries: Map[String, Q] = Map(
+    "dq_benford" -> dqBenford,
     "dp_geometric_counts" -> dpGeometric,
     "dq_profile" -> dqProfile,
     "dq_rules" -> dqRules,
@@ -471,6 +508,26 @@ object Ingest {
     "l_shipdate")
 
   val oracles: Map[String, String] = Map(
+    "dq_benford" ->
+      """WITH obs AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        |    CAST(COUNT(*) AS BIGINT) AS n_obs
+        |  FROM orders WHERE o_totalprice >= 1 GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM obs),
+        |x AS (SELECT digit, n_obs, n_total,
+        |    CAST(CASE digit WHEN 1 THEN 0.3010299956639812
+        |      WHEN 2 THEN 0.17609125905568124 WHEN 3 THEN 0.12493873660829992
+        |      WHEN 4 THEN 0.09691001300805642 WHEN 5 THEN 0.07918124604762482
+        |      WHEN 6 THEN 0.06694678963061322 WHEN 7 THEN 0.05799194697768673
+        |      WHEN 8 THEN 0.05115252244738129 ELSE 0.04575749056067514 END
+        |      AS DOUBLE) AS exp_share
+        |  FROM obs, t)
+        |SELECT digit, n_obs,
+        |  round(n_obs / n_total, 6) AS obs_share,
+        |  round(exp_share, 6) AS expected_share,
+        |  round((n_obs - n_total * exp_share) * (n_obs - n_total * exp_share)
+        |    / (n_total * exp_share), 6) AS chi2_term
+        |FROM x ORDER BY digit""".stripMargin,
     "dq_sequence_gaps" ->
       """WITH k AS (
         |  SELECT DISTINCT (o_orderkey - 1) // 32 AS k

@@ -211,7 +211,87 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** Near-duplicate IMAGE detection: Hamming-≤3 pairs over the 60-bit
+    * perceptual hash, found by 4×15-bit band LSH (pigeonhole: 3 flipped
+    * bits cannot touch all 4 bands, so one band matches exactly) — the
+    * image-modality twin of dedup_simhash_pairs' text pipeline. The
+    * corpus's organic distinct phashes sit ≥5 bits apart, so the query
+    * first APPENDS deterministic near-dup variants (doc_id+10^6, a
+    * ~2-sample-position run of '~' spliced mid-text — the same
+    * prove-the-operator augmentation discipline as text_pii_redact) and
+    * then must recover exactly the variants that landed within radius 3.
+    *
+    * Scale shape: banding runs on DISTINCT phash values (content
+    * collapse — copies share the hash), each band bucket is an equi-join
+    * key, and the exact bit_count verify touches only band-collision
+    * candidates. 15-bit bands keep buckets sparse (2^15 per band) — the
+    * width/radius tradeoff is the standard multi-index one: wider bands
+    * = fewer false candidates but smaller guaranteed radius.
+    */
+  private val phashNearPairs: Q = (s, dir) => {
+    val aug = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      .unionAll(Tables(s, dir, "documents")
+        .filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          expr("""concat(substr(text, 1, length(text) div 2),
+                 |  repeat('~', length(text) div 30 + 1),
+                 |  substr(text, length(text) div 2 + length(text) div 30 + 2))"""
+            .stripMargin).as("text")))
+    val v = aug.select(col("doc_id"), posexplode(expr(
+      "transform(sequence(0, 59), i -> ascii(substr(text, 1 + cast((i * length(text)) div 60 as int), 1)))"))
+      .as(Seq("i", "v")))
+    val h = v.withColumn("total",
+        sum(col("v")).over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      .groupBy("doc_id")
+      .agg(sum(expr("IF(v * 60 > total, shiftleft(1L, i), 0L)")).as("phash"))
+    val reps = h.groupBy("phash").agg(count(lit(1)).as("n_docs"))
+    val bands = reps.select(col("phash"), explode(expr(
+        "transform(sequence(0, 3), c -> struct(c AS cidx, (shiftright(phash, 15 * c) & 32767) AS cval))"))
+        .as("ch"))
+      .select(col("phash"), col("ch.cidx").as("cidx"), col("ch.cval").as("cval"))
+    bands.as("a").join(bands.as("b"),
+        col("a.cidx") === col("b.cidx") && col("a.cval") === col("b.cval") &&
+          col("a.phash") < col("b.phash"))
+      .select(col("a.phash").as("ph_a"), col("b.phash").as("ph_b"))
+      .distinct()
+      .withColumn("hamming", expr("cast(bit_count(ph_a ^ ph_b) as bigint)"))
+      .filter(col("hamming") <= 3)
+      .join(reps.select(col("phash").as("ph_a"), col("n_docs").as("docs_a")), "ph_a")
+      .join(reps.select(col("phash").as("ph_b"), col("n_docs").as("docs_b")), "ph_b")
+      .select(col("ph_a"), col("ph_b"), col("hamming"), col("docs_a"), col("docs_b"))
+      .orderBy("ph_a", "ph_b")
+  }
+
+  /** Cross-modal alignment plumbing: map each of a doc's first ≤16
+    * transcript tokens onto its audio frames by monotonic proportional
+    * alignment — token j of n lands on frame (j·nf) div n — and join
+    * the frame's energy. This is the CTC-free skeleton of
+    * subtitle/forced alignment: a real aligner replaces the linear map
+    * with a learned one, but the Spark shape is identical — generator
+    * fan-out on both modalities, then one (doc_id, frame_idx) equi-join,
+    * embarrassingly parallel at any corpus size.
+    */
+  private val alignStub: Q = (s, dir) => {
+    val toks = Tables(s, dir, "documents")
+      .filter(length(col("text")) >= 32)
+      .withColumn("tk",
+        expr("slice(filter(split(text, ' '), t -> length(t) > 0), 1, 16)"))
+      .filter(expr("size(tk) > 0"))
+      .withColumn("nt", expr("cast(size(tk) as bigint)"))
+      .withColumn("nf", expr("cast(least(8, length(text) div 32) as bigint)"))
+      .select(col("doc_id"), col("nt"), col("nf"),
+        posexplode(col("tk")).as(Seq("j", "token")))
+      .withColumn("frame_idx", expr("(j * nf) div nt"))
+    toks.join(frames(s, dir).select(col("doc_id"), col("frame_idx"), col("energy")),
+        Seq("doc_id", "frame_idx"))
+      .select(col("doc_id"), col("j").cast("bigint").as("tok_idx"),
+        col("token"), col("frame_idx"), col("energy"))
+      .orderBy("doc_id", "tok_idx")
+  }
+
   val queries: Map[String, Q] = Map(
+    "mm_align_stub" -> alignStub,
+    "mm_phash_near_pairs" -> phashNearPairs,
     "mm_audio_energy" -> audioEnergy,
     "mm_shot_boundary" -> shotBoundary,
     "mm_resize_stub" -> resizeStub,
@@ -222,6 +302,50 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    "mm_align_stub" ->
+      """WITH n AS (SELECT doc_id, text, least(8, length(text) // 32) AS nf
+        |  FROM documents WHERE length(text) >= 32),
+        |u AS (SELECT doc_id, unnest(range(0, nf * 32)) AS i, text FROM n),
+        |s AS (SELECT doc_id, i, ascii(substr(text, CAST(i AS INT) + 1, 1)) AS v FROM u),
+        |f AS (SELECT doc_id, CAST(i // 32 AS BIGINT) AS frame_idx,
+        |    CAST(SUM((v - 64) * (v - 64)) AS BIGINT) AS energy FROM s GROUP BY 1, 2),
+        |tk AS (SELECT doc_id, CAST(least(8, length(text) // 32) AS BIGINT) AS nf,
+        |    list_slice(list_filter(string_split(text, ' '), t -> len(t) > 0), 1, 16) AS tks
+        |  FROM documents WHERE length(text) >= 32),
+        |e AS (SELECT doc_id, nf, CAST(len(tks) AS BIGINT) AS nt,
+        |    CAST(x.i - 1 AS BIGINT) AS j, tks[x.i] AS token
+        |  FROM tk, LATERAL (SELECT unnest(generate_series(1, len(tks))) AS i) x
+        |  WHERE len(tks) > 0)
+        |SELECT e.doc_id, e.j AS tok_idx, e.token,
+        |  (e.j * e.nf) // e.nt AS frame_idx, f.energy
+        |FROM e JOIN f ON f.doc_id = e.doc_id AND f.frame_idx = (e.j * e.nf) // e.nt
+        |ORDER BY 1, 2""".stripMargin,
+    // brute-force distinct-pair Hamming replay — the banding is
+    // recall-lossless at radius 3, so LSH output == exhaustive output
+    "mm_phash_near_pairs" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    substr(text, 1, length(text)//2) ||
+        |    repeat('~', length(text)//30 + 1) ||
+        |    substr(text, length(text)//2 + length(text)//30 + 2)
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |v AS (SELECT doc_id,
+        |    list_transform(range(0, 60),
+        |      i -> ascii(substr(text, 1 + CAST((i * length(text)) // 60 AS INT), 1))) AS vals
+        |  FROM aug),
+        |t AS (SELECT doc_id, vals, list_sum(vals) AS total FROM v),
+        |h AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 60),
+        |    i -> CASE WHEN vals[i + 1] * 60 > total THEN (CAST(1 AS BIGINT) << i)
+        |         ELSE 0 END)) AS BIGINT) AS phash FROM t),
+        |reps AS (SELECT phash, CAST(COUNT(*) AS BIGINT) AS n_docs FROM h GROUP BY 1),
+        |pr AS (SELECT a.phash AS ph_a, b.phash AS ph_b,
+        |    CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming,
+        |    a.n_docs AS docs_a, b.n_docs AS docs_b
+        |  FROM reps a JOIN reps b ON a.phash < b.phash)
+        |SELECT ph_a, ph_b, hamming, docs_a, docs_b
+        |FROM pr WHERE hamming <= 3 ORDER BY ph_a, ph_b""".stripMargin,
     "mm_audio_energy" ->
       """WITH n AS (SELECT doc_id, text,
         |    least(8, length(text) // 32) AS nf

@@ -535,7 +535,46 @@ object Text {
     merges.orderBy("round")
   }
 
+  /** Statistical watermark detection — the filter a training pipeline
+    * runs to keep LLM-generated text OUT of the corpus. Green-list
+    * scheme: a keyed hash partitions the vocabulary into green/red
+    * halves (here md5-prefix parity); watermarked generators bias
+    * towards green tokens, so a doc's green count g among n tokens has
+    * z = (2g − n)/√n ≫ 0 under watermarking and ≈ N(0,1) on natural
+    * text. The corpus is organic, so the query APPENDS deterministic
+    * "generated" variants (doc_id+2·10^6, text = the doc's green tokens
+    * only — the same prove-the-operator augmentation as text_pii_redact
+    * and mm_phash_near_pairs) and must flag exactly those.
+    *
+    * Scale shape: one tokenize pass, per-doc hash agg; z is integer
+    * arithmetic + one IEEE sqrt and division — embarrassingly parallel,
+    * no shuffle beyond the doc_id agg.
+    */
+  private val watermarkDetect: Q = (s, dir) => {
+    val greenTok =
+      "filter(filter(split(text, ' '), t -> length(t) > 0), " +
+        "t -> cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint) % 2 = 0)"
+    val aug = Tables.docsSpread(s, dir).select(col("doc_id"), col("text"))
+      .unionAll(Tables.docsSpread(s, dir)
+        .filter(col("doc_id") % 40 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          expr(s"array_join($greenTok, ' ')").as("text")))
+    aug
+      .select(col("doc_id"), explode(expr(toksExpr)).as("token"))
+      .withColumn("green",
+        expr("cast(conv(substr(md5(token), 1, 15), 16, 10) as bigint) % 2 = 0"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("green"), 1L).otherwise(0L)).as("n_green"))
+      .withColumn("z", round(
+        (col("n_green") * 2 - col("n_tok")).cast("double") /
+          sqrt(col("n_tok").cast("double")), 6))
+      .withColumn("flagged", col("z") > lit(3.0))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_watermark_detect" -> watermarkDetect,
     "text_bpe_train" -> bpeTrain,
     "text_bpe_count" -> bpeCount,
     "text_vocab_encode" -> vocabEncode,
@@ -588,6 +627,28 @@ object Text {
        |SELECT doc_id, n_words, n_bpe_tokens FROM bpd ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "text_watermark_detect" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000,
+        |    array_to_string(list_filter(
+        |      list_filter(string_split(text, ' '), t -> len(t) > 0),
+        |      t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 2 = 0), ' ')
+        |  FROM documents WHERE doc_id % 40 = 0),
+        |tok AS (SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS token
+        |  FROM aug),
+        |g AS (SELECT doc_id, token,
+        |    CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) % 2 = 0 AS green
+        |  FROM tok),
+        |a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+        |    CAST(COUNT(*) FILTER (green) AS BIGINT) AS n_green
+        |  FROM g GROUP BY 1)
+        |SELECT doc_id, n_tok, n_green,
+        |  round((n_green * 2 - n_tok) / sqrt(n_tok), 6) AS z,
+        |  round((n_green * 2 - n_tok) / sqrt(n_tok), 6) > 3.0 AS flagged
+        |FROM a ORDER BY doc_id""".stripMargin,
     "text_bpe_train" ->
       """WITH words AS (
               |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (

@@ -303,7 +303,77 @@ object Train {
       .orderBy("lang", "seq_id")
   }
 
+  /** Temperature-rebalanced mixture sampling — the data-composition step
+    * that actually SELECTS the training subset (pipeline_train_mix stops
+    * at weights): per-source quotas ∝ n^α with α = 0.5 (the multilingual
+    * sampling-temperature rule that upweights small sources), allocated
+    * by exact integer largest-remainder so quotas sum to the 200-doc
+    * target, then filled per source by deterministic hash priority.
+    *
+    * Every step is engine-exact: isqrt(n) is floor of the CORRECTLY
+    * ROUNDED IEEE sqrt of an integer (identical in any engine), quota
+    * arithmetic is pure BIGINT div/mod, and the remainder tie-break is
+    * total-ordered (rem DESC, source ASC). The windows that matter for
+    * scale are per-source rank (hash-partitioned by source) — the two
+    * quota windows run on the ~20-row source table (value-domain-
+    * bounded). At 100 TB the quota table still has one row per SOURCE,
+    * broadcast to the per-doc rank filter.
+    */
+  private val mixtureSample: Q = (s, dir) => {
+    val docs = Tables(s, dir, "documents").select(col("doc_id"), col("source"))
+    val per = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("isq", expr("cast(floor(sqrt(cast(n_docs as double))) as bigint)"))
+    val tot = per.agg(sum(col("isq")).as("w_tot"))
+    val q0 = per.crossJoin(broadcast(tot))
+      .withColumn("q_base", expr("(200 * isq) div w_tot"))
+      .withColumn("rem", expr("(200 * isq) % w_tot"))
+    val left = q0.agg((lit(200L) - sum(col("q_base"))).as("leftover"))
+    val quota = q0.crossJoin(broadcast(left))
+      .withColumn("rr", row_number().over(
+        Window.orderBy(col("rem").desc, col("source"))))
+      .withColumn("quota",
+        col("q_base") + when(col("rr") <= col("leftover"), 1L).otherwise(0L))
+      .select("source", "quota")
+    docs
+      .withColumn("prio",
+        expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy(col("prio"), col("doc_id"))).cast("bigint"))
+      .join(broadcast(quota), "source")
+      .filter(col("rk") <= col("quota"))
+      .select(col("doc_id"), col("source"), col("rk").as("sel_rank"), col("quota"))
+      .orderBy("source", "sel_rank")
+  }
+
+  /** Shard-manifest build — the "global shuffle" a training dataloader
+    * actually needs at 100 TB: a deterministic hash permutation assigns
+    * every doc to one of 16 shards (md5 priority, so shard membership is
+    * reproducible and uniform regardless of input order or partitioning),
+    * and the manifest row per shard carries count, token budget, doc-id
+    * range, and an order-free XOR fingerprint (the dq_checksum
+    * discipline) that lets a loader verify a shard it just read. One
+    * tokenizing map + one 16-group hash agg; no sort, no window, no
+    * skew — the shape stays flat at any corpus size.
+    */
+  private val shardManifest: Q = (s, dir) => {
+    Tables.docsSpread(s, dir)
+      .select(col("doc_id"),
+        expr(s"cast(size($toksExpr) as bigint)").as("n_tok"),
+        expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)")
+          .as("h"))
+      .withColumn("shard", pmod(col("h"), lit(16L)))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"),
+        expr("bit_xor(h)").as("fingerprint"))
+      .orderBy("shard")
+  }
+
   val queries: Map[String, Q] = Map(
+    "train_shard_manifest" -> shardManifest,
+    "train_mixture_sample" -> mixtureSample,
     "pack_sequences" -> packSequences,
     "pack_sequences_bpe" -> packSequencesBpe,
     "chunk_sliding" -> chunkSliding,
@@ -318,6 +388,39 @@ object Train {
   )
 
   val oracles: Map[String, String] = Map(
+    "train_shard_manifest" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS BIGINT) AS n_tok,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT h % 16 AS shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+        |  CAST(bit_xor(h) AS BIGINT) AS fingerprint
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "train_mixture_sample" ->
+      """WITH per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT source, n_docs,
+        |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS isq FROM per),
+        |t AS (SELECT CAST(SUM(isq) AS BIGINT) AS w_tot FROM w),
+        |q0 AS (SELECT source, isq, (200 * isq) // w_tot AS q_base,
+        |    (200 * isq) % w_tot AS rem FROM w, t),
+        |l AS (SELECT 200 - CAST(SUM(q_base) AS BIGINT) AS leftover FROM q0),
+        |quota AS (SELECT source,
+        |    CAST(q_base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+        |      <= (SELECT leftover FROM l) THEN 1 ELSE 0 END AS BIGINT) AS quota
+        |  FROM q0),
+        |pr AS (SELECT doc_id, source,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS prio
+        |  FROM documents),
+        |rk AS (SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY prio, doc_id) AS BIGINT) AS rk
+        |  FROM pr)
+        |SELECT rk.doc_id, rk.source, rk.rk AS sel_rank, quota.quota
+        |FROM rk JOIN quota USING (source)
+        |WHERE rk.rk <= quota.quota
+        |ORDER BY source, sel_rank""".stripMargin,
     "pack_sequences_bpe" ->
       s"""WITH RECURSIVE ${Text.oBpeCte},
          |dt AS (SELECT d.doc_id, d.lang, bpd.n_bpe_tokens AS n_tok
