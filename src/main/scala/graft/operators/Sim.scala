@@ -437,6 +437,56 @@ object Sim {
     * [[lshRecall]] / [[ivfRecall]]). The number quantifies what ADC
     * compression costs on this corpus, pinned cross-engine.
     */
+  /** Embedding QA gate — the sanity filter that runs BEFORE any vector
+    * lands in an ANN index: a truncated encoder, a bad batch, or a
+    * zeroed row shows up as a squared-norm outlier, and one poisoned
+    * vector degrades every top-k it sneaks into. Norms quantize to
+    * integer micro-units (×10^6) so the corpus moments are EXACT integer
+    * sums (Σq routed through BIGINT, Σq² through DECIMAL(38,0) — q² is
+    * ~10^14 per row, so the sum overflows BIGINT at ~10^4 rows and far
+    * below 100 TB); z is two exact integers into one IEEE sqrt +
+    * division. One scan + a broadcast 1-row moment table — no shuffle
+    * of the vectors themselves.
+    */
+  private val normOutliers: Q = (s, dir) => {
+    // the corpus ships unit-normalized (every norm_q = 10^6 exactly), so
+    // the gate APPENDS the failure modes it exists to catch — a
+    // double-scaled batch (vec_id+10^5) and zeroed rows (vec_id+2·10^5),
+    // the text_pii_redact augmentation discipline — and must flag
+    // exactly those
+    val base = vectors(s, dir).select(col("vec_id"), col("v"))
+    val aug = base
+      .unionAll(base.filter(col("vec_id") % 100 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          expr("transform(v, x -> x * 2.0d)").as("v")))
+      .unionAll(base.filter(col("vec_id") % 100 === 50)
+        .select((col("vec_id") + 200000L).as("vec_id"),
+          expr("transform(v, x -> 0.0d)").as("v")))
+    val q = aug
+      .withColumn("nq", vec_dot(col("v"), col("v")))
+      .select(col("vec_id"),
+        expr("cast(round(nq * 1000000) as bigint)").as("norm_q"))
+    val m = q.agg(
+      count(lit(1)).as("n"),
+      sum(col("norm_q")).as("s1"),
+      sum(expr("cast(norm_q as decimal(38,0)) * cast(norm_q as decimal(38,0))"))
+        .as("s2"))
+    // zero-variance guard: a perfectly uniform corpus has nothing to
+    // flag, and the CASE keeps ANSI division from ever seeing den = 0
+    q.crossJoin(broadcast(m))
+      .withColumn("den",
+        (col("n").cast("decimal(38,0)") * col("s2") -
+          col("s1").cast("decimal(38,0)") * col("s1").cast("decimal(38,0)"))
+          .cast("double"))
+      .withColumn("z",
+        when(col("den") === 0.0, lit(0.0)).otherwise(round(
+          (col("n") * col("norm_q") - col("s1")).cast("double") /
+            sqrt(col("den")), 6)))
+      .withColumn("is_outlier", abs(col("z")) > lit(3.0))
+      .select("vec_id", "norm_q", "z", "is_outlier")
+      .orderBy("vec_id")
+  }
+
   private val ivfpqRecall: Q = (s, dir) => {
     val brute = bruteTopk(s, dir).select(col("q_id"), col("cand_id"))
     val approx = ivfpqTopk(s, dir)
@@ -452,6 +502,7 @@ object Sim {
   val queries: Map[String, Q] = Map(
     "emb_pq_encode" -> pqEncode,
     "sim_cosine_topk_ivfpq" -> ivfpqTopk,
+    "emb_norm_outliers" -> normOutliers,
     "sim_ivfpq_recall" -> ivfpqRecall,
     "emb_kmeans_iter" -> kmeansIter,
     "emb_assign_nearest" -> assignNearest,
@@ -560,6 +611,31 @@ object Sim {
        |  FROM pscore) WHERE rk <= 5)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // exact integer moments (HUGEINT on the DuckDB side mirrors the
+    // DECIMAL(38,0) route in Spark); z from two exact integers
+    "emb_norm_outliers" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |aug AS (
+        |  SELECT vec_id, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 100000, list_transform(v, x -> x * 2.0)
+        |  FROM base WHERE vec_id % 100 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 200000, list_transform(v, x -> 0.0)
+        |  FROM base WHERE vec_id % 100 = 50),
+        |q AS (SELECT vec_id,
+        |    CAST(round(list_sum(list_transform(v, x -> x * x)) * 1000000) AS BIGINT) AS norm_q
+        |  FROM aug),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(norm_q) AS HUGEINT) AS s1,
+        |    SUM(CAST(norm_q AS HUGEINT) * CAST(norm_q AS HUGEINT)) AS s2 FROM q),
+        |z AS (SELECT vec_id, norm_q,
+        |    CASE WHEN CAST(n * s2 - s1 * s1 AS DOUBLE) = 0.0 THEN 0.0
+        |      ELSE round(CAST(n * norm_q - s1 AS DOUBLE)
+        |        / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)), 6) END AS z
+        |  FROM q, m)
+        |SELECT vec_id, norm_q, z, abs(z) > 3.0 AS is_outlier
+        |FROM z ORDER BY vec_id""".stripMargin,
     // PQ replay: midrange codebook, per-subspace L2 snap, reconstruction
     "emb_pq_encode" ->
       """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
