@@ -616,6 +616,44 @@ object Flow {
       .orderBy("lag_k")
   }
 
+  /** Peak concurrency per day — the sweep-line classic ("how many
+    * sessions were open at once?") that prices capacity and licenses:
+    * each event opens a 10-minute interval, the sweep emits (+1 at
+    * start, −1 at end), and the running sum over the TOTAL order
+    * (t, delta, event_id — ends sort before starts at the same instant,
+    * so touching intervals never overlap) is the live concurrency. The
+    * cumulative sum uses the same distributed substrate as
+    * [[globalRank]]: range-partition on the sort key, per-partition
+    * prefix sums, and a broadcast 32-row offset table of per-partition
+    * delta TOTALS — no single-task global window, which is what a naive
+    * `SUM OVER (ORDER BY t)` would plan, and what dies first on a
+    * 100 TB event stream.
+    */
+  private val maxConcurrency: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables(s, dir, "events")
+    val sweep = ev.select(col("event_id"), col("ts").as("t"), lit(1L).as("delta"))
+      .unionAll(ev.select(col("event_id"),
+        (col("ts") + expr("INTERVAL 10 MINUTES")).as("t"), lit(-1L).as("delta")))
+    val part = sweep.repartitionByRange(32, col("t"), col("delta"), col("event_id"))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(true)
+    val offs = part.groupBy("_pid").agg(sum(col("delta")).as("_pd"))
+      .withColumn("_off", coalesce(sum(col("_pd")).over(
+        Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_pid", "_off")
+    part.join(broadcast(offs), "_pid")
+      .withColumn("running", col("_off") + sum(col("delta")).over(
+        Window.partitionBy("_pid")
+          .orderBy(col("t"), col("delta"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(date_trunc("day", col("t")).cast("date").as("d"))
+      .agg(max(col("running")).as("max_concurrency"), count(lit(1)).as("n_points"))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("max_concurrency"), col("n_points"))
+      .orderBy("day")
+  }
+
   /** MERGE with the full op set — the missing D in cdc_upsert's I/U
     * story: a change feed carrying inserts (every 13th key, shifted),
     * updates (every 7th, price bump + status 'U'), and DELETE
@@ -681,6 +719,7 @@ object Flow {
     "flow_rfm_segments" -> rfm,
     "ts_cusum_changepoint" -> cusum,
     "ts_autocorr" -> autocorr,
+    "flow_max_concurrency" -> maxConcurrency,
     "flow_path_topk" -> pathTopk,
     "ts_rolling_wau" -> rollingWau,
     "flow_cep_pattern" -> cepPattern,
@@ -747,6 +786,19 @@ object Flow {
         |  r_score, f_score, m_score,
         |  CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) || CAST(m_score AS VARCHAR) AS segment
         |FROM sc ORDER BY user_id""".stripMargin,
+    "flow_max_concurrency" ->
+      """WITH sweep AS (
+        |  SELECT event_id, ts AS t, CAST(1 AS BIGINT) AS delta FROM events
+        |  UNION ALL
+        |  SELECT event_id, ts + INTERVAL 10 MINUTE, CAST(-1 AS BIGINT) FROM events),
+        |r AS (SELECT t, delta,
+        |    SUM(delta) OVER (ORDER BY t, delta, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+        |  FROM sweep)
+        |SELECT strftime(CAST(date_trunc('day', t) AS DATE), '%Y-%m-%d') AS day,
+        |  CAST(MAX(running) AS BIGINT) AS max_concurrency,
+        |  CAST(COUNT(*) AS BIGINT) AS n_points
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "ts_autocorr" -> {
       val leads = (1 to 7).map(k => s"lead(dev, $k) OVER (ORDER BY d) AS d$k").mkString(",\n        |    ")
       val stacks = (1 to 7).map(k =>

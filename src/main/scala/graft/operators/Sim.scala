@@ -487,6 +487,36 @@ object Sim {
       .orderBy("vec_id")
   }
 
+  /** Maximum-inner-product top-k — the recommendation-scoring semantics
+    * (user·item, where item POPULARITY lives in the norm) as opposed to
+    * cosine's angle-only match. The corpus ships unit-normalized, where
+    * MIPS degenerates to cosine, so the query re-uses the
+    * emb_norm_outliers augmentation: double-scaled variants
+    * (vec_id+10^5) whose inner products dominate while their cosine is
+    * unchanged — the output proves the two rankings genuinely differ.
+    * Scale path (documented, not needed at this k): the norm-augmentation
+    * reduction [x, √(M²−‖x‖²)] → unit vectors turns MIPS into cosine
+    * ANN, so the repo's LSH/IVF/IVF-PQ index family applies verbatim;
+    * the brute pass here is the oracle-checkable baseline the recall
+    * gates of that family would measure against.
+    */
+  private val mipsTopk: Q = (s, dir) => {
+    val base = vectors(s, dir).select(col("vec_id"), col("v"))
+    val aug = base.unionAll(base.filter(col("vec_id") % 100 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        expr("transform(v, x -> x * 2.0d)").as("v")))
+    val q = aug.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val w = Window.partitionBy("q_id").orderBy(col("ip").desc, col("vec_id"))
+    broadcast(q).crossJoin(aug)
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("ip", round(vec_dot(col("qv"), col("v")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= K)
+      .select(col("q_id"), col("rk"), col("vec_id").as("cand_id"), col("ip"))
+      .orderBy("q_id", "rk")
+  }
+
   private val ivfpqRecall: Q = (s, dir) => {
     val brute = bruteTopk(s, dir).select(col("q_id"), col("cand_id"))
     val approx = ivfpqTopk(s, dir)
@@ -503,6 +533,7 @@ object Sim {
     "emb_pq_encode" -> pqEncode,
     "sim_cosine_topk_ivfpq" -> ivfpqTopk,
     "emb_norm_outliers" -> normOutliers,
+    "sim_mips_topk" -> mipsTopk,
     "sim_ivfpq_recall" -> ivfpqRecall,
     "emb_kmeans_iter" -> kmeansIter,
     "emb_assign_nearest" -> assignNearest,
@@ -636,6 +667,20 @@ object Sim {
         |  FROM q, m)
         |SELECT vec_id, norm_q, z, abs(z) > 3.0 AS is_outlier
         |FROM z ORDER BY vec_id""".stripMargin,
+    "sim_mips_topk" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |aug AS (
+        |  SELECT vec_id, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 100000, list_transform(v, x -> x * 2.0)
+        |  FROM base WHERE vec_id % 100 = 0),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM aug WHERE vec_id < 8),
+        |s AS (SELECT q.q_id, a.vec_id AS cand_id,
+        |    round(list_sum(list_transform(range(64), i -> q.qv[i+1] * a.v[i+1])), 6) AS ip
+        |  FROM q JOIN aug a ON q.q_id <> a.vec_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY ip DESC, cand_id) AS rk
+        |  FROM s)
+        |SELECT q_id, rk, cand_id, ip FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
     // PQ replay: midrange codebook, per-subspace L2 snap, reconstruction
     "emb_pq_encode" ->
       """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,

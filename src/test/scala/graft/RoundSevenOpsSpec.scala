@@ -118,6 +118,35 @@ class RoundSevenOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("flow_max_concurrency: sweep points balance (2 per event) and concurrency shows real overlap") {
+    val rows = SparkEntry.queries("flow_max_concurrency")(s, dir).collect()
+    assert(rows.nonEmpty)
+    val nEvents = Tables(s, dir, "events").count()
+    val totalPoints = rows.map(_.getAs[Long]("n_points")).sum
+    assert(totalPoints == 2 * nEvents,
+      s"sweep has $totalPoints points for $nEvents events — an endpoint went missing")
+    val maxes = rows.map(_.getAs[Long]("max_concurrency"))
+    assert(maxes.forall(m => m >= 0 && m <= nEvents))
+    assert(maxes.max >= 2,
+      "no day ever had 2 concurrent 10-minute intervals — sweep ordering is broken")
+  }
+
+  test("sim_mips_topk: full rank lists, descending scores, and the scaled vectors dominate some top-5") {
+    val rows = SparkEntry.queries("sim_mips_topk")(s, dir).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length == 5, s"query $q: ${rs.length} rows")
+      val ips = rs.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("ip"))
+      assert(ips.zip(ips.tail).forall { case (a, b) => a >= b },
+        s"query $q: scores not non-increasing: ${ips.mkString(",")}")
+    }
+    // MIPS is norm-sensitive: the 2x-scaled variants must beat their
+    // unit-norm originals somewhere — if none surfaces, the query
+    // degenerated back to cosine
+    assert(rows.exists(_.getAs[Long]("cand_id") >= 100000L),
+      "no scaled vector reached any top-5 — inner product lost its norm sensitivity")
+  }
+
   test("train_shard_manifest: shard counts partition the corpus and fingerprints differ across shards") {
     val rows = SparkEntry.queries("train_shard_manifest")(s, dir).collect()
     assert(rows.length == 16, s"expected 16 shards, got ${rows.length}")
