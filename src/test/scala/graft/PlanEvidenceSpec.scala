@@ -131,6 +131,19 @@ class PlanEvidenceSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       s"partition offsets should broadcast, not shuffle:\n$p")
   }
 
+  test("flow_max_concurrency: running sum is per-partition windows + broadcast offsets, no global cumulative window") {
+    val df = operators.Flow.queries("flow_max_concurrency")(s, dir)
+    val p = planString(df).split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"),
+      s"partition-offset table should broadcast:\n$p")
+    // the only Window must be partitioned by _pid — an unpartitioned
+    // cumulative window over the sweep would be the single-task sort
+    // this query exists to avoid
+    assert(!p.linesIterator.exists(l =>
+        l.contains("Window") && l.contains("ROWS") && !l.contains("_pid")),
+      s"global cumulative window crept into the sweep:\n$p")
+  }
+
   test("dq_profile is one scan: all 30 metrics share a single aggregation pass") {
     val df = operators.Ingest.queries("dq_profile")(s, dir)
     val p = planString(df).split("== Initial Plan ==").head
