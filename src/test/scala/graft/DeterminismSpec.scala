@@ -48,6 +48,16 @@ class DeterminismSpec extends AnyFunSuite {
     "win_rolling_regr",    // BIGINT rolling sums; one final division
     "agg_t_test",          // exact moments; mirrored IEEE t/df chain
     "agg_gini",            // rank-sum statistic, tie-order invariant
+    "flow_rfm_segments",   // distributed globalRank + closed-form ntile
+    "flow_max_concurrency", // distributed prefix-sum over the sweep total order
+    "train_mixture_sample", // largest-remainder quotas + hash-priority fill
+    "mm_phash_near_pairs", // band LSH on distinct signatures + bit_count verify
+    "graph_kcore",         // 3 synchronous peel rounds on the cached edge list
+    "emb_norm_outliers",   // integer norm moments; one IEEE sqrt/division
+    "sim_mips_topk",       // fixed-order vec_dot + total-order rank
+    "text_watermark_detect", // md5-parity greens; integer z numerator
+    "train_shard_manifest", // XOR fingerprint + counters under any merge order
+    "ts_autocorr",         // DECIMAL-routed lag products on the bounded series
   )
 
   underTest.foreach { name =>
