@@ -333,28 +333,28 @@ object Graph {
   val oracles: Map[String, String] = Map(
     // 3 peel rounds unrolled — identical round budget to the Spark side
     "graph_kcore" ->
-      """WITH pl AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-        |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p),
-        |alln AS (SELECT DISTINCT u AS node FROM e0 UNION SELECT v FROM e0),
-        |d1 AS (SELECT node, COUNT(*) AS deg FROM
+      """WITH pl AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p),
+        |alln AS MATERIALIZED (SELECT DISTINCT u AS node FROM e0 UNION SELECT v FROM e0),
+        |d1 AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM
         |  (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0) GROUP BY 1),
-        |r1 AS (SELECT node FROM d1 WHERE deg < 3),
-        |e1 AS (SELECT u, v FROM e0 WHERE u NOT IN (SELECT node FROM r1)
+        |r1 AS MATERIALIZED (SELECT node FROM d1 WHERE deg < 3),
+        |e1 AS MATERIALIZED (SELECT u, v FROM e0 WHERE u NOT IN (SELECT node FROM r1)
         |  AND v NOT IN (SELECT node FROM r1)),
-        |d2 AS (SELECT node, COUNT(*) AS deg FROM
+        |d2 AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM
         |  (SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1) GROUP BY 1),
-        |r2 AS (SELECT node FROM d2 WHERE deg < 3),
-        |e2 AS (SELECT u, v FROM e1 WHERE u NOT IN (SELECT node FROM r2)
+        |r2 AS MATERIALIZED (SELECT node FROM d2 WHERE deg < 3),
+        |e2 AS MATERIALIZED (SELECT u, v FROM e1 WHERE u NOT IN (SELECT node FROM r2)
         |  AND v NOT IN (SELECT node FROM r2)),
-        |d3 AS (SELECT node, COUNT(*) AS deg FROM
+        |d3 AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM
         |  (SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2) GROUP BY 1),
-        |r3 AS (SELECT node FROM d3 WHERE deg < 3),
-        |e3 AS (SELECT u, v FROM e2 WHERE u NOT IN (SELECT node FROM r3)
+        |r3 AS MATERIALIZED (SELECT node FROM d3 WHERE deg < 3),
+        |e3 AS MATERIALIZED (SELECT u, v FROM e2 WHERE u NOT IN (SELECT node FROM r3)
         |  AND v NOT IN (SELECT node FROM r3)),
-        |rem AS (SELECT node, 1 AS removed_round FROM r1
+        |rem AS MATERIALIZED (SELECT node, 1 AS removed_round FROM r1
         |  UNION ALL SELECT node, 2 FROM r2
         |  UNION ALL SELECT node, 3 FROM r3),
-        |fd AS (SELECT node, COUNT(*) AS core_deg FROM
+        |fd AS MATERIALIZED (SELECT node, COUNT(*) AS core_deg FROM
         |  (SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3) GROUP BY 1)
         |SELECT alln.node,
         |  CAST(COALESCE(rem.removed_round, 0) AS BIGINT) AS removed_round,
@@ -389,19 +389,19 @@ object Graph {
     // two unrolled synchronous rounds with the same (count DESC, lbl ASC)
     // argmax; QUALIFY keeps each round a single select
     "graph_label_prop" ->
-      """WITH pl AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-        |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p),
-        |adj AS (SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v, u FROM e0),
-        |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM adj),
-        |c1 AS (SELECT adj.src, l0.lbl, COUNT(*) AS c FROM adj
+      """WITH pl AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p),
+        |adj AS MATERIALIZED (SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v, u FROM e0),
+        |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM adj),
+        |c1 AS MATERIALIZED (SELECT adj.src, l0.lbl, COUNT(*) AS c FROM adj
         |       JOIN l0 ON adj.dst = l0.node GROUP BY 1, 2),
-        |l1 AS (SELECT src AS node, lbl FROM c1
+        |l1 AS MATERIALIZED (SELECT src AS node, lbl FROM c1
         |       QUALIFY row_number() OVER (PARTITION BY src ORDER BY c DESC, lbl ASC) = 1),
-        |c2 AS (SELECT adj.src, l1.lbl, COUNT(*) AS c FROM adj
+        |c2 AS MATERIALIZED (SELECT adj.src, l1.lbl, COUNT(*) AS c FROM adj
         |       JOIN l1 ON adj.dst = l1.node GROUP BY 1, 2),
-        |l2 AS (SELECT src AS node, lbl FROM c2
+        |l2 AS MATERIALIZED (SELECT src AS node, lbl FROM c2
         |       QUALIFY row_number() OVER (PARTITION BY src ORDER BY c DESC, lbl ASC) = 1),
-        |sz AS (SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS csize FROM l2 GROUP BY 1)
+        |sz AS MATERIALIZED (SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS csize FROM l2 GROUP BY 1)
         |SELECT l2.node, l2.lbl, sz.csize FROM l2 JOIN sz ON l2.lbl = sz.community
         |ORDER BY l2.node""".stripMargin,
     "graph_bfs_khop" ->
@@ -429,22 +429,22 @@ object Graph {
         |  (SELECT CAST(t AS BIGINT) FROM tri) AS n_triangles,
         |  CAST((SELECT t FROM tri) * 3 AS DOUBLE) / (SELECT w FROM w) AS clustering""".stripMargin,
     "graph_pagerank" ->
-      """WITH pl AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-        |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p),
-        |adj AS (SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v, u FROM e0),
-        |deg AS (SELECT src, COUNT(*) AS d FROM adj GROUP BY src),
-        |r0 AS (SELECT src AS x, CAST(1000000000000 AS BIGINT) AS r FROM deg),
-        |c0 AS (SELECT deg.src, r0.r // deg.d AS c FROM r0 JOIN deg ON r0.x = deg.src),
-        |s1 AS (SELECT adj.dst AS x, SUM(c0.c) AS sin FROM adj JOIN c0 ON adj.src = c0.src GROUP BY adj.dst),
-        |r1 AS (SELECT r0.x, CAST(150000000000 + (85 * coalesce(s1.sin, 0)) // 100 AS BIGINT) AS r
+      """WITH pl AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p),
+        |adj AS MATERIALIZED (SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v, u FROM e0),
+        |deg AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM adj GROUP BY src),
+        |r0 AS MATERIALIZED (SELECT src AS x, CAST(1000000000000 AS BIGINT) AS r FROM deg),
+        |c0 AS MATERIALIZED (SELECT deg.src, r0.r // deg.d AS c FROM r0 JOIN deg ON r0.x = deg.src),
+        |s1 AS MATERIALIZED (SELECT adj.dst AS x, SUM(c0.c) AS sin FROM adj JOIN c0 ON adj.src = c0.src GROUP BY adj.dst),
+        |r1 AS MATERIALIZED (SELECT r0.x, CAST(150000000000 + (85 * coalesce(s1.sin, 0)) // 100 AS BIGINT) AS r
         |       FROM r0 LEFT JOIN s1 ON r0.x = s1.x),
-        |c1 AS (SELECT deg.src, r1.r // deg.d AS c FROM r1 JOIN deg ON r1.x = deg.src),
-        |s2 AS (SELECT adj.dst AS x, SUM(c1.c) AS sin FROM adj JOIN c1 ON adj.src = c1.src GROUP BY adj.dst),
-        |r2 AS (SELECT r1.x, CAST(150000000000 + (85 * coalesce(s2.sin, 0)) // 100 AS BIGINT) AS r
+        |c1 AS MATERIALIZED (SELECT deg.src, r1.r // deg.d AS c FROM r1 JOIN deg ON r1.x = deg.src),
+        |s2 AS MATERIALIZED (SELECT adj.dst AS x, SUM(c1.c) AS sin FROM adj JOIN c1 ON adj.src = c1.src GROUP BY adj.dst),
+        |r2 AS MATERIALIZED (SELECT r1.x, CAST(150000000000 + (85 * coalesce(s2.sin, 0)) // 100 AS BIGINT) AS r
         |       FROM r1 LEFT JOIN s2 ON r1.x = s2.x),
-        |c2 AS (SELECT deg.src, r2.r // deg.d AS c FROM r2 JOIN deg ON r2.x = deg.src),
-        |s3 AS (SELECT adj.dst AS x, SUM(c2.c) AS sin FROM adj JOIN c2 ON adj.src = c2.src GROUP BY adj.dst),
-        |r3 AS (SELECT r2.x, CAST(150000000000 + (85 * coalesce(s3.sin, 0)) // 100 AS BIGINT) AS r
+        |c2 AS MATERIALIZED (SELECT deg.src, r2.r // deg.d AS c FROM r2 JOIN deg ON r2.x = deg.src),
+        |s3 AS MATERIALIZED (SELECT adj.dst AS x, SUM(c2.c) AS sin FROM adj JOIN c2 ON adj.src = c2.src GROUP BY adj.dst),
+        |r3 AS MATERIALIZED (SELECT r2.x, CAST(150000000000 + (85 * coalesce(s3.sin, 0)) // 100 AS BIGINT) AS r
         |       FROM r2 LEFT JOIN s3 ON r2.x = s3.x)
         |SELECT x AS part, r AS rank_e12 FROM r3
         |ORDER BY r DESC, x LIMIT 100""".stripMargin,
