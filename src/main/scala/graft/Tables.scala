@@ -12,9 +12,68 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") events(spark, dir)
-    else spark.read.parquet(s"$dir/$name.parquet")
+    else {
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      checkSchema(dir, name, df.schema)
+      df
+    }
+  }
+
+  /** Expected Spark-read column types per driver table (TESTDATA.md).
+    * The driver regenerates testdata between rounds and has silently
+    * changed physical types before (r7: events.ts nanos→micros, which
+    * cost a session chunk to diagnose from downstream hash mismatches) —
+    * so every load fail-fasts with a one-line diff instead. events.ts is
+    * checked against its three known physical forms in [[events]];
+    * synthetic fixtures staged OUTSIDE the driver's testdata root (spec
+    * corpora in tmp dirs) are exempt — the guard pins the driver
+    * contract, not user data.
+    */
+  private[graft] val expectedSchemas: Map[String, Map[String, String]] = Map(
+    "region" -> Map("r_regionkey" -> "int", "r_name" -> "string"),
+    "nation" -> Map("n_nationkey" -> "int", "n_name" -> "string",
+      "n_regionkey" -> "int"),
+    "customer" -> Map("c_custkey" -> "bigint", "c_name" -> "string",
+      "c_nationkey" -> "int", "c_acctbal" -> "double", "c_mktsegment" -> "string"),
+    "supplier" -> Map("s_suppkey" -> "bigint", "s_name" -> "string",
+      "s_nationkey" -> "int", "s_acctbal" -> "double"),
+    "part" -> Map("p_partkey" -> "bigint", "p_name" -> "string",
+      "p_brand" -> "string", "p_type" -> "string", "p_size" -> "int",
+      "p_retailprice" -> "double"),
+    "orders" -> Map("o_orderkey" -> "bigint", "o_custkey" -> "bigint",
+      "o_orderstatus" -> "string", "o_totalprice" -> "double",
+      "o_orderdate" -> "timestamp_ntz", "o_orderpriority" -> "string"),
+    "lineitem" -> Map("l_orderkey" -> "bigint", "l_partkey" -> "bigint",
+      "l_suppkey" -> "bigint", "l_linenumber" -> "int", "l_quantity" -> "double",
+      "l_extendedprice" -> "double", "l_discount" -> "double", "l_tax" -> "double",
+      "l_returnflag" -> "string", "l_linestatus" -> "string",
+      "l_shipdate" -> "timestamp_ntz"),
+    "events" -> Map("event_id" -> "bigint", "ts" -> "ts", "user_id" -> "bigint",
+      "event_type" -> "string", "value" -> "double", "props" -> "string"),
+    "documents" -> Map("doc_id" -> "bigint", "text" -> "string",
+      "lang" -> "string", "source" -> "string", "n_chars" -> "bigint"),
+    "embeddings" -> Map("vec_id" -> "bigint", "embedding" -> "array<float>",
+      "label" -> "int"))
+
+  /** The three physical forms events.ts has shipped in (see [[events]]). */
+  private val tsForms = Set("bigint", "timestamp_ntz", "timestamp")
+
+  private[graft] def checkSchema(dir: String, name: String, schema: StructType): Unit =
+    if (dir.startsWith("/root/testdata")) expectedSchemas.get(name).foreach { exp =>
+      val got = schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+      val diff = (exp.keySet ++ got.keySet).toSeq.sorted.flatMap { c =>
+        (exp.get(c), got.get(c)) match {
+          case (Some("ts"), Some(b)) if tsForms(b) => None
+          case (Some(a), Some(b)) if a == b => None
+          case (a, b) => Some(
+            s"$c: expected ${a.getOrElse("<absent>")}, got ${b.getOrElse("<absent>")}")
+        }
+      }
+      if (diff.nonEmpty) throw new IllegalStateException(
+        s"testdata schema drift in $dir/$name.parquet — ${diff.mkString("; ")}")
+    }
 
   /** events.ts has shipped in two physical forms across testdata
     * generations: TIMESTAMP(NANOS) (which Spark 4 rejects by default —
@@ -34,6 +93,7 @@ object Tables {
   private def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
+    checkSchema(dir, "events", raw.schema)
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))

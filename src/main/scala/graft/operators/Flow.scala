@@ -464,10 +464,17 @@ object Flow {
       .agg(expr(
         "array_join(transform(array_sort(collect_list(struct(rn, event_type))), p -> p.event_type), '>')")
         .as("path"))
-    paths.groupBy("path")
+    // top-10 via orderBy+limit → TakeOrderedAndProject (per-partition
+    // heaps + a 10-row driver merge), not a global rank window: the path
+    // table is domain-bounded by |event_types|^5 today, but the bounded
+    // formulation costs nothing and stays safe if the path alphabet ever
+    // grows (the graph_link_predict discipline). The rank window then
+    // runs over exactly 10 rows.
+    val top = paths.groupBy("path")
       .agg(count(lit(1)).as("n_users"))
-      .withColumn("rk", row_number().over(Window.orderBy(col("n_users").desc, col("path"))))
-      .filter(col("rk") <= 10)
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(10)
+    top.withColumn("rk", row_number().over(Window.orderBy(col("n_users").desc, col("path"))))
       .orderBy("rk")
   }
 

@@ -277,37 +277,58 @@ object Graph {
       .orderBy("rk")
   }
 
-  /** k-core decomposition (k=3, 3 synchronous peel rounds) — the
+  /** k-core decomposition (k=3, synchronous peel to FIXPOINT) — the
     * degeneracy primitive behind community cores, spam rings, and graph
-    * sparsification: repeatedly delete nodes of degree < k; what
-    * survives is the 3-core (up to the fixed round budget, mirrored
-    * EXACTLY in the oracle — the text_bpe_train fixed-rounds
-    * discipline). Each round is one hash-agg (degrees from the live
-    * edge list) + two anti-joins (drop incident edges); localCheckpoint
-    * per round keeps plan depth flat, the Pregel invariant from
-    * graph_pagerank. Per-round cost is edge-linear; removed nodes only
-    * shrink the frontier, so a 100 TB graph pays 3 edge passes, never
-    * quadratic work. Output: every node of the original edge list with
-    * the round that removed it (0 = survived all 3) and its final
-    * degree (0 if peeled).
+    * sparsification: repeatedly delete nodes of degree < k until no
+    * node qualifies; what survives is the actual 3-core. Each round's
+    * candidate set derives from the SURVIVING node set left-joined to
+    * the live degrees (coalesce(deg, 0) < k), so a node stripped of its
+    * last edge by an earlier round is peeled as degree-0 — never
+    * mislabeled a core survivor (the r7 advice fix). Each round is one
+    * hash-agg (degrees from the live edge list) + anti-joins;
+    * localCheckpoint per round keeps plan depth flat, the Pregel
+    * invariant from graph_pagerank. Per-round cost is edge-linear;
+    * removed nodes only shrink the frontier, so a 100 TB graph pays
+    * O(rounds) edge passes, never quadratic work.
+    *
+    * Round budget: 12 — a safety valve mirrored EXACTLY by the oracle's
+    * 12 unrolled rounds. Peeling is monotone (a round that peels
+    * nothing leaves the graph unchanged, so every later round also
+    * peels nothing), which makes the early exit and the oracle's no-op
+    * tail rounds produce identical output whenever the fixpoint lands
+    * within budget; RoundSevenOpsSpec asserts it does (re-peeling the
+    * survivors removes nobody). Output: every node of the original edge
+    * list with the round that removed it (0 = genuine 3-core member)
+    * and its final degree (0 if peeled, ≥ k if it survived).
     */
   private val kcore: Q = (s, dir) => {
     val k = 3
+    val maxRounds = 12
     var e = edges(s, dir).select(col("u"), col("v")).localCheckpoint(true)
     val allNodes = e.select(col("u").as("node"))
       .unionAll(e.select(col("v").as("node"))).distinct().localCheckpoint(true)
-    var removed: DataFrame = null
-    for (r <- 1 to 3) {
+    var alive = allNodes
+    var removed = allNodes.limit(0)
+      .select(col("node"), lit(0L).as("removed_round"))
+    var r = 1
+    var converged = false
+    while (r <= maxRounds && !converged) {
       val deg = e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
-      val low = deg.filter(col("deg") < k)
+      val low = alive.join(deg, Seq("node"), "left")
+        .filter(coalesce(col("deg"), lit(0L)) < k)
         .select(col("node"), lit(r.toLong).as("removed_round"))
         .localCheckpoint(true)
-      removed = if (removed == null) low
-        else removed.unionAll(low).localCheckpoint(true)
-      e = e.join(low.select(col("node").as("u")), Seq("u"), "left_anti")
-        .join(low.select(col("node").as("v")), Seq("v"), "left_anti")
-        .localCheckpoint(true)
+      if (low.isEmpty) converged = true
+      else {
+        removed = removed.unionAll(low).localCheckpoint(true)
+        alive = alive.join(low.select("node"), Seq("node"), "left_anti")
+          .localCheckpoint(true)
+        e = e.join(low.select(col("node").as("u")), Seq("u"), "left_anti")
+          .join(low.select(col("node").as("v")), Seq("v"), "left_anti")
+          .localCheckpoint(true)
+        r += 1
+      }
     }
     val finalDeg = e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("core_deg"))
@@ -330,37 +351,44 @@ object Graph {
     "graph_degree_stats" -> degreeStats,
   )
 
+  /** DuckDB replay of the fixpoint peel: 12 unrolled rounds (the Spark
+    * side's round budget). Rounds past the fixpoint peel nothing —
+    * peeling is monotone — so the no-op tail leaves the result equal to
+    * the true fixpoint. Each round derives its candidates from the
+    * surviving node set (a{r-1}) left-joined to the live degrees, so
+    * isolated (degree-0) nodes are peeled, matching the Spark loop.
+    */
+  private val oKcore: String = {
+    val rounds = (1 to 12).map { r =>
+      val (ep, ap) = (s"e${r - 1}", s"a${r - 1}")
+      s"""d$r AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM
+         |  (SELECT u AS node FROM $ep UNION ALL SELECT v FROM $ep) GROUP BY 1),
+         |r$r AS MATERIALIZED (SELECT a.node FROM $ap a LEFT JOIN d$r d ON a.node = d.node
+         |  WHERE COALESCE(d.deg, 0) < 3),
+         |a$r AS MATERIALIZED (SELECT node FROM $ap WHERE node NOT IN (SELECT node FROM r$r)),
+         |e$r AS MATERIALIZED (SELECT u, v FROM $ep WHERE u NOT IN (SELECT node FROM r$r)
+         |  AND v NOT IN (SELECT node FROM r$r))""".stripMargin
+    }.mkString(",\n")
+    val rem = (1 to 12)
+      .map(r => s"SELECT node, $r AS removed_round FROM r$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH pl AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p),
+       |alln AS MATERIALIZED (SELECT DISTINCT u AS node FROM e0 UNION SELECT v FROM e0),
+       |a0 AS MATERIALIZED (SELECT node FROM alln),
+       |$rounds,
+       |rem AS MATERIALIZED ($rem),
+       |fd AS MATERIALIZED (SELECT node, COUNT(*) AS core_deg FROM
+       |  (SELECT u AS node FROM e12 UNION ALL SELECT v FROM e12) GROUP BY 1)
+       |SELECT alln.node,
+       |  CAST(COALESCE(rem.removed_round, 0) AS BIGINT) AS removed_round,
+       |  CAST(COALESCE(fd.core_deg, 0) AS BIGINT) AS core_deg
+       |FROM alln LEFT JOIN rem USING (node) LEFT JOIN fd USING (node)
+       |ORDER BY node""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
-    // 3 peel rounds unrolled — identical round budget to the Spark side
-    "graph_kcore" ->
-      """WITH pl AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-        |e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p),
-        |alln AS MATERIALIZED (SELECT DISTINCT u AS node FROM e0 UNION SELECT v FROM e0),
-        |d1 AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM
-        |  (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0) GROUP BY 1),
-        |r1 AS MATERIALIZED (SELECT node FROM d1 WHERE deg < 3),
-        |e1 AS MATERIALIZED (SELECT u, v FROM e0 WHERE u NOT IN (SELECT node FROM r1)
-        |  AND v NOT IN (SELECT node FROM r1)),
-        |d2 AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM
-        |  (SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1) GROUP BY 1),
-        |r2 AS MATERIALIZED (SELECT node FROM d2 WHERE deg < 3),
-        |e2 AS MATERIALIZED (SELECT u, v FROM e1 WHERE u NOT IN (SELECT node FROM r2)
-        |  AND v NOT IN (SELECT node FROM r2)),
-        |d3 AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM
-        |  (SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2) GROUP BY 1),
-        |r3 AS MATERIALIZED (SELECT node FROM d3 WHERE deg < 3),
-        |e3 AS MATERIALIZED (SELECT u, v FROM e2 WHERE u NOT IN (SELECT node FROM r3)
-        |  AND v NOT IN (SELECT node FROM r3)),
-        |rem AS MATERIALIZED (SELECT node, 1 AS removed_round FROM r1
-        |  UNION ALL SELECT node, 2 FROM r2
-        |  UNION ALL SELECT node, 3 FROM r3),
-        |fd AS MATERIALIZED (SELECT node, COUNT(*) AS core_deg FROM
-        |  (SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3) GROUP BY 1)
-        |SELECT alln.node,
-        |  CAST(COALESCE(rem.removed_round, 0) AS BIGINT) AS removed_round,
-        |  CAST(COALESCE(fd.core_deg, 0) AS BIGINT) AS core_deg
-        |FROM alln LEFT JOIN rem USING (node) LEFT JOIN fd USING (node)
-        |ORDER BY node""".stripMargin,
+    "graph_kcore" -> oKcore,
     "graph_link_predict" ->
       """WITH pl AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p),

@@ -324,13 +324,21 @@ object Ingest {
   }
 
   /** Sequence-gap detection — the "did we lose records?" DQ probe over a
-    * supposedly-dense key: one lead() window over the sorted distinct
-    * keys emits each gap's bounds and size. TPC-H orderkeys are sparse
-    * by design (1-8 mod 32), so the non-vacuous fixture restricts to a
-    * dense residue slice (keys ≡ 1 mod 32, gaps injected by dropping
-    * keys whose quotient ≡ 3 mod 5 — mirrored in the oracle). One
-    * exchange on the sort; at 100 TB run it per key-range partition and
-    * union the per-range gaps.
+    * supposedly-dense key. TPC-H orderkeys are sparse by design (1-8
+    * mod 32), so the non-vacuous fixture restricts to a dense residue
+    * slice (keys ≡ 1 mod 32, gaps injected by dropping keys whose
+    * quotient ≡ 3 mod 5 — mirrored in the oracle).
+    *
+    * The successor lookup is NOT one global lead() window (a single-task
+    * sort of the distinct-key table, which grows linearly with the fact
+    * table): the keys range-repartition on k, each partition runs its
+    * own lead() in parallel, and the one row per partition whose
+    * successor lives across the boundary takes it from a 32-row
+    * per-partition-minimum table computed with one bounded window — the
+    * globalRank boundary-handoff discipline (Flow.globalRank).
+    * localCheckpoint pins one materialization of the range exchange so
+    * both consumers (the boundary minima and the per-partition windows)
+    * see consistent spark_partition_id values.
     */
   private val dqSequenceGaps: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
@@ -339,7 +347,19 @@ object Ingest {
       .select(expr("(o_orderkey - 1) div 32").as("k"))
       .distinct()
       .filter(col("k") % 5 =!= 3)
-    keys.withColumn("nxt", lead(col("k"), 1).over(Window.orderBy("k")))
+    val part = keys.repartitionByRange(32, col("k"))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(true)
+    // per-partition minima → each partition's boundary successor is the
+    // NEXT non-empty partition's min (empty partitions simply don't
+    // appear); the window runs over ≤32 rows
+    val bounds = part.groupBy("_pid").agg(min(col("k")).as("_minK"))
+      .withColumn("_bnext", lead(col("_minK"), 1).over(Window.orderBy("_pid")))
+      .select("_pid", "_bnext")
+    part.join(broadcast(bounds), "_pid")
+      .withColumn("nxt", coalesce(
+        lead(col("k"), 1).over(Window.partitionBy("_pid").orderBy("k")),
+        col("_bnext")))
       .filter(col("nxt").isNotNull && col("nxt") - col("k") > 1)
       .select(col("k").as("gap_after"), col("nxt").as("resume_at"),
         (col("nxt") - col("k") - 1).as("n_missing"))

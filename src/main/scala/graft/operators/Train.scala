@@ -308,18 +308,31 @@ object Train {
     * at weights): per-source quotas ∝ n^α with α = 0.5 (the multilingual
     * sampling-temperature rule that upweights small sources), allocated
     * by exact integer largest-remainder so quotas sum to the 200-doc
-    * target, then filled per source by deterministic hash priority.
+    * target, CAPPED at each source's population with the shortfall
+    * redistributed to sources with headroom in remainder-priority order
+    * (one deterministic cumulative-headroom pass — if total population
+    * is below the target the output under-fills by design, with every
+    * available doc selected), then filled per source by deterministic
+    * hash priority.
     *
     * Every step is engine-exact: isqrt(n) is floor of the CORRECTLY
     * ROUNDED IEEE sqrt of an integer (identical in any engine), quota
-    * arithmetic is pure BIGINT div/mod, and the remainder tie-break is
-    * total-ordered (rem DESC, source ASC). The windows that matter for
-    * scale are per-source rank (hash-partitioned by source) — the two
-    * quota windows run on the ~20-row source table (value-domain-
-    * bounded). At 100 TB the quota table still has one row per SOURCE,
-    * broadcast to the per-doc rank filter.
+    * arithmetic is pure BIGINT div/mod, the remainder tie-break is
+    * total-ordered (rem DESC, source ASC), and the hash priority is 13
+    * md5 hex chars = 52 bits — exactly representable in the double the
+    * top-k heap orders by, so heap order equals exact integer order.
+    *
+    * Scale shape: NO window ever touches the doc table. Per-source
+    * selection is the TopKByValue TypedImperativeAggregate (bounded
+    * 200-element heaps, merged map-side like any partial aggregate —
+    * only k rows per source per map partition cross the exchange),
+    * replacing the r7 `Window.partitionBy(source)` full-corpus rank
+    * whose parallelism was capped at #sources. The three quota windows
+    * run on the ~source-count-row table (value-domain-bounded); the
+    * quota table broadcasts to the 200-row survivor join.
     */
   private val mixtureSample: Q = (s, dir) => {
+    import org.apache.spark.sql.graft.TopKAgg
     val docs = Tables(s, dir, "documents").select(col("doc_id"), col("source"))
     val per = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
       .withColumn("isq", expr("cast(floor(sqrt(cast(n_docs as double))) as bigint)"))
@@ -328,20 +341,33 @@ object Train {
       .withColumn("q_base", expr("(200 * isq) div w_tot"))
       .withColumn("rem", expr("(200 * isq) % w_tot"))
     val left = q0.agg((lit(200L) - sum(col("q_base"))).as("leftover"))
-    val quota = q0.crossJoin(broadcast(left))
-      .withColumn("rr", row_number().over(
-        Window.orderBy(col("rem").desc, col("source"))))
-      .withColumn("quota",
-        col("q_base") + when(col("rr") <= col("leftover"), 1L).otherwise(0L))
+    val byRem = Window.orderBy(col("rem").desc, col("source"))
+    val q1 = q0.crossJoin(broadcast(left))
+      .withColumn("rr", row_number().over(byRem))
+      .withColumn("q1", least(
+        col("q_base") + when(col("rr") <= col("leftover"), 1L).otherwise(0L),
+        col("n_docs")))
+    val short = q1.agg((lit(200L) - sum(col("q1"))).as("short"))
+    val quota = q1.crossJoin(broadcast(short))
+      .withColumn("headroom", col("n_docs") - col("q1"))
+      .withColumn("cumhead", coalesce(
+        sum(col("headroom")).over(byRem.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("quota", col("q1") +
+        greatest(lit(0L), least(col("headroom"), col("short") - col("cumhead"))))
       .select("source", "quota")
-    docs
+    val tops = docs
       .withColumn("prio",
-        expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("source").orderBy(col("prio"), col("doc_id"))).cast("bigint"))
+        expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 13), 16, 10) as bigint)"))
+      .groupBy("source")
+      .agg(TopKAgg.topk_by_value(-col("prio").cast("double"), col("doc_id"), 200)
+        .as("top"))
+    tops.select(col("source"), posexplode(col("top")))
+      .select(col("source"), (col("pos") + 1).cast("bigint").as("sel_rank"),
+        col("col.key").as("doc_id"))
       .join(broadcast(quota), "source")
-      .filter(col("rk") <= col("quota"))
-      .select(col("doc_id"), col("source"), col("rk").as("sel_rank"), col("quota"))
+      .filter(col("sel_rank") <= col("quota"))
+      .select(col("doc_id"), col("source"), col("sel_rank"), col("quota"))
       .orderBy("source", "sel_rank")
   }
 
@@ -404,15 +430,21 @@ object Train {
         |w AS (SELECT source, n_docs,
         |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS isq FROM per),
         |t AS (SELECT CAST(SUM(isq) AS BIGINT) AS w_tot FROM w),
-        |q0 AS (SELECT source, isq, (200 * isq) // w_tot AS q_base,
+        |q0 AS (SELECT source, n_docs, isq, (200 * isq) // w_tot AS q_base,
         |    (200 * isq) % w_tot AS rem FROM w, t),
         |l AS (SELECT 200 - CAST(SUM(q_base) AS BIGINT) AS leftover FROM q0),
-        |quota AS (SELECT source,
-        |    CAST(q_base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
-        |      <= (SELECT leftover FROM l) THEN 1 ELSE 0 END AS BIGINT) AS quota
+        |q1 AS (SELECT source, n_docs, rem,
+        |    CAST(LEAST(q_base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+        |      <= (SELECT leftover FROM l) THEN 1 ELSE 0 END, n_docs) AS BIGINT) AS q1
         |  FROM q0),
+        |sh AS (SELECT 200 - CAST(SUM(q1) AS BIGINT) AS short FROM q1),
+        |quota AS (SELECT source,
+        |    CAST(q1 + GREATEST(0, LEAST(n_docs - q1,
+        |      (SELECT short FROM sh) - COALESCE(SUM(n_docs - q1) OVER (ORDER BY rem DESC, source
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))) AS BIGINT) AS quota
+        |  FROM q1),
         |pr AS (SELECT doc_id, source,
-        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS prio
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS prio
         |  FROM documents),
         |rk AS (SELECT doc_id, source,
         |    CAST(row_number() OVER (PARTITION BY source ORDER BY prio, doc_id) AS BIGINT) AS rk

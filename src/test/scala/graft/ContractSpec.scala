@@ -44,4 +44,28 @@ class ContractSpec extends AnyFunSuite {
     assert(SparkEntry.queries.size == 229,
       s"queries map has ${SparkEntry.queries.size} entries — update SURVEY.md §8 and this pin")
   }
+
+  test("driver testdata footers match the pinned schemas (fail-fast drift guard)") {
+    val s = TestSpark.spark
+    // every table loads clean — a driver regeneration that drifts a
+    // physical type fails HERE with a one-line diff, not three layers
+    // deep in a hash mismatch (the r7 events ns→µs lesson)
+    Tables.all.foreach { t => Tables(s, TestSpark.sf, t).schema }
+  }
+
+  test("schema drift guard reports a one-line diff on deliberate drift") {
+    import org.apache.spark.sql.types._
+    val drifted = StructType(Seq(
+      StructField("doc_id", IntegerType),          // bigint → int
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType)))          // n_chars missing
+    val e = intercept[IllegalStateException] {
+      Tables.checkSchema("/root/testdata/sf0.001", "documents", drifted)
+    }
+    assert(e.getMessage.contains("doc_id: expected bigint, got int"), e.getMessage)
+    assert(e.getMessage.contains("n_chars: expected bigint, got <absent>"), e.getMessage)
+    // non-driver dirs are exempt: specs stage reduced synthetic corpora
+    Tables.checkSchema("/tmp/anywhere", "documents", drifted)
+  }
 }

@@ -144,6 +144,36 @@ class PlanEvidenceSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       s"global cumulative window crept into the sweep:\n$p")
   }
 
+  test("flow_path_topk cuts its top-10 via TakeOrderedAndProject, not a global rank window") {
+    val p = planString(operators.Flow.queries("flow_path_topk")(s, dir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"path top-10 must be bounded per-partition heaps:\n$p")
+  }
+
+  test("dq_sequence_gaps: successor lookup is per-range windows + broadcast boundary minima, no global lead window") {
+    val df = operators.Ingest.queries("dq_sequence_gaps")(s, dir)
+    val p = planString(df).split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"),
+      s"boundary-minima table should broadcast:\n$p")
+    // every lead() window must be partitioned by _pid; an unpartitioned
+    // window over the distinct-key table is the single-task sort this
+    // rework exists to remove
+    assert(!p.linesIterator.exists(l =>
+        l.contains("Window") && l.contains("lead(k") && !l.contains("_pid")),
+      s"global lead window crept back into the key table:\n$p")
+  }
+
+  test("train_mixture_sample selects via bounded top-k heaps; no window ever sorts the doc table") {
+    val df = operators.Train.queries("train_mixture_sample")(s, dir)
+    val p = planString(df).split("== Initial Plan ==").head
+    assert(p.contains("topk_by_value"),
+      s"per-source selection must be the TopKByValue heap aggregate:\n$p")
+    // the only windows are the three quota windows on the source-count
+    // table; none may order by the per-doc hash priority
+    assert(!p.linesIterator.exists(l => l.contains("Window") && l.contains("prio")),
+      s"full-corpus rank window crept back in:\n$p")
+  }
+
   test("dq_profile is one scan: all 30 metrics share a single aggregation pass") {
     val df = operators.Ingest.queries("dq_profile")(s, dir)
     val p = planString(df).split("== Initial Plan ==").head

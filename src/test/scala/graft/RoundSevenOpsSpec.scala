@@ -55,21 +55,45 @@ class RoundSevenOpsSpec extends AnyFunSuite {
     }
   }
 
-  test("graph_kcore: peel rounds are consistent — survivors have core degree >= 3, peeled nodes have none") {
+  test("graph_kcore: fixpoint reached — every survivor has core degree >= 3 (re-peeling removes nobody), every peeled node has none") {
     val rows = SparkEntry.queries("graph_kcore")(s, dir).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val round = r.getAs[Long]("removed_round")
       val deg = r.getAs[Long]("core_deg")
-      assert(round >= 0 && round <= 3)
+      assert(round >= 0 && round <= 12)
       if (round > 0) assert(deg == 0, s"node ${r.getAs[Long]("node")}: peeled in round $round but core_deg=$deg")
+      // the r7 advice fix: a node isolated by earlier peels must itself
+      // be peeled, never emitted as a degree-0 "survivor"
+      if (deg == 0) assert(round > 0,
+        s"node ${r.getAs[Long]("node")}: degree 0 but labeled a core survivor")
     }
-    // fixed-round semantics: after 3 rounds every survivor with edges has
-    // degree >= 3 UNLESS its neighbors were peeled in the final round
-    // (the documented round-budget cut) — at minimum, degrees are sane
+    // fixpoint: one more peel round would remove nobody — equivalently,
+    // every survivor's degree WITHIN the surviving graph is >= k
     val survivors = rows.filter(_.getAs[Long]("removed_round") == 0L)
-    assert(survivors.exists(_.getAs[Long]("core_deg") >= 3),
-      "no survivor reached core degree 3 — the peel removed everything")
+    assert(survivors.nonEmpty, "the peel removed everything")
+    survivors.foreach { r =>
+      assert(r.getAs[Long]("core_deg") >= 3,
+        s"node ${r.getAs[Long]("node")}: survivor with core_deg ${r.getAs[Long]("core_deg")} < 3 — not a fixpoint")
+    }
+  }
+
+  test("train_mixture_sample: a source whose quota exceeds its population is capped and the shortfall redistributed") {
+    import s.implicits._
+    // synthetic corpus: source A has 1000 docs, source B only 2 — B's
+    // sqrt-temperature quota (~6) exceeds its population, so the capped
+    // allocation must select BOTH B docs and still fill 200 total from A
+    val tmp = java.nio.file.Files.createTempDirectory("mixcap").toString
+    val docs = ((1 to 1000).map(i => (i.toLong, "A", "x")) ++
+      Seq((2001L, "B", "y"), (2002L, "B", "y")))
+      .toDF("doc_id", "source", "text")
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = SparkEntry.queries("train_mixture_sample")(s, tmp).collect()
+    val bySource = rows.groupBy(_.getAs[String]("source")).view.mapValues(_.length).toMap
+    assert(bySource.getOrElse("B", 0) == 2,
+      s"capped source must contribute exactly its population: $bySource")
+    assert(rows.length == 200,
+      s"shortfall not redistributed — selected ${rows.length}, want 200")
   }
 
   test("ts_autocorr: r(0) would be 1 by construction; all reported lags are in [-1, 1]") {
@@ -114,7 +138,12 @@ class RoundSevenOpsSpec extends AnyFunSuite {
     organic.foreach { r =>
       assert(!r.getAs[Boolean]("is_outlier"),
         s"organic unit vector ${r.getAs[Long]("vec_id")} falsely flagged (z=${r.getAs[Double]("z")})")
-      assert(r.getAs[Long]("norm_q") == 1000000L, "corpus is supposed to be unit-normalized")
+      // tolerance band, not an exact pin: the driver regenerates testdata
+      // between rounds and its normalization arithmetic has drifted
+      // before (r7's ns→µs event rewrite); the operator's contract is
+      // the z/outlier separation, not the corpus being bit-exactly unit
+      assert(math.abs(r.getAs[Long]("norm_q") - 1000000L) <= 2L,
+        s"organic vector ${r.getAs[Long]("vec_id")} norm_q=${r.getAs[Long]("norm_q")} far from unit")
     }
   }
 
