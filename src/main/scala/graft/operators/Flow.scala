@@ -491,7 +491,7 @@ object Flow {
     * per-partition and the driver never sees a row. The sort key must
     * be total (include a unique tiebreak) so ranks are well-defined.
     */
-  private def globalRank(df: DataFrame, rankCol: String, sort: Column*): DataFrame = {
+  private[graft] def globalRank(df: DataFrame, rankCol: String, sort: Column*): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // localCheckpoint pins ONE materialization of the range exchange:
     // both consumers below (the offsets aggregate and the join probe)

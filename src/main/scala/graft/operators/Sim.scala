@@ -517,6 +517,80 @@ object Sim {
       .orderBy("q_id", "rk")
   }
 
+  /** MIPS top-k through the IVF index family — the norm-augmentation
+    * reduction [[mipsTopk]] documents, shipped: append
+    * √(M² − ‖x‖²) as a 65th coordinate (M² = the corpus max squared
+    * norm, one broadcast scalar), and every corpus vector lands on the
+    * M-sphere where inner-product order IS cosine order; queries append
+    * 0, leaving their dot products untouched. The existing IVF coarse
+    * machinery then applies verbatim in the augmented space: midrange
+    * centroids per cell (bit-reproducible, see [[centroids]]), nprobe=5
+    * probe (deeper than cosine-IVF's 3: the augmentation compresses
+    * corpus vectors toward the 65th axis, flattening centroid contrast —
+    * the known cost of the reduction, priced in probe depth), exact
+    * inner-product scoring inside probed cells. Same
+    * augmented corpus as [[mipsTopk]] (double-scaled variants), so the
+    * recall gate measures the index against the genuinely-MIPS ranking
+    * the brute pass pins. At 100 TB: the augmentation is one map over
+    * the corpus (the scalar broadcast), centroids are tiny, and a query
+    * touches nprobe/ncells of the data — identical economics to
+    * [[ivfTopk]].
+    */
+  private val mipsIvf: Q = (s, dir) => {
+    val base = vectors(s, dir).select(col("vec_id"), col("label"), col("v"))
+    val aug = base.unionAll(base.filter(col("vec_id") % 100 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("label"),
+          expr("transform(v, x -> x * 2.0d)").as("v")))
+      .withColumn("n2", vec_dot(col("v"), col("v")))
+    val m2 = aug.agg(max(col("n2")).as("m2"))
+    // M² − ‖x‖² ≥ 0 exactly (m2 is the max of the same doubles), so the
+    // sqrt is total; the augmented norm is M for every corpus vector
+    val ax = aug.crossJoin(broadcast(m2))
+      .withColumn("va", expr("concat(v, array(sqrt(m2 - n2)))"))
+    val cent = ax.select(col("label"), posexplode(col("va")))
+      .groupBy("label", "pos")
+      .agg(((min(col("col")) + max(col("col"))) / 2).as("cx"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cx))), p -> p.cx)").as("cv"))
+      .select(col("label").as("cell"), col("cv"),
+        sqrt(vec_dot(col("cv"), col("cv"))).as("cn"))
+    val q = aug.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), expr("concat(v, array(0.0d))").as("qa"),
+        sqrt(col("n2")).as("qn"))
+    val qCells = q.crossJoin(broadcast(cent))
+      .withColumn("ccos", vec_dot(col("qa"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("ccos").desc, col("cell"))))
+      .filter(col("crk") <= 5)
+      .select(col("q_id"), col("qa"), col("cell"))
+    // qa·va = q·x exactly: the appended query coordinate is 0.0, and
+    // adding 0.0·aug to a finite fold is the identity in IEEE
+    val scored = broadcast(qCells).join(ax, col("cell") === col("label"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("ip", round(vec_dot(col("qa"), col("va")), 6))
+    val w = Window.partitionBy("q_id").orderBy(col("ip").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= K)
+      .select(col("q_id"), col("rk"), col("vec_id").as("cand_id"), col("ip"))
+      .orderBy("q_id", "rk")
+  }
+
+  /** Recall@5 of the augmented-IVF MIPS path against the brute MIPS
+    * truth — the same quantitative gate every index in the family
+    * carries ([[lshRecall]]/[[ivfRecall]]/[[ivfpqRecall]]).
+    */
+  private val mipsRecall: Q = (s, dir) => {
+    val brute = mipsTopk(s, dir).select(col("q_id"), col("cand_id"))
+    val approx = mipsIvf(s, dir)
+      .select(col("q_id").as("aq"), col("cand_id").as("ac"))
+    brute.join(approx,
+        col("q_id") === col("aq") && col("cand_id") === col("ac"), "left")
+      .groupBy("q_id")
+      .agg(expr("cast(count(ac) as bigint)").as("n_hit"))
+      .withColumn("recall_at_5", col("n_hit").cast("double") / 5)
+      .orderBy("q_id")
+  }
+
   private val ivfpqRecall: Q = (s, dir) => {
     val brute = bruteTopk(s, dir).select(col("q_id"), col("cand_id"))
     val approx = ivfpqTopk(s, dir)
@@ -534,6 +608,8 @@ object Sim {
     "sim_cosine_topk_ivfpq" -> ivfpqTopk,
     "emb_norm_outliers" -> normOutliers,
     "sim_mips_topk" -> mipsTopk,
+    "sim_mips_topk_ivf" -> mipsIvf,
+    "sim_mips_recall" -> mipsRecall,
     "sim_ivfpq_recall" -> ivfpqRecall,
     "emb_kmeans_iter" -> kmeansIter,
     "emb_assign_nearest" -> assignNearest,
@@ -641,7 +717,59 @@ object Sim {
        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc_sim DESC, cand_id) AS rk
        |  FROM pscore) WHERE rk <= 5)""".stripMargin
 
+  /** DuckDB replay of the augmented-IVF MIPS pipeline: the same aug
+    * corpus as sim_mips_topk, the 65th √(M²−‖x‖²) coordinate, midrange
+    * centroids in the augmented space, nprobe=3, exact inner-product
+    * scoring. `mir` is the IVF-MIPS top-5; `mb` the brute MIPS top-5
+    * (shared with the recall oracle).
+    */
+  private val oMipsIvfCte: String =
+    """mbase AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |maug AS (
+      |  SELECT vec_id, label, v FROM mbase
+      |  UNION ALL
+      |  SELECT vec_id + 100000, label, list_transform(v, x -> x * 2.0)
+      |  FROM mbase WHERE vec_id % 100 = 0),
+      |man AS (SELECT vec_id, label, v,
+      |  list_sum(list_transform(v, x -> x * x)) AS n2 FROM maug),
+      |mm AS (SELECT MAX(n2) AS m2 FROM man),
+      |max_ AS (SELECT vec_id, label, list_append(v, sqrt(m2 - n2)) AS va FROM man, mm),
+      |mcd AS (SELECT label, i, (MIN(va[i]) + MAX(va[i])) / 2 AS cx
+      |        FROM max_, range(1, 66) t(i) GROUP BY label, i),
+      |mcen AS (SELECT cell, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS cn FROM (
+      |  SELECT label AS cell, list(cx ORDER BY i) AS cv FROM mcd GROUP BY label)),
+      |mq AS (SELECT vec_id AS q_id, list_append(v, 0.0) AS qa, sqrt(n2) AS qn
+      |       FROM man WHERE vec_id < 8),
+      |mqc AS (SELECT q_id, qa, cell FROM (
+      |  SELECT mq.q_id, mq.qa, c.cell,
+      |    row_number() OVER (PARTITION BY mq.q_id ORDER BY
+      |      list_sum(list_transform(range(65), i -> mq.qa[i+1] * c.cv[i+1])) / (mq.qn * c.cn) DESC,
+      |      c.cell) AS crk
+      |  FROM mq CROSS JOIN mcen c) WHERE crk <= 5),
+      |msc AS (SELECT mqc.q_id, w.vec_id AS cand_id,
+      |  round(list_sum(list_transform(range(65), i -> mqc.qa[i+1] * w.va[i+1])), 6) AS ip
+      |  FROM mqc JOIN max_ w ON mqc.cell = w.label AND mqc.q_id <> w.vec_id),
+      |mir AS (SELECT q_id, rk, cand_id, ip FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY ip DESC, cand_id) AS rk FROM msc)
+      |  WHERE rk <= 5),
+      |mbq AS (SELECT vec_id AS q_id, v AS qv FROM maug WHERE vec_id < 8),
+      |mbs AS (SELECT mbq.q_id, a.vec_id AS cand_id,
+      |    round(list_sum(list_transform(range(64), i -> mbq.qv[i+1] * a.v[i+1])), 6) AS ip
+      |  FROM mbq JOIN maug a ON mbq.q_id <> a.vec_id),
+      |mb AS (SELECT q_id, rk, cand_id, ip FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY ip DESC, cand_id) AS rk FROM mbs)
+      |  WHERE rk <= 5)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "sim_mips_topk_ivf" ->
+      s"""WITH $oMipsIvfCte
+         |SELECT q_id, rk, cand_id, ip FROM mir ORDER BY q_id, rk""".stripMargin,
+    "sim_mips_recall" ->
+      s"""WITH $oMipsIvfCte
+         |SELECT b.q_id, CAST(COUNT(a.cand_id) AS BIGINT) AS n_hit,
+         |  CAST(COUNT(a.cand_id) AS DOUBLE) / 5 AS recall_at_5
+         |FROM mb b LEFT JOIN mir a ON b.q_id = a.q_id AND b.cand_id = a.cand_id
+         |GROUP BY b.q_id ORDER BY b.q_id""".stripMargin,
     // exact integer moments (HUGEINT on the DuckDB side mirrors the
     // DECIMAL(38,0) route in Spark); z from two exact integers
     "emb_norm_outliers" ->

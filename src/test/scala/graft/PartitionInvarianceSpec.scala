@@ -109,6 +109,58 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     }
   }
 
+  /** train_shard_manifest's shard assignment + XOR fingerprint: the
+    * whole manifest is a hash-partitioned aggregate of (count, sum,
+    * min, max, bit_xor) — all commutative+associative — so the 16
+    * manifest rows must be BIT-identical no matter how the corpus scan
+    * is partitioned. Attack with the same 20 adversarial shuffles.
+    */
+  test("shard-manifest fingerprints are bit-identical under 20 random merge orders") {
+    def manifest(df: DataFrame): Seq[String] =
+      df.withColumn("shard", pmod(col("rh"), lit(16L)))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum(col("g")).as("n_tokens"),
+          min(col("rh")).as("min_h"), max(col("rh")).as("max_h"),
+          expr("bit_xor(rh)").as("fingerprint"))
+        .orderBy("shard")
+        .collect().map(_.toString).toSeq
+    val ref = manifest(base)
+    assert(ref.size == 16)
+    (1 to 20).foreach { i =>
+      val parts = 1 + (i * 7) % 40
+      val shuffled = base.repartition(parts, expr(s"pmod(hash(rh, $i), 16)"))
+      assert(manifest(shuffled) == ref,
+        s"manifest drift at seed $i ($parts partitions)")
+    }
+  }
+
+  /** The distributed global-rank/prefix-sum substrate (Flow.globalRank —
+    * rfm quintiles, flow_max_concurrency offsets): range partition +
+    * per-partition window + broadcast offsets must equal the single-
+    * partition ground truth REGARDLESS of how the input arrives
+    * partitioned, because repartitionByRange re-ranges from scratch.
+    * Ground truth is computed once with a global window (fine at test
+    * scale); 20 shuffles attack the substrate.
+    */
+  test("globalRank equals the global-window rank under 20 random input partitionings") {
+    import org.apache.spark.sql.expressions.Window
+    // heavy ties on k force the tiebreak column to carry the total order
+    val df = s.range(5000)
+      .selectExpr("id % 97 AS k", "id AS tb").localCheckpoint(true)
+    val truth = df
+      .withColumn("rk", row_number().over(Window.orderBy("k", "tb")).cast("long"))
+      .orderBy("tb").collect().map(_.toString).toSeq
+    (1 to 20).foreach { i =>
+      val parts = 1 + (i * 7) % 40
+      val got = operators.Flow.globalRank(
+          df.repartition(parts, expr(s"pmod(hash(tb, $i), 16)")),
+          "rk", col("k"), col("tb"))
+        .select("k", "tb", "rk")
+        .orderBy("tb").collect().map(_.toString).toSeq
+      assert(got == truth, s"rank drift at seed $i ($parts partitions)")
+    }
+  }
+
   /** The limb encoding itself: lo + 2^20·mid + 2^40·hi must reconstruct
     * the true sum for any mix of 60-bit values — checked against the
     * DECIMAL(38,0) sum Spark computes exactly.

@@ -160,6 +160,29 @@ class RoundSevenOpsSpec extends AnyFunSuite {
       "no day ever had 2 concurrent 10-minute intervals — sweep ordering is broken")
   }
 
+  test("sim_mips_recall: the augmented-IVF index keeps mean recall@5 >= 0.5 vs brute MIPS") {
+    val rows = SparkEntry.queries("sim_mips_recall")(s, dir).collect()
+    assert(rows.length == 8)
+    val mean = rows.map(_.getAs[Double]("recall_at_5")).sum / rows.length
+    assert(mean >= 0.5, s"mean recall@5 $mean — probe depth no longer covers the MIPS winners")
+  }
+
+  test("sim_mips_topk_ivf: every reported ip matches the brute ranking's value for that candidate") {
+    val brute = SparkEntry.queries("sim_mips_topk")(s, dir).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id")) -> r.getAs[Double]("ip")).toMap
+    val ivf = SparkEntry.queries("sim_mips_topk_ivf")(s, dir).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      val key = (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"))
+      // candidates the brute top-5 also surfaced must carry the SAME
+      // inner product — the augmentation must not perturb scores
+      brute.get(key).foreach { bip =>
+        assert(r.getAs[Double]("ip") == bip,
+          s"$key: augmented ip ${r.getAs[Double]("ip")} != brute ip $bip")
+      }
+    }
+  }
+
   test("sim_mips_topk: full rank lists, descending scores, and the scaled vectors dominate some top-5") {
     val rows = SparkEntry.queries("sim_mips_topk")(s, dir).collect()
     val byQ = rows.groupBy(_.getAs[Long]("q_id"))
