@@ -623,6 +623,56 @@ object Flow {
       .orderBy("lag_k")
   }
 
+  /** Theil–Sen robust trend of the daily event-count series — the
+    * median of all pairwise slopes (y_j−y_i)/(x_j−x_i), plus the matching
+    * median intercept. Unlike OLS (win_rolling_regr / agg_regression),
+    * Theil–Sen has a 29% breakdown point: a burst day or an outage day
+    * barely moves it, which is why it's the standard robust detector for
+    * "is traffic actually trending?". The series is one row per day, so
+    * the pair table is day²-bounded (66 k pairs per series-year — a
+    * domain bound, not a data bound) and every window here runs on that
+    * bounded table; the distributed work is the one map-side-combining
+    * daily count underneath, exactly the cusum/autocorr discipline. Each
+    * slope is ONE IEEE int/int division, and both medians use the
+    * explicit rank formula (s_lo + s_hi)/2 rather than an engine
+    * `median()` so the interpolation arithmetic is identical in DuckDB.
+    */
+  private val theilsen: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables(s, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("d"))
+      .agg(count(lit(1)).as("n"))
+    val m = daily.agg(min(col("d")).as("mind"))
+    val pts = daily.crossJoin(broadcast(m))
+      .select(datediff(col("d"), col("mind")).as("x"), col("n").as("y"))
+    val pr = pts.as("a").join(pts.as("b"), col("a.x") < col("b.x"))
+      .select(col("a.x").as("xa"), col("b.x").as("xb"),
+        ((col("b.y") - col("a.y")) / (col("b.x") - col("a.x")).cast("double")).as("slope"))
+    val k = pr.agg(count(lit(1)).as("np"))
+    val sr = pr.withColumn("r",
+      row_number().over(Window.orderBy(col("slope"), col("xa"), col("xb"))))
+    val sm = sr.crossJoin(broadcast(k))
+      .withColumn("lo", expr("(np + 1) div 2"))
+      .withColumn("hi", expr("(np + 2) div 2"))
+      .agg(max(col("np")).as("np"),
+        ((max(when(col("r") === col("lo"), col("slope"))) +
+          max(when(col("r") === col("hi"), col("slope")))) / lit(2.0)).as("slope_med"))
+    val res = pts.crossJoin(broadcast(sm))
+      .select(col("np"), col("slope_med"), col("x"),
+        (col("y") - col("slope_med") * col("x")).as("b"))
+    val nd = res.agg(count(lit(1)).as("ndays"))
+    val rr = res.withColumn("r2", row_number().over(Window.orderBy(col("b"), col("x"))))
+    rr.crossJoin(broadcast(nd))
+      .withColumn("lo2", expr("(ndays + 1) div 2"))
+      .withColumn("hi2", expr("(ndays + 2) div 2"))
+      .agg(max(col("ndays")).as("nd_"), max(col("np")).as("np_"),
+        max(col("slope_med")).as("sl"),
+        ((max(when(col("r2") === col("lo2"), col("b"))) +
+          max(when(col("r2") === col("hi2"), col("b")))) / lit(2.0)).as("ic"))
+      .select(col("nd_").as("n_days"), col("np_").as("n_pairs"),
+        round(col("sl"), 6).as("slope"), round(col("ic"), 6).as("intercept"))
+  }
+
   /** Peak concurrency per day — the sweep-line classic ("how many
     * sessions were open at once?") that prices capacity and licenses:
     * each event opens a 10-minute interval, the sweep emits (+1 at
@@ -726,6 +776,7 @@ object Flow {
     "flow_rfm_segments" -> rfm,
     "ts_cusum_changepoint" -> cusum,
     "ts_autocorr" -> autocorr,
+    "ts_theilsen" -> theilsen,
     "flow_max_concurrency" -> maxConcurrency,
     "flow_path_topk" -> pathTopk,
     "ts_rolling_wau" -> rollingWau,
@@ -829,6 +880,32 @@ object Flow {
         |  round(CAST(SUM(prod) AS DOUBLE) / CAST((SELECT den FROM den) AS DOUBLE), 6) AS acf
         |FROM st GROUP BY 1 ORDER BY 1""".stripMargin
     },
+    "ts_theilsen" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |mn AS (SELECT MIN(d) AS mind FROM daily),
+        |pts AS (SELECT datediff('day', mind, d) AS x, n AS y FROM daily, mn),
+        |pr AS (SELECT a.x AS xa, b.x AS xb,
+        |    (b.y - a.y) / CAST(b.x - a.x AS DOUBLE) AS slope
+        |  FROM pts a JOIN pts b ON a.x < b.x),
+        |k AS (SELECT COUNT(*) AS np FROM pr),
+        |sr AS (SELECT slope, xa, xb,
+        |    row_number() OVER (ORDER BY slope, xa, xb) AS r FROM pr),
+        |sm AS (SELECT MAX(np) AS np,
+        |    (MAX(CASE WHEN r = (np + 1) // 2 THEN slope END) +
+        |     MAX(CASE WHEN r = (np + 2) // 2 THEN slope END)) / 2.0 AS slope_med
+        |  FROM sr, k),
+        |res AS (SELECT np, slope_med, x, y - slope_med * x AS b FROM pts, sm),
+        |nd AS (SELECT COUNT(*) AS ndays FROM res),
+        |rr AS (SELECT np, slope_med, b,
+        |    row_number() OVER (ORDER BY b, x) AS r2 FROM res)
+        |SELECT CAST(MAX(ndays) AS BIGINT) AS n_days, CAST(MAX(np) AS BIGINT) AS n_pairs,
+        |  round(MAX(slope_med), 6) AS slope,
+        |  round((MAX(CASE WHEN r2 = (ndays + 1) // 2 THEN b END) +
+        |         MAX(CASE WHEN r2 = (ndays + 2) // 2 THEN b END)) / 2.0, 6) AS intercept
+        |FROM rr, nd""".stripMargin,
     "ts_cusum_changepoint" ->
       """WITH daily AS (
         |  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,

@@ -341,7 +341,58 @@ object Graph {
       .orderBy("node")
   }
 
+  /** Connected components by synchronous min-label propagation (hash-min
+    * / HCC): every node starts labeled with its own id; each round a node
+    * takes the minimum label among itself and its neighbors; at fixpoint
+    * every node carries the minimum node id reachable from it — the
+    * canonical component id. Per-round cost is ONE edge-linear join
+    * (adjacency is cached pre-partitioned by src, so only the node-sized
+    * label table moves — the Pregel invariant from graph_pagerank) plus
+    * one map-side-combining min aggregate; rounds needed = the
+    * eccentricity of each component's minimum node, small for the
+    * co-purchase graph (dense overlap through shared orders). At 100 TB
+    * the same loop runs with the edge list partitioned once; for
+    * path-shaped adversarial graphs the large-star/small-star
+    * pointer-doubling variant (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond") drops rounds to O(log n) — not needed here,
+    * and the simple hash-min rounds are exactly replayable in SQL.
+    *
+    * Round budget: 8, mirrored by the oracle's 8 unrolled rounds.
+    * Propagation is monotone (labels only decrease, a no-change round
+    * stays at fixpoint forever), so the early exit and the oracle's
+    * no-op tail agree whenever the fixpoint lands within budget;
+    * RoundEightOpsSpec asserts one more round changes nothing and that
+    * both endpoints of every edge agree at fixpoint. Output: every node
+    * with its component id (= min reachable node id) and the component
+    * size.
+    */
+  private val connectedComponents: Q = (s, dir) => {
+    val maxRounds = 8
+    val adj = adjacency(s, dir)
+    val allNodes = adj.select(col("src").as("node")).distinct().localCheckpoint(true)
+    var lbl = allNodes.select(col("node"), col("node").as("lbl")).localCheckpoint(true)
+    var r = 1
+    var converged = false
+    while (r <= maxRounds && !converged) {
+      val next = adj.join(lbl, col("src") === col("node"))
+        .select(col("dst").as("node"), col("lbl"))
+        .unionAll(lbl)
+        .groupBy("node").agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+      val changed = next.as("n").join(lbl.as("o"), "node")
+        .filter(col("n.lbl") =!= col("o.lbl"))
+      if (changed.isEmpty) converged = true
+      lbl = next
+      r += 1
+    }
+    val sizes = lbl.groupBy("lbl").agg(count(lit(1)).as("n_nodes"))
+    lbl.join(sizes, "lbl")
+      .select(col("node"), col("lbl").as("component"), col("n_nodes"))
+      .orderBy("node")
+  }
+
   val queries: Map[String, Q] = Map(
+    "graph_connected_components" -> connectedComponents,
     "graph_kcore" -> kcore,
     "graph_link_predict" -> linkPredict,
     "graph_triangles" -> triangles,
@@ -387,7 +438,29 @@ object Graph {
        |ORDER BY node""".stripMargin
   }
 
+  /** DuckDB replay of hash-min propagation: 8 unrolled materialized
+    * rounds (the Spark side's round budget); rounds past the fixpoint
+    * are no-ops, so the tail leaves the result at the true fixpoint.
+    */
+  private val oCc: String = {
+    val rounds = (1 to 8).map { r =>
+      s"""l$r AS MATERIALIZED (SELECT node, MIN(lbl) AS lbl FROM (
+         |  SELECT a.dst AS node, l.lbl FROM adj a JOIN l${r - 1} l ON a.src = l.node
+         |  UNION ALL SELECT node, lbl FROM l${r - 1}) GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pl AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p),
+       |adj AS MATERIALIZED (SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v, u FROM e0),
+       |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM adj),
+       |$rounds,
+       |cs AS MATERIALIZED (SELECT lbl, COUNT(*) AS n_nodes FROM l8 GROUP BY 1)
+       |SELECT l8.node, CAST(l8.lbl AS BIGINT) AS component,
+       |  CAST(cs.n_nodes AS BIGINT) AS n_nodes
+       |FROM l8 JOIN cs USING (lbl) ORDER BY node""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "graph_connected_components" -> oCc,
     "graph_kcore" -> oKcore,
     "graph_link_predict" ->
       """WITH pl AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

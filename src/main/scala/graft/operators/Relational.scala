@@ -585,6 +585,49 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Exact global percentiles WITHOUT unbounded aggregate state OR a
+    * global sort — the third point of the percentile triangle. Spark's
+    * `percentile` (agg_percentile) buffers every value per group, and a
+    * global `row_number` window would single-task-sort the table; this
+    * plan instead ranks l_extendedprice through [[Flow.globalRank]]
+    * (range-repartition + per-partition sort + broadcast 32-row
+    * offsets), computes each percentile's target position with INTEGER
+    * arithmetic (pos·100 = p100·(n−1), so lower rank and the
+    * interpolation weight m are exact ints — no float position to drift
+    * cross-engine), and picks the two straddling ranks with a
+    * broadcast-nested-loop filter against the 3-row spec table (a scan,
+    * not a join explosion: the broadcast side is 3 rows). Only 2 rows
+    * per percentile survive to the interpolation. At 100 TB this is the
+    * shape that actually runs: one range exchange of the value column,
+    * per-partition sorts, and a 6-row finish. Verified against Spark's
+    * own `percentile` in RoundEightOpsSpec (≤1e-4, the built-in computes
+    * its position in floating point).
+    */
+  private val aggPercentileDist: Q = (s, dir) => {
+    val li = Tables(s, dir, "lineitem")
+      .select(col("l_extendedprice").as("v"), col("l_orderkey"), col("l_linenumber"))
+    val ranked = Flow.globalRank(li, "r", col("v"), col("l_orderkey"), col("l_linenumber"))
+    val n = li.agg(count(lit(1)).as("n"))
+    val specs = n.select(explode(array(lit(50L), lit(90L), lit(99L))).as("p100"), col("n"))
+      .withColumn("pos100", col("p100") * (col("n") - 1))
+      .withColumn("lo", expr("pos100 div 100 + 1"))
+      .withColumn("m", expr("pos100 % 100"))
+      .select("p100", "n", "lo", "m")
+    val picked = ranked.join(broadcast(specs),
+      col("r") >= col("lo") && col("r") <= col("lo") + 1)
+    picked.groupBy("p100")
+      .agg(max(col("n")).as("n"),
+        max(when(col("r") === col("lo"), col("v"))).as("vlo"),
+        max(when(col("r") === col("lo") + 1, col("v"))).as("vhi"),
+        max(col("m")).as("m"))
+      .select(
+        (col("p100").cast("double") / 100.0).as("pct"),
+        col("n"),
+        round(col("vlo") +
+          (col("m") * (coalesce(col("vhi"), col("vlo")) - col("vlo"))) / 100.0, 6).as("value"))
+      .orderBy("pct")
+  }
+
   /** approx_percentile (Greenwald-Khanna summaries, accuracy=100 → rank
     * error ε=1%). Same verification pattern as agg_approx_distinct: the
     * sketch VALUE depends on merge order, so the hash-verified contract
@@ -804,6 +847,7 @@ object Relational {
     "agg_skew_salted" -> aggSkewSalted,
     "join_skew_salted" -> joinSkewSalted,
     "agg_percentile" -> aggPercentile,
+    "agg_percentile_dist" -> aggPercentileDist,
     "agg_approx_quantile" -> aggApproxQuantile,
     "sql_correlated_subquery" -> sqlCorrelatedSubquery,
     "agg_collect" -> aggCollect,
@@ -1067,6 +1111,20 @@ object Relational {
         | round(min(l_extendedprice), 6) AS p0,
         | round(max(l_extendedprice), 6) AS p100
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_percentile_dist" ->
+      """WITH v AS (SELECT l_extendedprice AS v, l_orderkey, l_linenumber FROM lineitem),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v, l_orderkey, l_linenumber) AS r FROM v),
+        |n AS (SELECT COUNT(*) AS n FROM v),
+        |sp AS (SELECT p100, n, p100 * (n - 1) AS pos100
+        |  FROM (VALUES (50), (90), (99)) AS t(p100), n),
+        |sp2 AS (SELECT p100, n, pos100 // 100 + 1 AS lo, pos100 % 100 AS m FROM sp),
+        |pick AS (SELECT sp2.p100, MAX(sp2.n) AS n, MAX(sp2.m) AS m,
+        |    MAX(CASE WHEN r.r = sp2.lo THEN v END) AS vlo,
+        |    MAX(CASE WHEN r.r = sp2.lo + 1 THEN v END) AS vhi
+        |  FROM sp2 JOIN r ON r.r BETWEEN sp2.lo AND sp2.lo + 1 GROUP BY 1)
+        |SELECT p100 / 100.0 AS pct, CAST(n AS BIGINT) AS n,
+        |  round(vlo + (m * (COALESCE(vhi, vlo) - vlo)) / 100.0, 6) AS value
+        |FROM pick ORDER BY pct""".stripMargin,
     "agg_skew_salted" ->
       s"""SELECT user_id, ${oSum("value")} AS sum_value, COUNT(*) AS n
          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,

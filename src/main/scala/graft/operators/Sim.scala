@@ -603,7 +603,38 @@ object Sim {
       .orderBy("q_id")
   }
 
+  /** kNN classification — the retrieval machinery put to its canonical
+    * downstream use: each query vector takes the majority label of its
+    * k=5 exact cosine neighbors (ties broken toward the smaller label so
+    * the vote is total-ordered and replayable). The candidate set is
+    * [[bruteTopk]]'s — the oracle-checkable baseline — and the same vote
+    * composes unchanged over any of the ANN index paths (LSH/IVF/IVF-PQ)
+    * at 100 TB, where the k·|queries| neighbor rows are the only data
+    * that reaches the vote: the corpus-sized work is all inside the
+    * index probe, and the label join is a broadcast of the k·|Q| winners
+    * against the (vec_id, label) projection of the corpus.
+    */
+  private val knnClassify: Q = (s, dir) => {
+    val e = vectors(s, dir)
+    val truth = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("label").as("true_label"))
+    val nbrs = bruteTopk(s, dir).select(col("q_id"), col("cand_id"))
+    val labeled = nbrs.join(
+      e.select(col("vec_id").as("cand_id"), col("label").as("cand_label")), "cand_id")
+    val votes = labeled.groupBy("q_id", "cand_label")
+      .agg(count(lit(1)).as("n_votes"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("n_votes").desc, col("cand_label"))
+    votes.withColumn("vrk", row_number().over(w))
+      .filter(col("vrk") === 1)
+      .join(broadcast(truth), "q_id")
+      .select(col("q_id"), col("true_label").cast("long").as("true_label"),
+        col("cand_label").cast("long").as("pred_label"), col("n_votes"))
+      .orderBy("q_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "sim_knn_classify" -> knnClassify,
     "emb_pq_encode" -> pqEncode,
     "sim_cosine_topk_ivfpq" -> ivfpqTopk,
     "emb_norm_outliers" -> normOutliers,
@@ -903,6 +934,24 @@ object Sim {
          |      c.cell) AS rk
          |  FROM v CROSS JOIN cen c)
          |WHERE rk = 1 ORDER BY vec_id""".stripMargin,
+    "sim_knn_classify" ->
+      """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+        |  sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, label AS true_label, v AS qv, nrm AS qn FROM v WHERE vec_id < 8),
+        |s AS (SELECT q.q_id, v.vec_id AS cand_id, v.label AS cand_label,
+        |  round(list_sum(list_transform(range(64), i -> q.qv[i+1] * v.v[i+1])) / (q.qn * v.nrm), 6) AS cos_sim
+        |  FROM q JOIN v ON q.q_id <> v.vec_id),
+        |r AS (SELECT q_id, cand_label FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id) AS rk FROM s)
+        |  WHERE rk <= 5),
+        |vt AS (SELECT q_id, cand_label, COUNT(*) AS n_votes FROM r GROUP BY 1, 2),
+        |p AS (SELECT q_id, cand_label, n_votes FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY n_votes DESC, cand_label) AS vrk FROM vt)
+        |  WHERE vrk = 1)
+        |SELECT p.q_id, CAST(q.true_label AS BIGINT) AS true_label,
+        |  CAST(p.cand_label AS BIGINT) AS pred_label, CAST(p.n_votes AS BIGINT) AS n_votes
+        |FROM p JOIN q USING (q_id) ORDER BY q_id""".stripMargin,
     "sim_cosine_topk" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
         |  sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm

@@ -1,0 +1,102 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants of the round-8 operator batch — properties the
+  * DuckDB hash gate cannot see (it proves Spark == oracle, not that
+  * either is RIGHT). Each test pins a mathematical fact the operator's
+  * design guarantees, via an independent in-test recomputation.
+  */
+class RoundEightOpsSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  private val dir = TestSpark.sf
+
+  test("graph_connected_components: fixpoint reached — every edge's endpoints share a component, and the id is the component minimum") {
+    import org.apache.spark.sql.functions._
+    val cc = SparkEntry.queries("graph_connected_components")(s, dir).cache()
+    // rebuild the edge list exactly as Graph.edges does
+    val pl = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val e = pl.as("a").join(pl.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+    val lu = cc.select(col("node").as("u"), col("component").as("cu"))
+    val lv = cc.select(col("node").as("v"), col("component").as("cv"))
+    val disagree = e.join(lu, "u").join(lv, "v")
+      .filter(col("cu") =!= col("cv")).count()
+    assert(disagree == 0L,
+      s"$disagree edges cross component boundaries — propagation did not converge within budget")
+    // component id must be the minimum member (hash-min fixpoint semantics)
+    val badId = cc.groupBy("component")
+      .agg(min(col("node")).as("mn"), max(col("n_nodes")).as("sz"), count(lit(1)).as("n"))
+      .filter(col("mn") =!= col("component") || col("sz") =!= col("n"))
+      .count()
+    assert(badId == 0L, "component id != min(node) or n_nodes inconsistent with membership")
+    cc.unpersist()
+  }
+
+  test("agg_percentile_dist: matches Spark's built-in exact percentile within interpolation ulps") {
+    import org.apache.spark.sql.functions._
+    val dist = SparkEntry.queries("agg_percentile_dist")(s, dir).collect()
+      .map(r => r.getAs[Double]("pct") -> r.getAs[Double]("value")).toMap
+    val builtin = Tables(s, dir, "lineitem")
+      .agg(expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("ps"))
+      .collect()(0).getSeq[Double](0)
+    val pairs = Seq(0.5, 0.9, 0.99).zip(builtin)
+    pairs.foreach { case (p, v) =>
+      assert(math.abs(dist(p) - v) <= 1e-4,
+        s"p=$p: globalRank-based $dist(p) vs built-in $v — selection picked the wrong ranks")
+    }
+  }
+
+  test("ts_theilsen: matches an independent in-memory Theil-Sen computation") {
+    import org.apache.spark.sql.functions._
+    val row = SparkEntry.queries("ts_theilsen")(s, dir).collect()(0)
+    val daily = Tables(s, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("d"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("d")
+      .collect()
+      .map(r => (r.getDate(0).toLocalDate.toEpochDay, r.getLong(1)))
+    val x0 = daily.map(_._1).min
+    val pts = daily.map { case (d, n) => ((d - x0).toDouble, n.toDouble) }
+    val slopes = (for {
+      i <- pts.indices; j <- pts.indices if pts(i)._1 < pts(j)._1
+    } yield (pts(j)._2 - pts(i)._2) / (pts(j)._1 - pts(i)._1)).sorted
+    def med(v: Seq[Double]): Double = (v((v.size - 1) / 2) + v(v.size / 2)) / 2.0
+    val sl = med(slopes)
+    val ic = med(pts.map { case (x, y) => y - sl * x }.sorted.toSeq)
+    assert(row.getAs[Long]("n_days") == pts.length)
+    assert(row.getAs[Long]("n_pairs") == slopes.size)
+    assert(math.abs(row.getAs[Double]("slope") - sl) <= 1e-6,
+      s"slope ${row.getAs[Double]("slope")} vs in-memory $sl")
+    assert(math.abs(row.getAs[Double]("intercept") - ic) <= 1e-6,
+      s"intercept ${row.getAs[Double]("intercept")} vs in-memory $ic")
+  }
+
+  test("sim_knn_classify: prediction is exactly the majority vote of the brute top-5 neighbor labels") {
+    import org.apache.spark.sql.functions._
+    val knn = SparkEntry.queries("sim_knn_classify")(s, dir).collect()
+    assert(knn.length == 8, "one prediction per query vector")
+    val nbrs = SparkEntry.queries("sim_cosine_topk")(s, dir)
+      .select(col("q_id"), col("cand_id"))
+    val lbl = Tables(s, dir, "embeddings")
+      .select(col("vec_id").as("cand_id"), col("label").as("cand_label"))
+    val votes = nbrs.join(lbl, "cand_id")
+      .collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) =>
+        val counts = rs.groupBy(_.getAs[Int]("cand_label")).view.mapValues(_.length).toMap
+        val (bestLbl, bestN) = counts.toSeq.sortBy { case (l, n) => (-n, l) }.head
+        q -> (bestLbl.toLong, bestN.toLong)
+      }
+    knn.foreach { r =>
+      val q = r.getAs[Long]("q_id")
+      val (wantLbl, wantN) = votes(q)
+      assert(r.getAs[Long]("pred_label") == wantLbl,
+        s"q=$q: predicted ${r.getAs[Long]("pred_label")}, majority is $wantLbl")
+      assert(r.getAs[Long]("n_votes") == wantN, s"q=$q: vote count mismatch")
+      assert(r.getAs[Long]("n_votes") >= 1 && r.getAs[Long]("n_votes") <= 5)
+    }
+  }
+}
