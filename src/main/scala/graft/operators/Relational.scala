@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Det, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.VecFunctions.kmv_distinct
@@ -585,40 +585,76 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
-  /** Exact global percentiles WITHOUT unbounded aggregate state OR a
-    * global sort — the third point of the percentile triangle. Spark's
-    * `percentile` (agg_percentile) buffers every value per group, and a
-    * global `row_number` window would single-task-sort the table; this
-    * plan instead ranks l_extendedprice through [[Flow.globalRank]]
-    * (range-repartition + per-partition sort + broadcast 32-row
-    * offsets), computes each percentile's target position with INTEGER
-    * arithmetic (pos·100 = p100·(n−1), so lower rank and the
-    * interpolation weight m are exact ints — no float position to drift
-    * cross-engine), and picks the two straddling ranks with a
-    * broadcast-nested-loop filter against the 3-row spec table (a scan,
-    * not a join explosion: the broadcast side is 3 rows). Only 2 rows
-    * per percentile survive to the interpolation. At 100 TB this is the
-    * shape that actually runs: one range exchange of the value column,
-    * per-partition sorts, and a 6-row finish. Verified against Spark's
-    * own `percentile` in RoundEightOpsSpec (≤1e-4, the built-in computes
-    * its position in floating point).
+  /** Exact global percentiles with NO unbounded aggregate state, NO
+    * global sort, and NO full-table shuffle — distributed selection by
+    * histogram pruning (the two-phase text_length_clip discipline
+    * applied to rank selection). Spark's `percentile` (agg_percentile)
+    * buffers every value per group; a global rank window single-task
+    * sorts the table; even a range-exchange ranking pass moves every
+    * row. This plan moves NOTHING but aggregates:
+    *
+    *  1. one map-side-combining pass for (min, max, n);
+    *  2. one map-side-combining pass for a 1024-bucket value histogram
+    *     (bucketing is any monotone function of v — equal values land in
+    *     one bucket, so selected VALUES are bucketing-independent);
+    *  3. the ≤1024-row histogram prefix-sums on a bounded window, and
+    *     each percentile's target positions — computed with INTEGER
+    *     arithmetic (pos·100 = p100·(n−1), so the straddling ranks and
+    *     the interpolation weight m are exact ints, no float position to
+    *     drift cross-engine) — locate their bucket in the broadcast
+    *     cumulative histogram;
+    *  4. only rows of the ≤6 straddle buckets (~n/1024 each) are
+    *     re-scanned, ranked per-bucket (a window PARTITIONED by bucket),
+    *     and offset by the bucket's below-count to global ranks.
+    *
+    * At 100 TB: two scans + a window over a 0.1% slice. A value-skewed
+    * bucket (one hot value) degrades gracefully — equal values collapse
+    * to the same answer; recursing the histogram into the straddle
+    * bucket bounds the slice for adversarial distributions. Verified
+    * against Spark's own `percentile` in RoundEightOpsSpec (≤1e-4, the
+    * built-in computes its position in floating point).
     */
   private val aggPercentileDist: Q = (s, dir) => {
+    val nb = 1024
     val li = Tables(s, dir, "lineitem")
       .select(col("l_extendedprice").as("v"), col("l_orderkey"), col("l_linenumber"))
-    val ranked = Flow.globalRank(li, "r", col("v"), col("l_orderkey"), col("l_linenumber"))
-    val n = li.agg(count(lit(1)).as("n"))
-    val specs = n.select(explode(array(lit(50L), lit(90L), lit(99L))).as("p100"), col("n"))
+    val mm = li.agg(min(col("v")).as("mn"), max(col("v")).as("mx"), count(lit(1)).as("n"))
+    def bucketOf(v: Column): Column =
+      when(col("mx") === col("mn"), lit(0L)).otherwise(
+        least(floor((v - col("mn")) / ((col("mx") - col("mn")) / nb)), lit(nb - 1L))
+          .cast("long"))
+    val hist = li.crossJoin(broadcast(mm))
+      .withColumn("b", bucketOf(col("v")))
+      .groupBy("b").agg(count(lit(1)).as("cnt"))
+    val cum = hist.withColumn("below", coalesce(
+        sum(col("cnt")).over(Window.orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // 3 percentiles -> up to 6 straddling global ranks (lo, lo+1)
+    val specs = mm.select(explode(array(lit(50L), lit(90L), lit(99L))).as("p100"), col("n"))
       .withColumn("pos100", col("p100") * (col("n") - 1))
       .withColumn("lo", expr("pos100 div 100 + 1"))
       .withColumn("m", expr("pos100 % 100"))
-      .select("p100", "n", "lo", "m")
-    val picked = ranked.join(broadcast(specs),
-      col("r") >= col("lo") && col("r") <= col("lo") + 1)
-    picked.groupBy("p100")
-      .agg(max(col("n")).as("n"),
-        max(when(col("r") === col("lo"), col("v"))).as("vlo"),
-        max(when(col("r") === col("lo") + 1, col("v"))).as("vhi"),
+      .select(col("p100"), col("n"), col("m"),
+        explode(array(col("lo"), col("lo") + 1)).as("r"))
+      .filter(col("r") <= col("n"))
+    val located = specs.join(broadcast(cum),
+      col("r") > col("below") && col("r") <= col("below") + col("cnt"))
+    val buckets = located.select(col("b"), col("below")).distinct()
+    val ranked = li.crossJoin(broadcast(mm))
+      .withColumn("b", bucketOf(col("v")))
+      .join(broadcast(buckets), "b")
+      .withColumn("gr", col("below") + row_number().over(
+        Window.partitionBy("b").orderBy(col("v"), col("l_orderkey"), col("l_linenumber"))))
+    val picked = ranked.join(
+      broadcast(located.select(col("p100"), col("n").as("n_"), col("m"),
+        col("r"), col("b").as("b_"))),
+      col("gr") === col("r") && col("b") === col("b_"))
+    val lom = specs.groupBy("p100").agg(min(col("r")).as("lo"))
+    picked.join(broadcast(lom), "p100")
+      .groupBy("p100")
+      .agg(max(col("n_")).as("n"),
+        max(when(col("gr") === col("lo"), col("v"))).as("vlo"),
+        max(when(col("gr") === col("lo") + 1, col("v"))).as("vhi"),
         max(col("m")).as("m"))
       .select(
         (col("p100").cast("double") / 100.0).as("pct"),

@@ -174,6 +174,35 @@ class PlanEvidenceSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       s"full-corpus rank window crept back in:\n$p")
   }
 
+  test("agg_percentile_dist: histogram selection — no full-table shuffle, no global rank window, no percentile buffer") {
+    val df = operators.Relational.queries("agg_percentile_dist")(s, dir)
+    val p = planString(df).split("== Initial Plan ==").head
+    assert(!p.contains("percentile("),
+      s"unbounded sort-based percentile buffer crept in:\n$p")
+    // the only permissible range exchange is the final 3-row pct sort
+    assert(!p.linesIterator.exists(l =>
+        l.contains("rangepartitioning") && !l.contains("pct")),
+      s"full-table range exchange crept in — selection should move only aggregates:\n$p")
+    // the straddle-bucket rank must be partitioned by bucket; an
+    // unpartitioned rank over lineitem is the single-task sort the
+    // histogram-selection shape exists to remove
+    assert(!p.linesIterator.exists(l =>
+        l.contains("Window") && l.contains("row_number") && !l.contains("b#")),
+      s"global rank window crept into the value table:\n$p")
+    // straddle buckets + located specs arrive broadcast
+    assert(p.contains("BroadcastHashJoin"), s"bucket filter should broadcast:\n$p")
+  }
+
+  test("graph_connected_components: label rounds reuse the cached adjacency; the only aggregates are map-side-combining mins") {
+    val df = operators.Graph.queries("graph_connected_components")(s, dir)
+    val p = planString(df)
+    // fixpoint loop materializes rounds via localCheckpoint: the final
+    // plan must be label-table-sized work (scan + min agg + size join),
+    // with no window and no sort over the edge list
+    assert(!p.contains("Window"), s"no window belongs in the CC finish:\n$p")
+    assert(p.contains("HashAggregate"), s"component sizes should hash-aggregate:\n$p")
+  }
+
   test("dq_profile is one scan: all 30 metrics share a single aggregation pass") {
     val df = operators.Ingest.queries("dq_profile")(s, dir)
     val p = planString(df).split("== Initial Plan ==").head
