@@ -245,6 +245,59 @@ object Flow {
       .orderBy("purchase_id")
   }
 
+  /** Linear (multi-touch) attribution — the complement of
+    * [[lastTouch]]: each purchase's value splits EQUALLY across every
+    * click/view touch by the same user in the 7 days up to the
+    * purchase. Credit stays EXACT integers end-to-end (the
+    * train_mixture_sample largest-remainder discipline): value → cents
+    * → micro-cents (×10⁴), each touch gets `div n`, and the `mod n`
+    * remainder goes one micro-cent at a time to the earliest touches
+    * (ts, event_id order) — so channel totals add up to the purchase
+    * total bit-exactly in any engine, with no float credit to drift.
+    * Purchases with no touch in the window credit '(none)'.
+    *
+    * Plan shape: purchases and touches meet in ONE user_id-keyed join
+    * (both sides shuffle once on user_id); the 7-day predicate bounds
+    * the per-purchase fan-out by one user-week of activity, so the pair
+    * table is attribution-window-bounded, never |events|². The split
+    * arithmetic is two windows on that pair table, both partitioned by
+    * purchase. At 100 TB: one co-partitioned join + purchase-local
+    * windows — embarrassingly parallel across users.
+    */
+  private val attributionLinear: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"),
+        unix_micros(col("ts")).as("pts"),
+        expr("cast(round(value * 100, 0) as bigint) * 10000").as("ucents"))
+    val touches = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("event_id").as("tid"),
+        unix_micros(col("ts")).as("tts"), col("event_type").as("channel"))
+    val pairs = purchases.join(touches, Seq("user_id"))
+      .filter(col("tts") <= col("pts") &&
+        col("pts") - col("tts") <= lit(7L * 86400L * 1000000L))
+    val byP = Window.partitionBy("pid")
+    val ordP = Window.partitionBy("pid").orderBy("tts", "tid")
+    val credited = pairs
+      .withColumn("n", count(lit(1)).over(byP))
+      .withColumn("trk", row_number().over(ordP))
+      .withColumn("credit",
+        expr("ucents div n") + when(col("trk") <= expr("ucents % n"), 1L).otherwise(0L))
+    val attributed = credited.groupBy("channel")
+      .agg(sum(col("credit")).as("credit_ucents"),
+        count(lit(1)).as("n_touch_credits"),
+        expr("cast(count(distinct pid) as bigint)").as("n_purchases"))
+    val none = purchases.join(
+        pairs.select(col("pid")).distinct(), Seq("pid"), "left_anti")
+      .agg(coalesce(sum(col("ucents")), lit(0L)).as("credit_ucents"),
+        count(lit(1)).as("n_touch_credits"),
+        count(lit(1)).as("n_purchases"))
+      .select(lit("(none)").as("channel"), col("credit_ucents"),
+        col("n_touch_credits"), col("n_purchases"))
+    attributed.unionByName(none).orderBy("channel")
+  }
+
   /** Market-basket association pairs over co-order parts: pair supports
     * from a distinct-collapse + per-order self-join (fan-out bounded by
     * basket size, never corpus²), then confidence and lift from the item
@@ -673,6 +726,47 @@ object Flow {
         round(col("sl"), 6).as("slope"), round(col("ic"), 6).as("intercept"))
   }
 
+  /** Additive seasonal decomposition of the daily event-count series —
+    * y = trend + seasonal + residual, the moving-average STL variant:
+    * trend is the centered 7-day mean (null on the 3 edge days each
+    * side), the weekly seasonal is the per-day-of-week mean of the
+    * detrended series, and the residual is what's left — the series a
+    * capacity planner actually alarms on. The numerators stay EXACT
+    * integers (detrended·7 = y·7 − s7, the cusum/autocorr scaling
+    * discipline), so the only float ops are one division per output
+    * column, mirrored verbatim in the oracle. Day-of-week is x mod 7
+    * from the series origin (engine-neutral — no locale-dependent
+    * dayofweek()). The series is one row per day: the 7-day window and
+    * the dow aggregate are day-domain-bounded, and the distributed work
+    * is the map-side-combining daily count underneath.
+    */
+  private val stlDecompose: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables(s, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("d"))
+      .agg(count(lit(1)).as("y"))
+    val m = daily.agg(min(col("d")).as("mind"))
+    val pts = daily.crossJoin(broadcast(m))
+      .select(col("d"), datediff(col("d"), col("mind")).as("x"), col("y"))
+    val w7 = Window.orderBy("x").rowsBetween(-3, 3)
+    val t = pts
+      .withColumn("s7", sum(col("y")).over(w7))
+      .withColumn("c7", count(lit(1)).over(w7))
+      .withColumn("dts", when(col("c7") === 7, col("y") * 7 - col("s7")))
+      .withColumn("dow", expr("x % 7"))
+    val seas = t.filter(col("c7") === 7)
+      .groupBy("dow").agg(sum(col("dts")).as("snum"), count(lit(1)).as("scnt"))
+    t.join(broadcast(seas), Seq("dow"), "left")
+      .select(
+        date_format(col("d"), "yyyy-MM-dd").as("day"), col("y"),
+        when(col("c7") === 7, round(col("s7") / lit(7.0), 6)).as("trend"),
+        round(col("snum") / (col("scnt") * lit(7.0)), 6).as("seasonal"),
+        when(col("c7") === 7,
+          round(col("y") - col("s7") / lit(7.0) - col("snum") / (col("scnt") * lit(7.0)), 6))
+          .as("residual"))
+      .orderBy("day")
+  }
+
   /** Peak concurrency per day — the sweep-line classic ("how many
     * sessions were open at once?") that prices capacity and licenses:
     * each event opens a 10-minute interval, the sweep emits (+1 at
@@ -777,6 +871,7 @@ object Flow {
     "ts_cusum_changepoint" -> cusum,
     "ts_autocorr" -> autocorr,
     "ts_theilsen" -> theilsen,
+    "ts_stl_decompose" -> stlDecompose,
     "flow_max_concurrency" -> maxConcurrency,
     "flow_path_topk" -> pathTopk,
     "ts_rolling_wau" -> rollingWau,
@@ -786,6 +881,7 @@ object Flow {
     "cdc_incremental_agg" -> incrementalAgg,
     "win_gaps_islands" -> gapsIslands,
     "attribution_last_touch" -> lastTouch,
+    "flow_attribution_linear" -> attributionLinear,
     "assoc_basket_pairs" -> basketPairs,
     "cdc_upsert" -> cdcUpsert,
     "cdc_scd2" -> scd2,
@@ -906,6 +1002,27 @@ object Flow {
         |  round((MAX(CASE WHEN r2 = (ndays + 1) // 2 THEN b END) +
         |         MAX(CASE WHEN r2 = (ndays + 2) // 2 THEN b END)) / 2.0, 6) AS intercept
         |FROM rr, nd""".stripMargin,
+    "ts_stl_decompose" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |mn AS (SELECT MIN(d) AS mind FROM daily),
+        |pts AS (SELECT d, datediff('day', mind, d) AS x, y FROM daily, mn),
+        |t AS (SELECT d, x, y,
+        |    SUM(y) OVER (ORDER BY x ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS s7,
+        |    COUNT(*) OVER (ORDER BY x ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS c7
+        |  FROM pts),
+        |t2 AS (SELECT *, CASE WHEN c7 = 7 THEN y * 7 - s7 END AS dts,
+        |    x % 7 AS dow FROM t),
+        |seas AS (SELECT dow, SUM(dts) AS snum, COUNT(*) AS scnt
+        |  FROM t2 WHERE c7 = 7 GROUP BY 1)
+        |SELECT strftime(t2.d, '%Y-%m-%d') AS day, y,
+        |  CASE WHEN c7 = 7 THEN round(s7 / 7.0, 6) END AS trend,
+        |  round(snum / (scnt * 7.0), 6) AS seasonal,
+        |  CASE WHEN c7 = 7
+        |    THEN round(y - s7 / 7.0 - snum / (scnt * 7.0), 6) END AS residual
+        |FROM t2 LEFT JOIN seas USING (dow) ORDER BY day""".stripMargin,
     "ts_cusum_changepoint" ->
       """WITH daily AS (
         |  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
@@ -1003,6 +1120,32 @@ object Flow {
         |  COUNT(*) AS n_days
         |FROM g GROUP BY user_id, anchor
         |ORDER BY user_id, start_day""".stripMargin,
+    "flow_attribution_linear" ->
+      """WITH p AS (SELECT user_id, event_id AS pid, epoch_us(ts) AS pts,
+        |    CAST(round(value * 100, 0) AS BIGINT) * 10000 AS ucents
+        |  FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, event_id AS tid, epoch_us(ts) AS tts,
+        |    event_type AS channel
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |pr AS (SELECT p.pid, p.ucents, t.tid, t.tts, t.channel
+        |  FROM p JOIN t USING (user_id)
+        |  WHERE t.tts <= p.pts AND p.pts - t.tts <= 604800000000),
+        |c AS (SELECT pid, channel, ucents,
+        |    COUNT(*) OVER (PARTITION BY pid) AS n,
+        |    row_number() OVER (PARTITION BY pid ORDER BY tts, tid) AS trk
+        |  FROM pr),
+        |cr AS (SELECT channel, pid,
+        |    ucents // n + CASE WHEN trk <= ucents % n THEN 1 ELSE 0 END AS credit
+        |  FROM c),
+        |att AS (SELECT channel, CAST(SUM(credit) AS BIGINT) AS credit_ucents,
+        |    COUNT(*) AS n_touch_credits,
+        |    CAST(COUNT(DISTINCT pid) AS BIGINT) AS n_purchases
+        |  FROM cr GROUP BY 1),
+        |no AS (SELECT '(none)' AS channel,
+        |    CAST(COALESCE(SUM(ucents), 0) AS BIGINT) AS credit_ucents,
+        |    COUNT(*) AS n_touch_credits, COUNT(*) AS n_purchases
+        |  FROM p WHERE pid NOT IN (SELECT DISTINCT pid FROM pr))
+        |SELECT * FROM att UNION ALL SELECT * FROM no ORDER BY channel""".stripMargin,
     "attribution_last_touch" ->
       """WITH e AS (SELECT user_id, event_id, ts, event_type,
         |    last_value(CASE WHEN event_type = 'click'

@@ -633,7 +633,51 @@ object Sim {
       .orderBy("q_id")
   }
 
+  /** Embedding covariance/correlation matrix — the PCA/whitening prep
+    * step of an embedding pipeline, computed with the mergeable-state
+    * Gramian aggregate ([[org.apache.spark.sql.graft.GramianOf]]): ONE
+    * scan accumulates n, Σq_i and the upper-triangle Σq_iq_j over
+    * 2^20-quantized integer components (exact — merge order cannot
+    * change a bit), so the corpus never explodes to (row × d²/2) pairs
+    * and the only shuffle payload is the 17 KB Gramian state per map
+    * partition. Covariance and Pearson correlation then derive from the
+    * ONE result row on a d²/2-bounded pair table (cov·n² =
+    * Σqiqj·n − Σqi·Σqj, all exact integers until the final IEEE
+    * divisions, replayed verbatim by the oracle). Output: the 20
+    * strongest-|corr| dimension pairs. At 100 TB this is the canonical
+    * Gramian shape (Spark ML RowMatrix.computeGramianMatrix): scan cost
+    * d²/2 multiply-adds per row, communication O(d²) total.
+    */
+  private val embCovariance: Q = (s, dir) => {
+    import org.apache.spark.sql.graft.GramianAgg.gramian_of
+    val e = vectors(s, dir)
+    val g = e.select(expr("transform(v, x -> cast(round(x * 1048576) as bigint))").as("q"))
+      .agg(gramian_of(col("q"), 64).as("g"))
+    val pairs = g
+      .select(explode(sequence(lit(0), lit(63))).as("i"), col("g"))
+      .select(col("i"), explode(sequence(col("i"), lit(63))).as("j"), col("g"))
+      .filter(col("j") > col("i"))
+    val scored = pairs.select(
+        col("i"), col("j"), expr("g.n").as("n"),
+        expr("g.p[(i*64 - (i*(i-1)) div 2) + (j - i)]").as("spp"),
+        expr("g.p[i*64 - (i*(i-1)) div 2]").as("sii"),
+        expr("g.p[j*64 - (j*(j-1)) div 2]").as("sjj"),
+        expr("g.s[i]").as("si"), expr("g.s[j]").as("sj"))
+      .withColumn("covq", col("spp") * col("n") - col("si") * col("sj"))
+      .withColumn("vari", col("sii") * col("n") - col("si") * col("si"))
+      .withColumn("varj", col("sjj") * col("n") - col("sj") * col("sj"))
+      .withColumn("corr", col("covq") /
+        (sqrt(col("vari").cast("double")) * sqrt(col("varj").cast("double"))))
+      .withColumn("cov", col("covq") /
+        (col("n").cast("double") * col("n") * lit(1099511627776.0)))
+    scored.orderBy(abs(col("corr")).desc, col("i"), col("j")).limit(20)
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        round(col("corr"), 6).as("corr"), round(col("cov"), 9).as("cov"))
+      .orderBy("i", "j")
+  }
+
   val queries: Map[String, Q] = Map(
+    "emb_covariance" -> embCovariance,
     "sim_knn_classify" -> knnClassify,
     "emb_pq_encode" -> pqEncode,
     "sim_cosine_topk_ivfpq" -> ivfpqTopk,
@@ -934,6 +978,32 @@ object Sim {
          |      c.cell) AS rk
          |  FROM v CROSS JOIN cen c)
          |WHERE rk = 1 ORDER BY vec_id""".stripMargin,
+    "emb_covariance" ->
+      """WITH v AS (SELECT list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> CAST(round(x * 1048576) AS BIGINT)) AS q FROM embeddings),
+        |nn AS (SELECT COUNT(*) AS n FROM v),
+        |ij AS (SELECT a.range AS i, b.range AS j
+        |  FROM range(64) a, range(64) b WHERE b.range >= a.range),
+        |pp AS (SELECT i, j, SUM(q[i + 1] * q[j + 1]) AS p FROM v, ij GROUP BY i, j),
+        |ss AS (SELECT a.range AS i, SUM(q[a.range + 1]) AS s FROM v, range(64) a GROUP BY 1),
+        |c AS (SELECT p0.i, p0.j, nn.n,
+        |    p0.p * nn.n - si.s * sj.s AS covq,
+        |    dii.p * nn.n - si.s * si.s AS vari,
+        |    djj.p * nn.n - sj.s * sj.s AS varj
+        |  FROM pp p0
+        |  JOIN ss si ON si.i = p0.i JOIN ss sj ON sj.i = p0.j
+        |  JOIN pp dii ON dii.i = p0.i AND dii.j = p0.i
+        |  JOIN pp djj ON djj.i = p0.j AND djj.j = p0.j
+        |  CROSS JOIN nn
+        |  WHERE p0.i < p0.j),
+        |sc AS (SELECT i, j,
+        |    covq / (sqrt(CAST(vari AS DOUBLE)) * sqrt(CAST(varj AS DOUBLE))) AS corr,
+        |    covq / (CAST(n AS DOUBLE) * n * 1099511627776.0) AS cov
+        |  FROM c),
+        |t AS (SELECT * FROM sc ORDER BY abs(corr) DESC, i, j LIMIT 20)
+        |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+        |  round(corr, 6) AS corr, round(cov, 9) AS cov
+        |FROM t ORDER BY i, j""".stripMargin,
     "sim_knn_classify" ->
       """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
         |  sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm

@@ -134,6 +134,23 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     }
   }
 
+  test("Gramian aggregate state is bit-identical under 20 random merge orders") {
+    import org.apache.spark.sql.graft.GramianAgg.gramian_of
+    // 4-dim quantized vectors derived from the row hash — small dim keeps
+    // the assert readable; the accumulator code path is dim-generic
+    val vecs = base.selectExpr(
+      "array(rh % 1000, (rh div 7) % 1000, (rh div 49) % 1000, g * 100) AS q")
+      .localCheckpoint(true)
+    def gram(df: DataFrame): String =
+      df.agg(gramian_of(col("q"), 4).as("g")).collect()(0).toString
+    val ref = gram(vecs)
+    (1 to 20).foreach { i =>
+      val parts = 1 + (i * 7) % 40
+      assert(gram(vecs.repartition(parts, expr(s"hash(q, $i)"))) == ref,
+        s"Gramian drift at seed $i ($parts partitions)")
+    }
+  }
+
   /** The distributed global-rank/prefix-sum substrate (Flow.globalRank —
     * rfm quintiles, flow_max_concurrency offsets): range partition +
     * per-partition window + broadcast offsets must equal the single-

@@ -74,6 +74,70 @@ class RoundEightOpsSpec extends AnyFunSuite {
       s"intercept ${row.getAs[Double]("intercept")} vs in-memory $ic")
   }
 
+  test("flow_attribution_linear: credit conserves — channel totals sum exactly to total purchase value") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("flow_attribution_linear")(s, dir).collect()
+    val credited = rows.map(_.getAs[Long]("credit_ucents")).sum
+    val total = Tables(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .agg(sum(expr("cast(round(value * 100, 0) as bigint) * 10000")))
+      .collect()(0).getLong(0)
+    assert(credited == total,
+      s"credited $credited micro-cents vs purchase total $total — the integer split leaked")
+    val chans = rows.map(_.getAs[String]("channel")).toSet
+    assert(chans.subsetOf(Set("click", "view", "(none)")), s"unexpected channels $chans")
+  }
+
+  test("ts_stl_decompose: trend + seasonal + residual reconstructs y on full-window days; edges are null-trend") {
+    val rows = SparkEntry.queries("ts_stl_decompose")(s, dir).collect()
+    assert(rows.length >= 14, "series too short to decompose")
+    var full = 0
+    rows.foreach { r =>
+      val y = r.getAs[Long]("y").toDouble
+      if (r.isNullAt(r.fieldIndex("trend"))) {
+        assert(r.isNullAt(r.fieldIndex("residual")), "residual must be null where trend is")
+      } else {
+        full += 1
+        val rec = r.getAs[Double]("trend") + r.getAs[Double]("seasonal") +
+          r.getAs[Double]("residual")
+        assert(math.abs(rec - y) <= 2e-5,
+          s"${r.getAs[String]("day")}: trend+seasonal+residual=$rec vs y=$y")
+      }
+    }
+    assert(full == rows.length - 6, "exactly 3 edge days each side lack a centered window")
+  }
+
+  test("emb_covariance: Gramian-derived correlations match a direct in-memory computation") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("emb_covariance")(s, dir).collect()
+    assert(out.length == 20)
+    // recompute the full quantized Gramian in memory
+    val vecs = Tables(s, dir, "embeddings")
+      .select(expr("transform(cast(embedding as array<double>), x -> cast(round(x * 1048576) as bigint))"))
+      .collect().map(_.getSeq[Long](0).toArray)
+    val n = vecs.length.toLong
+    val d = 64
+    val sums = new Array[Long](d)
+    val prods = Array.ofDim[Long](d, d)
+    vecs.foreach { q =>
+      var i = 0
+      while (i < d) {
+        sums(i) += q(i)
+        var j = i
+        while (j < d) { prods(i)(j) += q(i) * q(j); j += 1 }
+        i += 1
+      }
+    }
+    out.foreach { r =>
+      val (i, j) = (r.getAs[Long]("i").toInt, r.getAs[Long]("j").toInt)
+      val covq = prods(i)(j) * n - sums(i) * sums(j)
+      val corr = covq / (math.sqrt((prods(i)(i) * n - sums(i) * sums(i)).toDouble) *
+        math.sqrt((prods(j)(j) * n - sums(j) * sums(j)).toDouble))
+      assert(math.abs(r.getAs[Double]("corr") - corr) <= 1e-6,
+        s"($i,$j): corr ${r.getAs[Double]("corr")} vs direct $corr")
+    }
+  }
+
   test("sim_knn_classify: prediction is exactly the majority vote of the brute top-5 neighbor labels") {
     import org.apache.spark.sql.functions._
     val knn = SparkEntry.queries("sim_knn_classify")(s, dir).collect()
