@@ -70,6 +70,7 @@ object Graph {
     edges(s, dir).count()
     adjacency(s, dir).count()
     degrees(s, dir).count()
+    lpaLabels(s, dir).count()
   }
 
   private val triangles: Q = (s, dir) => {
@@ -190,27 +191,87 @@ object Graph {
     * localCheckpointed so the lineage (and the plan the driver compiles)
     * stays flat however many rounds run.
     */
-  private val lpa: Q = (s, dir) => {
+  /** The 2-round synchronous LPA label table — shared by
+    * graph_label_prop and graph_modularity (same rounds, same argmax
+    * hash-agg discipline).
+    */
+  private def lpaLabels(s: SparkSession, dir: String): DataFrame =
+    graft.Cached.of(s, dir, "graph.lpa")(lpaLabelsBuild(s, dir))
+
+  private def lpaLabelsBuild(s: SparkSession, dir: String): DataFrame = {
     val adj = adjacency(s, dir)
+    // NOTE: labels keep their natural (shuffle.partitions) layout — an
+    // earlier coalesce(4) "tiny table" squeeze was a parallelism clamp
+    // that cost 5x on a 1.28 M-node 64x probe graph (every round's agg
+    // and the downstream joins ran 4-wide); AQE already coalesces small
+    // shuffle reads, so the explicit shrink bought nothing at sf0.1.
     var labels = adj.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
-      .coalesce(4).localCheckpoint()
+      .localCheckpoint()
     for (_ <- 1 to 2) {
-      val counts = adj.join(labels, adj("dst") === labels("node"))
-        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
+      // gather neighbor labels through the SRC side — the adjacency
+      // cache is partitioned by src, and the graph is symmetric, so
+      // "labels of my neighbors" ≡ "labels carried by edges leaving my
+      // neighbors toward me": join on src stays co-partitioned (only
+      // the node-sized label table shuffles) and the group-by lands on
+      // dst. The previous dst-side join reshuffled the full edge list
+      // every round — 5x on the 7.4 M-edge 64x probe graph.
+      val counts = adj.join(labels, adj("src") === labels("node"))
+        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
       // argmax by (count DESC, lbl ASC) as a HASH AGG, not a sort window:
-      // (c, -lbl) is unique per (src, lbl) group, so max_by is total —
+      // (c, -lbl) is unique per (dst, lbl) group, so max_by is total —
       // this removes the per-round sort of the neighbor-label table
-      labels = counts.groupBy(col("src").as("node"))
+      labels = counts.groupBy(col("dst").as("node"))
         .agg(max_by(col("lbl"),
           struct(col("c"), (-col("lbl")).as("nl"))).as("lbl"))
-        .coalesce(4).localCheckpoint()
+        .localCheckpoint()
     }
+    labels
+  }
+
+  private val lpa: Q = (s, dir) => {
+    val labels = lpaLabels(s, dir)
     val sizes = labels.groupBy(col("lbl").as("community"))
       .agg(count(lit(1)).as("csize"))
     labels.join(sizes, col("lbl") === col("community"))
       .select(col("node"), col("lbl"), col("csize"))
       .orderBy("node")
+  }
+
+  /** Newman modularity of the LPA communities — the quality score that
+    * tells you whether a community detection run found real structure
+    * (Q near 0 ⇒ no better than random given the degree sequence).
+    * Q = Σ_c [e_c/m − (d_c/2m)²] computed from EXACT integers:
+    * Q·4m² = Σ_c [4m·e_c − d_c²], with the d_c² products routed through
+    * DECIMAL(38,0) (the ts_autocorr overflow discipline — d_c ~ 2m at
+    * 100 TB squares past BIGINT) and ONE final IEEE division. Cost: one
+    * edge join against the broadcast-size label table for e_c, one
+    * node-grain aggregate for d_c — both edge-linear; the community
+    * table is output-bounded.
+    */
+  private val modularity: Q = (s, dir) => {
+    val e = edges(s, dir)
+    val labels = lpaLabels(s, dir)
+    val mTab = e.agg(count(lit(1)).as("m"))
+    val lu = labels.select(col("node").as("u"), col("lbl").as("cu"))
+    val lv = labels.select(col("node").as("v"), col("lbl").as("cv"))
+    val ec = e.join(lu, "u").join(lv, "v")
+      .filter(col("cu") === col("cv"))
+      .groupBy(col("cu").as("community")).agg(count(lit(1)).as("e_c"))
+    val dc = labels.join(degrees(s, dir), col("node") === col("src"))
+      .groupBy(col("lbl").as("community")).agg(sum(col("d")).as("d_c"))
+    val perC = dc.join(ec, Seq("community"), "left")
+      .crossJoin(broadcast(mTab))
+      .withColumn("qc",
+        expr("cast(4 * m as decimal(19,0)) * cast(coalesce(e_c, 0) as decimal(19,0))") -
+          expr("cast(d_c as decimal(19,0)) * cast(d_c as decimal(19,0))"))
+    perC.agg(
+        expr("cast(count(1) as bigint)").as("n_communities"),
+        max(col("m")).as("m"),
+        sum(col("qc")).as("qnum"))
+      .select(col("n_communities"), col("m"),
+        round(col("qnum").cast("double") / (lit(4.0) * col("m") * col("m")), 6)
+          .as("modularity"))
   }
 
   /** Log2-binned degree distribution — the first diagnostic run on any
@@ -399,6 +460,7 @@ object Graph {
     "graph_pagerank" -> pagerank,
     "graph_bfs_khop" -> bfs,
     "graph_label_prop" -> lpa,
+    "graph_modularity" -> modularity,
     "graph_degree_stats" -> degreeStats,
   )
 
@@ -505,6 +567,34 @@ object Graph {
         |sz AS MATERIALIZED (SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS csize FROM l2 GROUP BY 1)
         |SELECT l2.node, l2.lbl, sz.csize FROM l2 JOIN sz ON l2.lbl = sz.community
         |ORDER BY l2.node""".stripMargin,
+    "graph_modularity" ->
+      """WITH pl AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p),
+        |adj AS MATERIALIZED (SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v, u FROM e0),
+        |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM adj),
+        |c1 AS MATERIALIZED (SELECT adj.src, l0.lbl, COUNT(*) AS c FROM adj
+        |       JOIN l0 ON adj.dst = l0.node GROUP BY 1, 2),
+        |l1 AS MATERIALIZED (SELECT src AS node, lbl FROM c1
+        |       QUALIFY row_number() OVER (PARTITION BY src ORDER BY c DESC, lbl ASC) = 1),
+        |c2 AS MATERIALIZED (SELECT adj.src, l1.lbl, COUNT(*) AS c FROM adj
+        |       JOIN l1 ON adj.dst = l1.node GROUP BY 1, 2),
+        |l2 AS MATERIALIZED (SELECT src AS node, lbl FROM c2
+        |       QUALIFY row_number() OVER (PARTITION BY src ORDER BY c DESC, lbl ASC) = 1),
+        |deg AS MATERIALIZED (SELECT src AS node, COUNT(*) AS d FROM adj GROUP BY 1),
+        |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e0),
+        |ec AS (SELECT lu.lbl AS community, COUNT(*) AS e_c FROM e0
+        |  JOIN l2 lu ON e0.u = lu.node JOIN l2 lv ON e0.v = lv.node
+        |  WHERE lu.lbl = lv.lbl GROUP BY 1),
+        |dc AS (SELECT l2.lbl AS community, SUM(deg.d) AS d_c
+        |  FROM l2 JOIN deg ON l2.node = deg.node GROUP BY 1),
+        |pc AS (SELECT dc.community,
+        |    CAST(4 * mm.m AS DECIMAL(19,0)) * CAST(COALESCE(ec.e_c, 0) AS DECIMAL(19,0))
+        |      - CAST(dc.d_c AS DECIMAL(19,0)) * CAST(dc.d_c AS DECIMAL(19,0)) AS qc,
+        |    mm.m
+        |  FROM dc LEFT JOIN ec USING (community), mm)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_communities, MAX(m) AS m,
+        |  round(CAST(SUM(qc) AS DOUBLE) / (4.0 * MAX(m) * MAX(m)), 6) AS modularity
+        |FROM pc""".stripMargin,
     "graph_bfs_khop" ->
       """WITH RECURSIVE
         |pl AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

@@ -614,15 +614,21 @@ object Relational {
     * against Spark's own `percentile` in RoundEightOpsSpec (≤1e-4, the
     * built-in computes its position in floating point).
     */
+  /** Monotone 1024-cell value bucketing for the histogram-selection
+    * percentile family — equal values share a bucket, so selected VALUES
+    * are bucketing-independent; the all-equal guard avoids 0/0.
+    */
+  private def histBucket(v: Column, nb: Int): Column =
+    when(col("mx") === col("mn"), lit(0L)).otherwise(
+      least(floor((v - col("mn")) / ((col("mx") - col("mn")) / nb)), lit(nb - 1L))
+        .cast("long"))
+
   private val aggPercentileDist: Q = (s, dir) => {
     val nb = 1024
     val li = Tables(s, dir, "lineitem")
       .select(col("l_extendedprice").as("v"), col("l_orderkey"), col("l_linenumber"))
     val mm = li.agg(min(col("v")).as("mn"), max(col("v")).as("mx"), count(lit(1)).as("n"))
-    def bucketOf(v: Column): Column =
-      when(col("mx") === col("mn"), lit(0L)).otherwise(
-        least(floor((v - col("mn")) / ((col("mx") - col("mn")) / nb)), lit(nb - 1L))
-          .cast("long"))
+    def bucketOf(v: Column): Column = histBucket(v, nb)
     val hist = li.crossJoin(broadcast(mm))
       .withColumn("b", bucketOf(col("v")))
       .groupBy("b").agg(count(lit(1)).as("cnt"))
@@ -661,6 +667,52 @@ object Relational {
         col("n"),
         round(col("vlo") +
           (col("m") * (coalesce(col("vhi"), col("vlo")) - col("vlo"))) / 100.0, 6).as("value"))
+      .orderBy("pct")
+  }
+
+  /** WEIGHTED exact percentiles (weight = line quantity) by the same
+    * histogram-selection substrate as [[aggPercentileDist]] — the
+    * "median order value by units sold" class of question, which no
+    * built-in covers exactly. Type-1 weighted quantile: the p-quantile
+    * is the smallest v whose cumulative weight reaches p·W, located with
+    * pure INTEGER comparisons (cumw·100 ≥ p100·W — no float target).
+    * The weight histogram replaces the count histogram; only the ≤3
+    * straddle buckets' rows get the per-bucket cumulative-weight window.
+    * Same scale posture: two map-side-combining scans, no row shuffles.
+    */
+  private val aggPercentileWeighted: Q = (s, dir) => {
+    val nb = 1024
+    val li = Tables(s, dir, "lineitem")
+      .select(col("l_extendedprice").as("v"),
+        expr("cast(round(l_quantity) as bigint)").as("w"),
+        col("l_orderkey"), col("l_linenumber"))
+    val mm = li.agg(min(col("v")).as("mn"), max(col("v")).as("mx"), sum(col("w")).as("tw"))
+    val hist = li.crossJoin(broadcast(mm))
+      .withColumn("b", histBucket(col("v"), nb))
+      .groupBy("b").agg(sum(col("w")).as("bw"))
+    val cum = hist.withColumn("below", coalesce(
+        sum(col("bw")).over(Window.orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val specs = mm.select(explode(array(lit(50L), lit(90L), lit(99L))).as("p100"), col("tw"))
+      .withColumn("t100", col("p100") * col("tw"))
+    val located = specs.join(broadcast(cum),
+      col("t100") > col("below") * 100 &&
+        col("t100") <= (col("below") + col("bw")) * 100)
+    val buckets = located.select(col("b"), col("below")).distinct()
+    val ranked = li.crossJoin(broadcast(mm))
+      .withColumn("b", histBucket(col("v"), nb))
+      .join(broadcast(buckets), "b")
+      .withColumn("cw", col("below") + sum(col("w")).over(
+        Window.partitionBy("b").orderBy(col("v"), col("l_orderkey"), col("l_linenumber"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    ranked.join(
+        broadcast(located.select(col("p100").as("p_"), col("t100"), col("tw").as("tw_"),
+          col("b").as("b_"))),
+        col("b") === col("b_") && col("cw") * 100 >= col("t100"))
+      .groupBy("p_")
+      .agg(max(col("tw_")).as("w_total"), min(col("v")).as("vmin"))
+      .select((col("p_").cast("double") / 100.0).as("pct"), col("w_total"),
+        round(col("vmin"), 6).as("value"))
       .orderBy("pct")
   }
 
@@ -884,6 +936,7 @@ object Relational {
     "join_skew_salted" -> joinSkewSalted,
     "agg_percentile" -> aggPercentile,
     "agg_percentile_dist" -> aggPercentileDist,
+    "agg_percentile_weighted" -> aggPercentileWeighted,
     "agg_approx_quantile" -> aggApproxQuantile,
     "sql_correlated_subquery" -> sqlCorrelatedSubquery,
     "agg_collect" -> aggCollect,
@@ -1161,6 +1214,17 @@ object Relational {
         |SELECT p100 / 100.0 AS pct, CAST(n AS BIGINT) AS n,
         |  round(vlo + (m * (COALESCE(vhi, vlo) - vlo)) / 100.0, 6) AS value
         |FROM pick ORDER BY pct""".stripMargin,
+    "agg_percentile_weighted" ->
+      """WITH v AS (SELECT l_extendedprice AS v, CAST(round(l_quantity) AS BIGINT) AS w,
+        |    l_orderkey, l_linenumber FROM lineitem),
+        |t AS (SELECT SUM(w) AS tw FROM v),
+        |c AS (SELECT v, SUM(w) OVER (ORDER BY v, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw FROM v),
+        |sp AS (SELECT p100, p100 * tw AS t100, tw
+        |  FROM (VALUES (50), (90), (99)) s(p100), t)
+        |SELECT p100 / 100.0 AS pct, CAST(tw AS BIGINT) AS w_total,
+        |  round(MIN(CASE WHEN cw * 100 >= t100 THEN v END), 6) AS value
+        |FROM sp, c GROUP BY p100, tw ORDER BY pct""".stripMargin,
     "agg_skew_salted" ->
       s"""SELECT user_id, ${oSum("value")} AS sum_value, COUNT(*) AS n
          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,

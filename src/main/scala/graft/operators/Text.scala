@@ -450,6 +450,47 @@ object Text {
     * the encode join. Reassembly is the ordered collect_list discipline
     * from text_span_scrub.
     */
+  /** Zipf-law fit over the top-256 token frequencies — the corpus-health
+    * diagnostic behind "is this scraped text natural language?" (natural
+    * corpora fit log f ≈ a + s·log r with s ≈ −1 and high R²; boilerplate
+    * / generated spam bends the curve). OLS runs on 2^-20-quantized
+    * log coordinates (lx = round(ln rk · 10⁶), ly likewise) so every sum
+    * is an EXACT 64-bit integer — the scale factor cancels in the slope,
+    * and the only engine-sensitive ops are 512 `ln` calls on small
+    * integers (the text_tfidf precedent) plus the final two divisions.
+    * The vocab cut is the text_vocab_encode TakeOrdered shape: bounded
+    * per-partition heaps, rank window over 256 rows; the distributed
+    * work is the one map-side-combining token count. Overflow audit:
+    * ly ≤ ln(10¹⁵)·10⁶ ≈ 3.5e7 ⇒ n·Σly² ≤ 256²·1.2e15 < 2^63 with wide
+    * margin at any plausible corpus frequency.
+    */
+  private val zipfFit: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val top = Tables.docsSpread(s, dir)
+      .select(explode(expr(toksExpr)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("w"))
+      .limit(256)
+    val q = top
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("tf").desc, col("w"))).cast("bigint"))
+      .select(
+        expr("cast(round(ln(cast(rk as double)) * 1000000) as bigint)").as("lx"),
+        expr("cast(round(ln(cast(tf as double)) * 1000000) as bigint)").as("ly"))
+    q.agg(count(lit(1)).as("n"),
+        sum(col("lx")).as("sx"), sum(col("ly")).as("sy"),
+        sum(col("lx") * col("ly")).as("sxy"),
+        sum(col("lx") * col("lx")).as("sxx"),
+        sum(col("ly") * col("ly")).as("syy"))
+      .select(col("n"),
+        round(expr("cast(n * sxy - sx * sy as double) / cast(n * sxx - sx * sx as double)"), 6)
+          .as("zipf_slope"),
+        round(expr(
+          """(cast(n * sxy - sx * sy as double) * cast(n * sxy - sx * sy as double))
+            | / (cast(n * sxx - sx * sx as double) * cast(n * syy - sy * sy as double))"""
+            .stripMargin), 6).as("r2"))
+  }
+
   private val vocabEncode: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
     val top = Tables.docsSpread(s, dir)
@@ -578,6 +619,7 @@ object Text {
     "text_bpe_train" -> bpeTrain,
     "text_bpe_count" -> bpeCount,
     "text_vocab_encode" -> vocabEncode,
+    "text_zipf_fit" -> zipfFit,
     "text_heavy_hitters" -> heavyHitters,
     "pipeline_train_mix" -> trainMix,
     "pipeline_clean_corpus" -> pipelineCleanCorpus,
@@ -721,6 +763,23 @@ object Text {
          |  CAST(COUNT(*) FILTER (tid = 0) AS BIGINT) AS n_oov,
          |  string_agg(CAST(tid AS VARCHAR), ',' ORDER BY p) AS head_ids
          |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_zipf_fit" ->
+      s"""WITH tf AS (SELECT w, COUNT(*) AS tf FROM (
+         |    SELECT unnest($oToks) AS w FROM documents)
+         |  GROUP BY w ORDER BY tf DESC, w LIMIT 256),
+         |r AS (SELECT tf, row_number() OVER (ORDER BY tf DESC, w) AS rk FROM tf),
+         |q AS (SELECT
+         |    CAST(round(ln(CAST(rk AS DOUBLE)) * 1000000) AS BIGINT) AS lx,
+         |    CAST(round(ln(CAST(tf AS DOUBLE)) * 1000000) AS BIGINT) AS ly
+         |  FROM r),
+         |s AS (SELECT COUNT(*) AS n, SUM(lx) AS sx, SUM(ly) AS sy,
+         |    SUM(lx * ly) AS sxy, SUM(lx * lx) AS sxx, SUM(ly * ly) AS syy
+         |  FROM q)
+         |SELECT CAST(n AS BIGINT) AS n,
+         |  round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope,
+         |  round((CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE))
+         |    / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+         |FROM s""".stripMargin,
     "text_heavy_hitters" ->
       s"""WITH t AS (SELECT unnest($oToks) AS token FROM documents),
          |n AS (SELECT COUNT(*) AS n_total FROM t)

@@ -138,6 +138,76 @@ class RoundEightOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("graph_modularity: matches an in-memory recomputation from the LPA communities and stays in [-0.5, 1]") {
+    import org.apache.spark.sql.functions._
+    val row = SparkEntry.queries("graph_modularity")(s, dir).collect()(0)
+    val q = row.getAs[Double]("modularity")
+    assert(q >= -0.5 && q <= 1.0, s"modularity $q outside its mathematical range")
+    // rebuild edges + communities and recompute Q directly
+    val pl = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val edges = pl.as("a").join(pl.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val lbl = SparkEntry.queries("graph_label_prop")(s, dir)
+      .select("node", "lbl").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m = edges.length.toDouble
+    val deg = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    edges.foreach { case (u, v) => deg(u) += 1; deg(v) += 1 }
+    val eC = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    edges.foreach { case (u, v) => if (lbl(u) == lbl(v)) eC(lbl(u)) += 1 }
+    val dC = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    deg.foreach { case (n, d) => dC(lbl(n)) += d }
+    val qDirect = dC.keys.map { c =>
+      eC(c) / m - math.pow(dC(c) / (2 * m), 2)
+    }.sum
+    assert(math.abs(q - qDirect) <= 1e-5, s"modularity $q vs direct $qDirect")
+    assert(row.getAs[Long]("n_communities") == dC.size)
+  }
+
+  test("text_zipf_fit: slope is negative (frequency falls with rank) with meaningful fit, matching in-memory OLS") {
+    import org.apache.spark.sql.functions._
+    val row = SparkEntry.queries("text_zipf_fit")(s, dir).collect()(0)
+    val slope = row.getAs[Double]("zipf_slope")
+    val r2 = row.getAs[Double]("r2")
+    assert(slope < 0, s"zipf slope $slope must be negative")
+    assert(r2 > 0 && r2 <= 1.0, s"r2 $r2 outside (0, 1]")
+    val tf = Tables.docsSpread(s, dir)
+      .select(explode(expr("filter(split(text, ' '), t -> length(t) > 0)")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("w")).limit(256)
+      .collect().map(_.getAs[Long]("tf"))
+    val pts = tf.zipWithIndex.map { case (f, i) =>
+      (math.round(math.log(i + 1.0) * 1e6), math.round(math.log(f.toDouble) * 1e6))
+    }
+    val n = pts.length.toLong
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map { case (x, y) => x * y }.sum
+    val sxx = pts.map { case (x, _) => x * x }.sum
+    val direct = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+    assert(math.abs(slope - direct) <= 1e-6, s"slope $slope vs direct $direct")
+  }
+
+  test("agg_percentile_weighted: matches the in-memory type-1 weighted quantile") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("agg_percentile_weighted")(s, dir).collect()
+      .map(r => r.getAs[Double]("pct") -> r.getAs[Double]("value")).toMap
+    val vw = Tables(s, dir, "lineitem")
+      .select(col("l_extendedprice"), expr("cast(round(l_quantity) as bigint)"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+      .sortBy(_._1)
+    val total = vw.map(_._2).sum
+    Seq(50L, 90L, 99L).foreach { p100 =>
+      var cw = 0L
+      val target = p100 * total // cw*100 >= p100*W
+      val v = vw.find { case (_, w) => cw += w; cw * 100 >= target }.get._1
+      val got = out(p100 / 100.0)
+      assert(math.abs(got - v) <= 1e-6, s"p$p100: $got vs direct $v")
+    }
+  }
+
   test("sim_knn_classify: prediction is exactly the majority vote of the brute top-5 neighbor labels") {
     import org.apache.spark.sql.functions._
     val knn = SparkEntry.queries("sim_knn_classify")(s, dir).collect()
