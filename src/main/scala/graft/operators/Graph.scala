@@ -452,7 +452,43 @@ object Graph {
       .orderBy("node")
   }
 
+  /** Degree assortativity (Newman's r) — do hubs attach to hubs? The
+    * one-number summary that separates social-style graphs (r > 0) from
+    * technological/web graphs (r < 0), and the diagnostic behind "will
+    * hub-capping change this graph's behavior?" (see link_predict). r is
+    * the Pearson correlation of endpoint degrees over DIRECTED edge
+    * pairs (each undirected edge counted both ways, so Σx = Σy and one
+    * sum table suffices). Every sum is an exact integer — degree
+    * products route through DECIMAL(19,0)×DECIMAL(19,0) (the
+    * ts_autocorr overflow discipline: deg² · |edges| passes BIGINT at
+    * crawl scale) — and r is three IEEE ops on the exact sums, mirrored
+    * verbatim in the oracle. Cost: the adjacency join against the
+    * node-sized degree table twice (co-partitioned on src for the first;
+    * the dst side reshuffles the node-sized degree table, not the
+    * edges), then ONE map-side-combining aggregate.
+    */
+  private val assortativity: Q = (s, dir) => {
+    val adj = adjacency(s, dir)
+    val deg = degrees(s, dir)
+    val pairs = adj
+      .join(deg.select(col("src"), col("d").as("du")), "src")
+      .join(deg.select(col("src").as("dst"), col("d").as("dv")), "dst")
+    val sums = pairs.agg(
+      count(lit(1)).as("bm"),
+      sum(col("du")).as("sx"),
+      sum(expr("cast(du as decimal(19,0)) * cast(dv as decimal(19,0))")).as("sxy"),
+      sum(expr("cast(du as decimal(19,0)) * cast(du as decimal(19,0))")).as("sxx"))
+    sums.select(
+      (col("bm") / 2).cast("long").as("m"),
+      round(
+        (col("bm").cast("double") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double")) /
+          (col("bm").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")), 6).as("assortativity"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "graph_assortativity" -> assortativity,
     "graph_connected_components" -> connectedComponents,
     "graph_kcore" -> kcore,
     "graph_link_predict" -> linkPredict,
@@ -522,6 +558,23 @@ object Graph {
   }
 
   val oracles: Map[String, String] = Map(
+    "graph_assortativity" ->
+      """WITH pl AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p),
+        |adj AS (SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v, u FROM e0),
+        |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+        |pr AS (SELECT du.d AS du, dv.d AS dv FROM adj
+        |  JOIN deg du ON adj.src = du.src JOIN deg dv ON adj.dst = dv.src),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS bm, SUM(du) AS sx,
+        |    SUM(CAST(du AS DECIMAL(19,0)) * CAST(dv AS DECIMAL(19,0))) AS sxy,
+        |    SUM(CAST(du AS DECIMAL(19,0)) * CAST(du AS DECIMAL(19,0))) AS sxx
+        |  FROM pr)
+        |SELECT CAST(bm // 2 AS BIGINT) AS m,
+        |  round((CAST(bm AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    / (CAST(bm AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS assortativity
+        |FROM s""".stripMargin,
     "graph_connected_components" -> oCc,
     "graph_kcore" -> oKcore,
     "graph_link_predict" ->

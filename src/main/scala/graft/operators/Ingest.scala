@@ -499,7 +499,62 @@ object Ingest {
       .orderBy("digit")
   }
 
+  /** IQR outlier audit (Tukey fences) on order totals — the box-plot
+    * rule every DQ dashboard starts with: flag values beyond
+    * [q1 − 1.5·IQR, q3 + 1.5·IQR]. Quartiles come from the
+    * histogram-selection substrate (Relational.aggPercentileDist's
+    * discipline): two map-side-combining scans locate the type-1 p25/p75
+    * ranks via integer rank·100 ≥ p100·n comparisons, only the straddle
+    * buckets are ranked, and the fence count is ONE more
+    * map-side-combining scan against the broadcast 1-row fence table.
+    * No row ever shuffles; at 100 TB the audit costs three scans.
+    */
+  private val dqOutlierIqr: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val nb = 1024
+    val o = Tables(s, dir, "orders")
+      .select(col("o_totalprice").as("v"), col("o_orderkey"))
+    val mm = o.agg(min(col("v")).as("mn"), max(col("v")).as("mx"), count(lit(1)).as("n"))
+    val hist = o.crossJoin(broadcast(mm))
+      .withColumn("b", Relational.histBucket(col("v"), nb))
+      .groupBy("b").agg(count(lit(1)).as("bw"))
+    val cum = hist.withColumn("below", coalesce(
+        sum(col("bw")).over(Window.orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val specs = mm.select(explode(array(lit(25L), lit(75L))).as("p100"), col("n"))
+      .withColumn("t100", col("p100") * col("n"))
+    val located = specs.join(broadcast(cum),
+      col("t100") > col("below") * 100 &&
+        col("t100") <= (col("below") + col("bw")) * 100)
+    val buckets = located.select(col("b"), col("below")).distinct()
+    val ranked = o.crossJoin(broadcast(mm))
+      .withColumn("b", Relational.histBucket(col("v"), nb))
+      .join(broadcast(buckets), "b")
+      .withColumn("cr", col("below") + row_number().over(
+        Window.partitionBy("b").orderBy(col("v"), col("o_orderkey"))))
+    val picked = ranked.join(
+        broadcast(located.select(col("p100").as("p_"), col("t100"), col("b").as("b_"))),
+        col("b") === col("b_") && col("cr") * 100 >= col("t100"))
+      .groupBy("p_").agg(min(col("v")).as("q"))
+    val fences = picked.agg(
+        max(when(col("p_") === 25, col("q"))).as("q1"),
+        max(when(col("p_") === 75, col("q"))).as("q3"))
+      .withColumn("iqr", col("q3") - col("q1"))
+      .withColumn("lo", col("q1") - lit(1.5) * col("iqr"))
+      .withColumn("hi", col("q3") + lit(1.5) * col("iqr"))
+    o.crossJoin(broadcast(fences))
+      .agg(count(lit(1)).as("n"),
+        max(col("q1")).as("q1_"), max(col("q3")).as("q3_"),
+        max(col("iqr")).as("iqr_"), max(col("lo")).as("lo_"), max(col("hi")).as("hi_"),
+        sum(when(col("v") < col("lo"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("v") > col("hi"), 1L).otherwise(0L)).as("n_high"))
+      .select(col("n"), round(col("q1_"), 6).as("q1"), round(col("q3_"), 6).as("q3"),
+        round(col("iqr_"), 6).as("iqr"), round(col("lo_"), 6).as("lo_fence"),
+        round(col("hi_"), 6).as("hi_fence"), col("n_low"), col("n_high"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "dq_outlier_iqr" -> dqOutlierIqr,
     "dq_benford" -> dqBenford,
     "dp_geometric_counts" -> dpGeometric,
     "dq_profile" -> dqProfile,
@@ -528,6 +583,24 @@ object Ingest {
     "l_shipdate")
 
   val oracles: Map[String, String] = Map(
+    "dq_outlier_iqr" ->
+      """WITH v AS (SELECT o_totalprice AS v, o_orderkey FROM orders),
+        |n AS (SELECT COUNT(*) AS n FROM v),
+        |c AS (SELECT v, row_number() OVER (ORDER BY v, o_orderkey) AS r FROM v),
+        |q AS (SELECT
+        |    MIN(CASE WHEN r * 100 >= 25 * n.n THEN v END) AS q1,
+        |    MIN(CASE WHEN r * 100 >= 75 * n.n THEN v END) AS q3
+        |  FROM c, n),
+        |f AS (SELECT q1, q3, q3 - q1 AS iqr,
+        |    q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi FROM q),
+        |cnt AS (SELECT
+        |    CAST(SUM(CASE WHEN v.v < f.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |    CAST(SUM(CASE WHEN v.v > f.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+        |  FROM v, f)
+        |SELECT CAST(n.n AS BIGINT) AS n, round(f.q1, 6) AS q1, round(f.q3, 6) AS q3,
+        |  round(f.iqr, 6) AS iqr, round(f.lo, 6) AS lo_fence, round(f.hi, 6) AS hi_fence,
+        |  cnt.n_low, cnt.n_high
+        |FROM n, f, cnt""".stripMargin,
     "dq_benford" ->
       """WITH obs AS (
         |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,

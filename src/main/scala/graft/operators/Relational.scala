@@ -618,7 +618,7 @@ object Relational {
     * percentile family — equal values share a bucket, so selected VALUES
     * are bucketing-independent; the all-equal guard avoids 0/0.
     */
-  private def histBucket(v: Column, nb: Int): Column =
+  private[operators] def histBucket(v: Column, nb: Int): Column =
     when(col("mx") === col("mn"), lit(0L)).otherwise(
       least(floor((v - col("mn")) / ((col("mx") - col("mn")) / nb)), lit(nb - 1L))
         .cast("long"))

@@ -208,6 +208,46 @@ class RoundEightOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("graph_assortativity: matches an in-memory Pearson correlation of edge endpoint degrees") {
+    import org.apache.spark.sql.functions._
+    val row = SparkEntry.queries("graph_assortativity")(s, dir).collect()(0)
+    val pl = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val edges = pl.as("a").join(pl.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val deg = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    edges.foreach { case (u, v) => deg(u) += 1; deg(v) += 1 }
+    val pairs = edges.flatMap { case (u, v) =>
+      Seq((deg(u).toDouble, deg(v).toDouble), (deg(v).toDouble, deg(u).toDouble)) }
+    val bm = pairs.length.toDouble
+    val sx = pairs.map(_._1).sum
+    val sxy = pairs.map { case (x, y) => x * y }.sum
+    val sxx = pairs.map { case (x, _) => x * x }.sum
+    val direct = (bm * sxy - sx * sx) / (bm * sxx - sx * sx)
+    assert(row.getAs[Long]("m") == edges.length)
+    assert(math.abs(row.getAs[Double]("assortativity") - direct) <= 1e-5,
+      s"r ${row.getAs[Double]("assortativity")} vs direct $direct")
+  }
+
+  test("dq_outlier_iqr: quartiles, fences and outlier counts match an in-memory Tukey computation") {
+    import org.apache.spark.sql.functions._
+    val row = SparkEntry.queries("dq_outlier_iqr")(s, dir).collect()(0)
+    val vs = Tables(s, dir, "orders").select(col("o_totalprice")).collect()
+      .map(_.getDouble(0)).sorted
+    val n = vs.length
+    def q(p: Int): Double = vs((((p * n) + 99) / 100) - 1) // smallest v with r*100 >= p*n
+    val (q1, q3) = (q(25), q(75))
+    val iqr = q3 - q1
+    val (lo, hi) = (q1 - 1.5 * iqr, q3 + 1.5 * iqr)
+    assert(row.getAs[Long]("n") == n)
+    assert(math.abs(row.getAs[Double]("q1") - q1) <= 1e-6, s"q1 ${row.getAs[Double]("q1")} vs $q1")
+    assert(math.abs(row.getAs[Double]("q3") - q3) <= 1e-6)
+    assert(row.getAs[Long]("n_low") == vs.count(_ < lo))
+    assert(row.getAs[Long]("n_high") == vs.count(_ > hi))
+  }
+
   test("sim_knn_classify: prediction is exactly the majority vote of the brute top-5 neighbor labels") {
     import org.apache.spark.sql.functions._
     val knn = SparkEntry.queries("sim_knn_classify")(s, dir).collect()
