@@ -670,6 +670,68 @@ object Relational {
       .orderBy("pct")
   }
 
+  /** PER-GROUP exact percentiles by histogram selection — the "p99 per
+    * endpoint" query every latency dashboard runs, exact, with bounded
+    * state (the built-in `percentile` buffers every group value;
+    * approx_percentile answers it only within rank ε). Same substrate
+    * as [[aggPercentileDist]] with the group key threaded through every
+    * step: a (group × 1024)-row weight histogram, per-group cumulative
+    * offsets on a bounded window, integer target positions, and a rank
+    * window over only the straddle buckets, PARTITIONED by (group,
+    * bucket) so parallelism scales with groups × buckets. Interpolation
+    * matches `percentile`'s definition with exact integer positions.
+    * At 100 TB: two map-side-combining scans + a window over ~n/1024
+    * rows per group — no group ever concentrates on one task.
+    */
+  private val aggPercentileGrouped: Q = (s, dir) => {
+    val nb = 1024
+    val li = Tables(s, dir, "lineitem")
+      .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"),
+        col("l_orderkey"), col("l_linenumber"))
+    val mm = li.groupBy("g")
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"), count(lit(1)).as("n"))
+    val withB = li.join(broadcast(mm), "g")
+      .withColumn("b", histBucket(col("v"), nb))
+    val hist = withB.groupBy("g", "b").agg(count(lit(1)).as("cnt"))
+    val cum = hist.withColumn("below", coalesce(
+        sum(col("cnt")).over(Window.partitionBy("g").orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val specs = mm.select(col("g"), col("n"),
+        explode(array(lit(50L), lit(90L), lit(99L))).as("p100"))
+      .withColumn("pos100", col("p100") * (col("n") - 1))
+      .withColumn("lo", expr("pos100 div 100 + 1"))
+      .withColumn("m", expr("pos100 % 100"))
+      .select(col("g"), col("p100"), col("n"), col("m"),
+        explode(array(col("lo"), col("lo") + 1)).as("r"))
+      .filter(col("r") <= col("n"))
+    val located = specs.join(broadcast(cum.withColumnRenamed("g", "g_")),
+      col("g") === col("g_") &&
+        col("r") > col("below") && col("r") <= col("below") + col("cnt"))
+      .drop("g_")
+    val buckets = located.select(col("g"), col("b"), col("below")).distinct()
+    val ranked = withB.join(broadcast(buckets), Seq("g", "b"))
+      .withColumn("gr", col("below") + row_number().over(
+        Window.partitionBy("g", "b")
+          .orderBy(col("v"), col("l_orderkey"), col("l_linenumber"))))
+    val picked = ranked.join(
+      broadcast(located.select(col("g").as("gg"), col("p100"), col("n").as("n_"),
+        col("m"), col("r"), col("b").as("b_"))),
+      col("g") === col("gg") && col("gr") === col("r") && col("b") === col("b_"))
+    val lom = specs.groupBy("g", "p100").agg(min(col("r")).as("lo"))
+    picked.join(broadcast(lom), Seq("g", "p100"))
+      .groupBy("g", "p100")
+      .agg(max(col("n_")).as("n"),
+        max(when(col("gr") === col("lo"), col("v"))).as("vlo"),
+        max(when(col("gr") === col("lo") + 1, col("v"))).as("vhi"),
+        max(col("m")).as("m"))
+      .select(col("g").as("l_returnflag"),
+        (col("p100").cast("double") / 100.0).as("pct"), col("n"),
+        round(col("vlo") +
+          (col("m") * (coalesce(col("vhi"), col("vlo")) - col("vlo"))) / 100.0, 6)
+          .as("value"))
+      .orderBy("l_returnflag", "pct")
+  }
+
   /** WEIGHTED exact percentiles (weight = line quantity) by the same
     * histogram-selection substrate as [[aggPercentileDist]] — the
     * "median order value by units sold" class of question, which no
@@ -937,6 +999,7 @@ object Relational {
     "agg_percentile" -> aggPercentile,
     "agg_percentile_dist" -> aggPercentileDist,
     "agg_percentile_weighted" -> aggPercentileWeighted,
+    "agg_percentile_grouped" -> aggPercentileGrouped,
     "agg_approx_quantile" -> aggApproxQuantile,
     "sql_correlated_subquery" -> sqlCorrelatedSubquery,
     "agg_collect" -> aggCollect,
@@ -1214,6 +1277,21 @@ object Relational {
         |SELECT p100 / 100.0 AS pct, CAST(n AS BIGINT) AS n,
         |  round(vlo + (m * (COALESCE(vhi, vlo) - vlo)) / 100.0, 6) AS value
         |FROM pick ORDER BY pct""".stripMargin,
+    "agg_percentile_grouped" ->
+      """WITH v AS (SELECT l_returnflag AS g, l_extendedprice AS v, l_orderkey, l_linenumber FROM lineitem),
+        |r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v, l_orderkey, l_linenumber) AS r FROM v),
+        |n AS (SELECT g, COUNT(*) AS n FROM v GROUP BY 1),
+        |sp AS (SELECT g, p100, n, p100 * (n - 1) AS pos100
+        |  FROM (VALUES (50), (90), (99)) t(p100), n),
+        |sp2 AS (SELECT g, p100, n, pos100 // 100 + 1 AS lo, pos100 % 100 AS m FROM sp),
+        |pick AS (SELECT sp2.g, sp2.p100, MAX(sp2.n) AS n, MAX(sp2.m) AS m,
+        |    MAX(CASE WHEN r.r = sp2.lo THEN v END) AS vlo,
+        |    MAX(CASE WHEN r.r = sp2.lo + 1 THEN v END) AS vhi
+        |  FROM sp2 JOIN r ON r.g = sp2.g AND r.r BETWEEN sp2.lo AND sp2.lo + 1
+        |  GROUP BY 1, 2)
+        |SELECT g AS l_returnflag, p100 / 100.0 AS pct, CAST(n AS BIGINT) AS n,
+        |  round(vlo + (m * (COALESCE(vhi, vlo) - vlo)) / 100.0, 6) AS value
+        |FROM pick ORDER BY 1, 2""".stripMargin,
     "agg_percentile_weighted" ->
       """WITH v AS (SELECT l_extendedprice AS v, CAST(round(l_quantity) AS BIGINT) AS w,
         |    l_orderkey, l_linenumber FROM lineitem),

@@ -49,6 +49,25 @@ class RoundEightOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_percentile_grouped: matches Spark's built-in grouped percentile within interpolation ulps") {
+    import org.apache.spark.sql.functions._
+    val dist = SparkEntry.queries("agg_percentile_grouped")(s, dir).collect()
+      .map(r => (r.getAs[String]("l_returnflag"), r.getAs[Double]("pct")) ->
+        r.getAs[Double]("value")).toMap
+    val builtin = Tables(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("ps"))
+      .collect()
+    assert(dist.size == builtin.length * 3)
+    builtin.foreach { r =>
+      val g = r.getAs[String]("l_returnflag")
+      Seq(0.5, 0.9, 0.99).zip(r.getSeq[Double](1)).foreach { case (p, v) =>
+        assert(math.abs(dist((g, p)) - v) <= 1e-4,
+          s"group $g p=$p: histogram-selected ${dist((g, p))} vs built-in $v")
+      }
+    }
+  }
+
   test("ts_theilsen: matches an independent in-memory Theil-Sen computation") {
     import org.apache.spark.sql.functions._
     val row = SparkEntry.queries("ts_theilsen")(s, dir).collect()(0)
