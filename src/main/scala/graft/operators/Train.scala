@@ -397,7 +397,40 @@ object Train {
       .orderBy("shard")
   }
 
+  /** Curriculum phase assignment — order training docs easy→hard (token
+    * count as the difficulty proxy, doc_id tiebreak so the order is
+    * total) and split into 4 equal phases, the curriculum-learning prep
+    * step a training scheduler consumes. The quartile cut does NOT use a
+    * global NTILE window (single-task sort of the doc table at 100 TB):
+    * phases come from the distributed [[Flow.globalRank]] substrate plus
+    * NTILE's closed form over two broadcast scalars — bit-identical to
+    * DuckDB's ntile(4), zero single-partition sorts (the
+    * flow_rfm_segments discipline applied to the corpus table). Output
+    * is the 4-row phase manifest (doc counts, token ranges, token
+    * budget per phase).
+    */
+  private val curriculum: Q = (s, dir) => {
+    val d = graft.Tables.docsSpread(s, dir)
+      .select(col("doc_id"), expr(s"cast(size($toksExpr) as bigint)").as("n_tok"))
+    val ranked = Flow.globalRank(d, "rk", col("n_tok"), col("doc_id"))
+    val n = d.agg(count(lit(1)).as("_n"))
+    val phase = expr(
+      """cast(CASE
+        |  WHEN rk <= (_n % 4) * ((_n div 4) + 1)
+        |    THEN (rk + (_n div 4)) div ((_n div 4) + 1)
+        |  ELSE (_n % 4) + (rk - (_n % 4) * ((_n div 4) + 1) + (_n div 4) - 1) div (_n div 4)
+        |END as bigint)""".stripMargin)
+    ranked.crossJoin(broadcast(n))
+      .withColumn("phase", phase)
+      .groupBy("phase")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_tok")).as("min_tok"), max(col("n_tok")).as("max_tok"),
+        sum(col("n_tok")).as("sum_tok"))
+      .orderBy("phase")
+  }
+
   val queries: Map[String, Q] = Map(
+    "train_curriculum" -> curriculum,
     "train_shard_manifest" -> shardManifest,
     "train_mixture_sample" -> mixtureSample,
     "pack_sequences" -> packSequences,
@@ -414,6 +447,16 @@ object Train {
   )
 
   val oracles: Map[String, String] = Map(
+    "train_curriculum" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |t AS (SELECT n_tok, CAST(ntile(4) OVER (ORDER BY n_tok, doc_id) AS BIGINT) AS phase
+        |  FROM d)
+        |SELECT phase, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  MIN(n_tok) AS min_tok, MAX(n_tok) AS max_tok,
+        |  CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
     "train_shard_manifest" ->
       """WITH d AS (SELECT doc_id,
         |    CAST(len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS BIGINT) AS n_tok,

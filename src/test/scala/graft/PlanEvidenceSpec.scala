@@ -203,6 +203,26 @@ class PlanEvidenceSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(p.contains("HashAggregate"), s"component sizes should hash-aggregate:\n$p")
   }
 
+  test("emb_covariance: one mergeable Gramian aggregate pass — the corpus never explodes to dimension pairs") {
+    val df = operators.Sim.queries("emb_covariance")(s, dir)
+    val p = planString(df).split("== Initial Plan ==").head
+    assert(p.contains("partial_gramian_of"),
+      s"Gramian must partial-aggregate map-side:\n$p")
+    // the only Generates are the two bounded sequence-explodes over the
+    // ONE result row; a corpus-side posexplode would be the d^2/2 blowup
+    val gen = "Generate".r.findAllIn(p).size
+    assert(gen <= 4, s"unexpected corpus-side explode ($gen Generate nodes):\n$p")
+  }
+
+  test("flow_attribution_linear: purchases and touches share one user_id exchange; credit windows are purchase-local") {
+    val df = operators.Flow.queries("flow_attribution_linear")(s, dir)
+    val p = planString(df).split("== Initial Plan ==").head
+    // no unpartitioned window — both split windows partition by pid
+    assert(!p.linesIterator.exists(l =>
+        l.contains("Window") && !l.contains("pid")),
+      s"credit windows must be purchase-local:\n$p")
+  }
+
   test("dq_profile is one scan: all 30 metrics share a single aggregation pass") {
     val df = operators.Ingest.queries("dq_profile")(s, dir)
     val p = planString(df).split("== Initial Plan ==").head

@@ -267,6 +267,21 @@ class RoundEightOpsSpec extends AnyFunSuite {
     assert(row.getAs[Long]("n_high") == vs.count(_ > hi))
   }
 
+  test("train_curriculum: 4 contiguous easy-to-hard phases of near-equal size covering every doc") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("train_curriculum")(s, dir).collect()
+    assert(rows.map(_.getAs[Long]("phase")).toSeq == Seq(1L, 2L, 3L, 4L))
+    val total = Tables(s, dir, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total, "phases must cover every doc")
+    val sizes = rows.map(_.getAs[Long]("n_docs"))
+    assert(sizes.max - sizes.min <= 1, s"ntile sizes must differ by <= 1: ${sizes.mkString(",")}")
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("max_tok") <= b.getAs[Long]("min_tok"),
+        s"phase ${a.getAs[Long]("phase")} max_tok ${a.getAs[Long]("max_tok")} exceeds " +
+          s"phase ${b.getAs[Long]("phase")} min_tok ${b.getAs[Long]("min_tok")} — phases not difficulty-contiguous")
+    }
+  }
+
   test("sim_knn_classify: prediction is exactly the majority vote of the brute top-5 neighbor labels") {
     import org.apache.spark.sql.functions._
     val knn = SparkEntry.queries("sim_knn_classify")(s, dir).collect()
