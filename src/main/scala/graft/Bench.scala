@@ -54,7 +54,9 @@ object Bench {
     // The only global windows in the suite are value-domain-bounded: 200
     // sampled rows, one row per month/day, the POST-limit 256-row vocab
     // table, the 32-row partition-offset table inside Flow.globalRank,
-    // and the 20-row post-TakeOrdered rank in graph_link_predict — each
+    // the 20-row post-TakeOrdered rank in graph_link_predict, the
+    // ≤1024-row histogram prefix sums in the percentile-selection
+    // family, and the day²-bounded Theil-Sen slope medians — each
     // plan-pinned in PlanEvidenceSpec or its query doc. WindowExec's
     // "No Partition Defined" warning is therefore noise here; silence it
     // rather than let it dominate the bench stderr tail.
