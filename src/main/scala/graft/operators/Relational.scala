@@ -623,20 +623,25 @@ object Relational {
       least(floor((v - col("mn")) / ((col("mx") - col("mn")) / nb)), lit(nb - 1L))
         .cast("long"))
 
-  private val aggPercentileDist: Q = (s, dir) => {
-    val nb = 1024
-    val li = Tables(s, dir, "lineitem")
-      .select(col("l_extendedprice").as("v"), col("l_orderkey"), col("l_linenumber"))
-    val mm = li.agg(min(col("v")).as("mn"), max(col("v")).as("mx"), count(lit(1)).as("n"))
-    def bucketOf(v: Column): Column = histBucket(v, nb)
-    val hist = li.crossJoin(broadcast(mm))
-      .withColumn("b", bucketOf(col("v")))
-      .groupBy("b").agg(count(lit(1)).as("cnt"))
+  /** The histogram-selection engine behind the exact-percentile family —
+    * exposed for the property gate (PropertySpec drives it over skewed /
+    * duplicate-heavy generated data). Input: columns `v` (double) and a
+    * unique `k` (long tiebreak). Output: (pct, n, value) per requested
+    * integer percentile, interpolated like `percentile()` with exact
+    * integer positions. Selected VALUES are independent of the tiebreak
+    * choice — equal values share a bucket and interchange freely at any
+    * rank boundary.
+    */
+  private[graft] def histogramSelect(data: DataFrame, pcts: Seq[Int], nb: Int = 1024): DataFrame = {
+    val mm = data.agg(min(col("v")).as("mn"), max(col("v")).as("mx"), count(lit(1)).as("n"))
+    val withB = data.crossJoin(broadcast(mm)).withColumn("b", histBucket(col("v"), nb))
+    val hist = withB.groupBy("b").agg(count(lit(1)).as("cnt"))
     val cum = hist.withColumn("below", coalesce(
         sum(col("cnt")).over(Window.orderBy("b")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    // 3 percentiles -> up to 6 straddling global ranks (lo, lo+1)
-    val specs = mm.select(explode(array(lit(50L), lit(90L), lit(99L))).as("p100"), col("n"))
+    // each percentile -> up to 2 straddling global ranks (lo, lo+1)
+    val specs = mm.select(
+        explode(array(pcts.map(p => lit(p.toLong)): _*)).as("p100"), col("n"))
       .withColumn("pos100", col("p100") * (col("n") - 1))
       .withColumn("lo", expr("pos100 div 100 + 1"))
       .withColumn("m", expr("pos100 % 100"))
@@ -646,11 +651,10 @@ object Relational {
     val located = specs.join(broadcast(cum),
       col("r") > col("below") && col("r") <= col("below") + col("cnt"))
     val buckets = located.select(col("b"), col("below")).distinct()
-    val ranked = li.crossJoin(broadcast(mm))
-      .withColumn("b", bucketOf(col("v")))
+    val ranked = withB
       .join(broadcast(buckets), "b")
       .withColumn("gr", col("below") + row_number().over(
-        Window.partitionBy("b").orderBy(col("v"), col("l_orderkey"), col("l_linenumber"))))
+        Window.partitionBy("b").orderBy(col("v"), col("k"))))
     val picked = ranked.join(
       broadcast(located.select(col("p100"), col("n").as("n_"), col("m"),
         col("r"), col("b").as("b_"))),
@@ -668,6 +672,13 @@ object Relational {
         round(col("vlo") +
           (col("m") * (coalesce(col("vhi"), col("vlo")) - col("vlo"))) / 100.0, 6).as("value"))
       .orderBy("pct")
+  }
+
+  private val aggPercentileDist: Q = (s, dir) => {
+    val li = Tables(s, dir, "lineitem")
+      .select(col("l_extendedprice").as("v"),
+        (col("l_orderkey") * 8 + col("l_linenumber")).as("k"))
+    histogramSelect(li, Seq(50, 90, 99))
   }
 
   /** PER-GROUP exact percentiles by histogram selection — the "p99 per

@@ -58,6 +58,16 @@ class DeterminismSpec extends AnyFunSuite {
     "text_watermark_detect", // md5-parity greens; integer z numerator
     "train_shard_manifest", // XOR fingerprint + counters under any merge order
     "ts_autocorr",         // DECIMAL-routed lag products on the bounded series
+    "agg_percentile_dist",  // histogram selection: integer positions, bucket-local ranks
+    "agg_percentile_grouped", // per-group histogram selection
+    "agg_percentile_weighted", // weight histogram + integer cumw crossing
+    "graph_connected_components", // monotone hash-min rounds
+    "graph_modularity",    // exact integer Q numerator over cached LPA labels
+    "graph_assortativity", // DECIMAL-routed degree products
+    "emb_covariance",      // mergeable integer Gramian state
+    "flow_attribution_linear", // integer micro-cent split, total-ordered remainders
+    "ts_theilsen",         // explicit rank-formula medians on the pair table
+    "train_curriculum",    // globalRank + closed-form ntile over the doc table
   )
 
   underTest.foreach { name =>

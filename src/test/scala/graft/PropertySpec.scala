@@ -209,4 +209,37 @@ class PropertySpec extends AnyFunSuite {
     }
     check("ewma-dyadic-reference", p, 6)
   }
+
+  test("property: histogram selection equals the direct interpolated percentile on skewed, duplicate-heavy data") {
+    // values biased toward pathological shapes: a hot constant (one
+    // bucket holds most of the mass), tight clusters, and a heavy tail —
+    // plus the all-equal edge the mx==mn guard exists for
+    val value: Gen[Double] = Gen.frequency(
+      5 -> Gen.const(42.0),
+      3 -> Gen.chooseNum(41.9, 42.1),
+      2 -> Gen.chooseNum(-1e6, 1e6))
+    val data: Gen[(List[Double], Int)] = for {
+      n <- Gen.chooseNum(1, 400)
+      vs <- Gen.listOfN(n, value)
+      p <- Gen.chooseNum(1, 99)
+    } yield (vs, p)
+    val prop = Prop.forAll(data) { case (vs: List[Double], p: Int) =>
+      import s.implicits._
+      val df = vs.zipWithIndex.map { case (v, i) => (v, i.toLong) }.toDF("v", "k")
+      val got = operators.Relational.histogramSelect(df, Seq(p), nb = 16)
+        .collect()(0).getAs[Double]("value")
+      val sorted = vs.sorted
+      val n = sorted.length
+      val pos100 = p.toLong * (n - 1)
+      val lo = (pos100 / 100).toInt
+      val m = pos100 % 100
+      val vlo = sorted(lo)
+      val vhi = if (lo + 1 < n) sorted(lo + 1) else vlo
+      val want = BigDecimal(vlo + (m * (vhi - vlo)) / 100.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      got == want || math.abs(got - want) <= 1e-9 ||
+        { System.err.println(s"n=$n p=$p got=$got want=$want"); false }
+    }
+    check("histogram-selection-vs-direct", prop, 8)
+  }
 }
