@@ -663,9 +663,18 @@ object Sim {
         expr("g.p[i*64 - (i*(i-1)) div 2]").as("sii"),
         expr("g.p[j*64 - (j*(j-1)) div 2]").as("sjj"),
         expr("g.s[i]").as("si"), expr("g.s[j]").as("sj"))
-      .withColumn("covq", col("spp") * col("n") - col("si") * col("sj"))
-      .withColumn("vari", col("sii") * col("n") - col("si") * col("si"))
-      .withColumn("varj", col("sjj") * col("n") - col("sj") * col("sj"))
+      // n·Σqiqj − Σqi·Σqj overflows BIGINT once n·2^40·n passes 2^63 —
+      // at 2^20 quantization that is only ~4 M vectors (the 64× probe
+      // caught it: 128 k copies × spp ~2^57 × n 2^17 = 2^74). Route the
+      // products through DECIMAL(38,0) (the emb_norm_outliers / autocorr
+      // discipline); the oracle's HUGEINT sums are exact the same way,
+      // and both convert to double once, identically, at the end.
+      .withColumn("covq", expr(
+        "cast(spp as decimal(38,0)) * n - cast(si as decimal(19,0)) * cast(sj as decimal(19,0))"))
+      .withColumn("vari", expr(
+        "cast(sii as decimal(38,0)) * n - cast(si as decimal(19,0)) * cast(si as decimal(19,0))"))
+      .withColumn("varj", expr(
+        "cast(sjj as decimal(38,0)) * n - cast(sj as decimal(19,0)) * cast(sj as decimal(19,0))"))
       .withColumn("corr", col("covq") /
         (sqrt(col("vari").cast("double")) * sqrt(col("varj").cast("double"))))
       .withColumn("cov", col("covq") /
