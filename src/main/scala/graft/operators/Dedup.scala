@@ -444,14 +444,47 @@ object Dedup {
     */
   private val embedding: Q = (s, dir) => {
     val e = Sim.vectors(s, dir)
-    e.as("a").join(e.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+    // Content-collapse (the r2 dedup discipline, applied to vectors):
+    // identical embeddings — the dominant shape in a duplicated corpus —
+    // group on EXACT array equality (no hash, no collision risk), and
+    // the quadratic cosine scoring runs once per distinct-vector pair
+    // per label block, not once per copy pair. Members then re-expand
+    // through (label, rep) long-keyed joins: cross-group pairs inherit
+    // their representatives' cosine (identical vectors ⇒ identical
+    // score), within-group pairs score the self-cosine with the same
+    // expression. A 64× copy probe collapsed 819 M candidate pairs back
+    // to the 1× ~200k; only the genuine 4.4 M output pairs expand.
+    val grp = e.groupBy(col("label"), col("v"))
+      .agg(min(col("vec_id")).as("rep"), count(lit(1)).as("cnt"),
+        first(col("nrm")).as("nrm"))
+      .localCheckpoint(true)
+    val mem = e.join(grp.select(col("label"), col("v"), col("rep")), Seq("label", "v"))
+      .select(col("label"), col("rep"), col("vec_id"))
+    val rp = grp.as("a").join(grp.as("b"),
+        col("a.label") === col("b.label") && col("a.rep") < col("b.rep"))
       .withColumn("cos_sim",
         round(vec_dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6))
       .filter(col("cos_sim") >= 0.4)
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("a.label").as("label"), col("cos_sim"))
-      .orderBy("vec_a", "vec_b")
+      .select(col("a.label").as("label"), col("a.rep").as("ra"),
+        col("b.rep").as("rb"), col("cos_sim"))
+    val ma = mem.select(col("label").as("la"), col("rep").as("ra"), col("vec_id").as("ia"))
+    val mb = mem.select(col("label").as("lb"), col("rep").as("rb"), col("vec_id").as("ib"))
+    val crossPairs = rp
+      .join(ma, col("label") === col("la") && rp("ra") === ma("ra"))
+      .join(mb, col("label") === col("lb") && rp("rb") === mb("rb"))
+      .select(least(col("ia"), col("ib")).as("vec_a"),
+        greatest(col("ia"), col("ib")).as("vec_b"), col("label"), col("cos_sim"))
+    val within = grp.filter(col("cnt") >= 2)
+      .withColumn("cos_sim",
+        round(vec_dot(col("v"), col("v")) / (col("nrm") * col("nrm")), 6))
+      .filter(col("cos_sim") >= 0.4)
+      .select(col("label").as("lw"), col("rep").as("rw"), col("cos_sim"))
+    val withinPairs = within
+      .join(ma, col("lw") === col("la") && col("rw") === ma("ra"))
+      .join(mb, col("lw") === col("lb") && col("rw") === mb("rb") && col("ia") < col("ib"))
+      .select(col("ia").as("vec_a"), col("ib").as("vec_b"),
+        col("lw").as("label"), col("cos_sim"))
+    crossPairs.unionByName(withinPairs).orderBy("vec_a", "vec_b")
   }
 
   // ---------------------------------------------------------------- clusters
