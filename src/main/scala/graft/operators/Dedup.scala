@@ -311,8 +311,23 @@ object Dedup {
           col("a.ckey") < col("b.ckey"))
       .select(col("a.ckey").as("ka"), col("b.ckey").as("kb"))
       .distinct()
-    // exact Jaccard verification once per candidate CONTENT pair
-    val interG = cand
+    // EXACT size prefilter before any shingle array ships: J(A,B) ≥ 0.8
+    // forces |A∩B| ≤ min ⇒ J ≤ min/max, so any candidate with
+    // 4·max(|A|,|B|) > 5·min(|A|,|B|) cannot verify. The per-content
+    // sizes are a broadcast long table, so this runs at candidate-row
+    // cost (16 bytes/pair) and prunes the moderate-similarity bulk that
+    // recall-lossless r=2 banding necessarily promotes — measured 2.8×
+    // on a 64× distinct-content probe whose template families produced
+    // 57 M candidates (BASELINE.md round-8 notes; the remaining verify
+    // cost is Θ(survivors·|set|), the canonical LSH verify bill).
+    val sizes = g.select(col("ckey"), expr("cast(size(sh64) as bigint)").as("nsh"))
+    val candSized = cand
+      .join(broadcast(sizes.select(col("ckey").as("ka"), col("nsh").as("na"))), "ka")
+      .join(broadcast(sizes.select(col("ckey").as("kb"), col("nsh").as("nb"))), "kb")
+      .filter(greatest(col("na"), col("nb")) * 4 <= least(col("na"), col("nb")) * 5)
+      .select("ka", "kb")
+    // exact Jaccard verification once per size-compatible CONTENT pair
+    val interG = candSized
       .join(g.select(col("ckey").as("ka"), col("sh64").as("sh_a")), "ka")
       .join(g.select(col("ckey").as("kb"), col("sh64").as("sh_b")), "kb")
       .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))))
