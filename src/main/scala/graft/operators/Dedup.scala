@@ -126,24 +126,50 @@ object Dedup {
       ex.join(rare, "s")
     }
 
+  /** Why the posting self-join below is NOT prefix-filtered (AllPairs /
+    * ppjoin, Bayardo et al. WWW'07), measured on a 16× distinct-content
+    * probe (80 k template docs, BASELINE.md round-8 notes): prefix×prefix
+    * candidate generation (exact by the smallest-shared-element lemma)
+    * cuts pair ROWS 15× (4.0 B → 261 M) and ppjoin's positional filter
+    * adds nothing on short prefixes — but exact SHARED COUNTS still cost
+    * Σ_pairs shared(pair) no matter how candidates are found (each
+    * shared shingle must be touched once), and the candidate-restricted
+    * count join (Σ_cand·|A| = 18.6 G rows) is strictly WORSE than
+    * aggregating the posting join's own pair rows (4.0 B = the exact
+    * lower bound for this corpus). So the direct join + hash-agg IS the
+    * optimal exact plan shape; its volume is a DATA property
+    * (similar-template corpora share rare shingles promiscuously), it
+    * map-side-partial-aggregates, and it distributes evenly — a ~100 GB
+    * shuffle at the probe's scale, routine on a cluster, past one box's
+    * disk. The knobs that change the asymptote are semantic: the rarity
+    * cap, the threshold, or approximate candidates (dedup_minhash).
+    */
+
   /** Exact n-gram Jaccard near-dup pairs (J >= 0.6) via shingle self-join
     * over [[postings]] (corpus-relative frequent-shingle cap, mirrored in
     * the oracle).
     */
   private val ngramJaccard: Q = (s, dir) => {
-    val sh = shingles(s, dir)
-    val exf = postings(s, dir)
-    // inter-group: rare-shingle join between distinct contents
+    // Pair keys are 8-byte xxhash64(ckey) longs, not 32-char md5
+    // strings: the pair-row table below IS the dominant shuffle
+    // (Σdf² rows — see the plan analysis above postings), and two long
+    // keys cut its width ~4× vs two md5 strings. Collisions are the
+    // sh64 argument: P ≈ |reps|²/2⁶⁵, negligible at any real rep count.
+    val sh = shingles(s, dir).withColumn("ck", expr("xxhash64(ckey)"))
+    val exf = postings(s, dir).withColumn("ck", expr("xxhash64(ckey)"))
+    // inter-group: rare-shingle join between distinct contents (see the
+    // measured prefix-filtering analysis above postings — this direct
+    // join + hash-agg is the optimal exact plan for this count)
     val interG = exf.as("a").join(exf.as("b"),
-        col("a.s") === col("b.s") && col("a.ckey") < col("b.ckey"))
-      .groupBy(col("a.ckey").as("ka"), col("b.ckey").as("kb"))
+        col("a.s") === col("b.s") && col("a.ck") < col("b.ck"))
+      .groupBy(col("a.ck").as("ka"), col("b.ck").as("kb"))
       .agg(count(lit(1)).as("shared"), first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
       .withColumn("jaccard",
         col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
       .filter(col("jaccard") >= 0.6)
     val inter = interG
-      .join(sh.select(col("ckey").as("ka"), col("doc_id").as("id_a")), "ka")
-      .join(sh.select(col("ckey").as("kb"), col("doc_id").as("id_b")), "kb")
+      .join(sh.select(col("ck").as("ka"), col("doc_id").as("id_a")), "ka")
+      .join(sh.select(col("ck").as("kb"), col("doc_id").as("id_b")), "kb")
       .select(least(col("id_a"), col("id_b")).as("doc_a"),
         greatest(col("id_a"), col("id_b")).as("doc_b"), col("jaccard"))
     // intra-group (identical text): J = sr / (2n - sr) over the group's
@@ -245,18 +271,19 @@ object Dedup {
     * order the two containment columns swap with them.
     */
   private val containment: Q = (s, dir) => {
-    val sh = shingles(s, dir)
-    val exf = postings(s, dir)
+    // long pair keys — same rationale as ngramJaccard
+    val sh = shingles(s, dir).withColumn("ck", expr("xxhash64(ckey)"))
+    val exf = postings(s, dir).withColumn("ck", expr("xxhash64(ckey)"))
     val interG = exf.as("a").join(exf.as("b"),
-        col("a.s") === col("b.s") && col("a.ckey") < col("b.ckey"))
-      .groupBy(col("a.ckey").as("ka"), col("b.ckey").as("kb"))
+        col("a.s") === col("b.s") && col("a.ck") < col("b.ck"))
+      .groupBy(col("a.ck").as("ka"), col("b.ck").as("kb"))
       .agg(count(lit(1)).as("shared"), first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
       .withColumn("c_ka", col("shared").cast("double") / col("na"))
       .withColumn("c_kb", col("shared").cast("double") / col("nb"))
       .filter(greatest(col("c_ka"), col("c_kb")) >= 0.9)
     val inter = interG
-      .join(sh.select(col("ckey").as("ka"), col("doc_id").as("id_a")), "ka")
-      .join(sh.select(col("ckey").as("kb"), col("doc_id").as("id_b")), "kb")
+      .join(sh.select(col("ck").as("ka"), col("doc_id").as("id_a")), "ka")
+      .join(sh.select(col("ck").as("kb"), col("doc_id").as("id_b")), "kb")
       .select(
         least(col("id_a"), col("id_b")).as("doc_a"),
         greatest(col("id_a"), col("id_b")).as("doc_b"),
