@@ -639,7 +639,7 @@ object Sim {
     * scan accumulates n, Σq_i and the upper-triangle Σq_iq_j over
     * 2^20-quantized integer components (exact — merge order cannot
     * change a bit), so the corpus never explodes to (row × d²/2) pairs
-    * and the only shuffle payload is the 17 KB Gramian state per map
+    * and the only shuffle payload is the 34 KB Gramian state per map
     * partition. Covariance and Pearson correlation then derive from the
     * ONE result row on a d²/2-bounded pair table (cov·n² =
     * Σqiqj·n − Σqi·Σqj, all exact integers until the final IEEE

@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants of the round-9 batch — properties the DuckDB hash
+  * gate cannot see. The headline item: the Gramian accumulator's two-limb
+  * rewrite is driven PAST the old single-long wrap bound and checked
+  * against an independent BigInt recomputation.
+  */
+class RoundNineOpsSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  private val dir = TestSpark.sf
+
+  test("gramian_of: exact past the old 2^22-vector single-long bound (two-limb accumulator)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.GramianAgg.gramian_of
+    // 9 M max-magnitude (2^20) components: Σq² = 9e6·2^40 ≈ 9.90e18 —
+    // past Long.MaxValue (9.22e18), where the old accumulator wrapped
+    // silently. Multi-partition range exercises update, serialize,
+    // deserialize AND the 128-bit merge path.
+    val n = 9000000L
+    val df = s.range(n).repartition(8)
+      .select(array(lit(1048576L), lit(-1048576L)).as("q"))
+    val row = df.agg(gramian_of(col("q"), 2).as("g")).selectExpr(
+      "g.n", "g.s[0]", "g.s[1]",
+      "cast(g.p[0] as string)", "cast(g.p[1] as string)", "cast(g.p[2] as string)").head()
+    val p = BigInt(n) * BigInt(1048576L) * BigInt(1048576L) // independent recomputation
+    assert(p > BigInt(Long.MaxValue), "test must exceed the old wrap bound")
+    assert(row.getLong(0) == n)
+    assert(row.getLong(1) == n * 1048576L)
+    assert(row.getLong(2) == -n * 1048576L)
+    assert(BigInt(row.getString(3)) == p)
+    assert(BigInt(row.getString(4)) == -p)
+    assert(BigInt(row.getString(5)) == p)
+  }
+
+  test("GramianBuffer: randomized adds + shuffled merges match BigInt recomputation") {
+    import org.apache.spark.sql.graft.GramianBuffer
+    val rnd = new scala.util.Random(9)
+    val dim = 4
+    val vecs = Array.fill(20000)(Array.fill(dim)(
+      (rnd.nextLong() % 1048576L))) // |q| ≤ 2^20, signed
+    val chunks = vecs.grouped(1000).map { ch =>
+      val b = new GramianBuffer(dim)
+      ch.foreach(b.add)
+      b
+    }.toArray
+    val order = rnd.shuffle(chunks.indices.toList)
+    val acc = new GramianBuffer(dim)
+    order.foreach(i => acc.mergeFrom(chunks(i)))
+    // independent BigInt recomputation of every triangle entry
+    var idx = 0
+    for (i <- 0 until dim; j <- i until dim) {
+      val exp = vecs.foldLeft(BigInt(0))((a, v) => a + BigInt(v(i)) * BigInt(v(j)))
+      assert(acc.prod(idx) == exp, s"prod($i,$j) drift")
+      idx += 1
+    }
+    for (i <- 0 until dim)
+      assert(acc.sums(i) == vecs.foldLeft(0L)((a, v) => a + v(i)))
+    assert(acc.n == vecs.length)
+  }
+
+  test("gramian_of: a vector of the wrong dimension throws (schema drift fail-fast)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.GramianAgg.gramian_of
+    val bad = s.range(10).select(
+      when(col("id") === 5, array(lit(1L), lit(2L), lit(3L)))
+        .otherwise(array(lit(1L), lit(2L))).as("q"))
+    val ex = intercept[Exception] {
+      bad.agg(gramian_of(col("q"), 2)).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("schema drift")), s"unexpected error: $ex")
+  }
+}
