@@ -603,14 +603,19 @@ object Relational {
     *     the interpolation weight m are exact ints, no float position to
     *     drift cross-engine) — locate their bucket in the broadcast
     *     cumulative histogram;
-    *  4. only rows of the ≤6 straddle buckets (~n/1024 each) are
-    *     re-scanned, ranked per-bucket (a window PARTITIONED by bucket),
-    *     and offset by the bucket's below-count to global ranks.
+    *  4. straddle-bucket rows COLLAPSE to (distinct value, multiplicity)
+    *     in a map-side-combining aggregate (equal values interchange
+    *     freely at rank boundaries), sub-bucketed one recursion level on
+    *     the bucket's own range; the rank-locating windows run over the
+    *     collapsed distinct-value table, partitioned by (bucket,
+    *     sub-bucket), and below-counts lift local spans to global ranks.
     *
-    * At 100 TB: two scans + a window over a 0.1% slice. A value-skewed
-    * bucket (one hot value) degrades gracefully — equal values collapse
-    * to the same answer; recursing the histogram into the straddle
-    * bucket bounds the slice for adversarial distributions. Verified
+    * At 100 TB: three scans, windows only over bounded distinct-value
+    * tables. Degenerate skew (99% one value) is the collapse's case: the
+    * hot value is ONE dv row at any multiplicity, so no window ever sees
+    * its row count — the one-level row-ranking formulation funneled ~n
+    * rows into ONE window task exactly when the data was worst
+    * (PropertySpec pins the bound on a 99%-constant column). Verified
     * against Spark's own `percentile` in RoundEightOpsSpec (≤1e-4, the
     * built-in computes its position in floating point).
     */
@@ -625,17 +630,50 @@ object Relational {
 
   /** The histogram-selection engine behind the exact-percentile family —
     * exposed for the property gate (PropertySpec drives it over skewed /
-    * duplicate-heavy generated data). Input: columns `v` (double) and a
-    * unique `k` (long tiebreak). Output: (pct, n, value) per requested
-    * integer percentile, interpolated like `percentile()` with exact
-    * integer positions. Selected VALUES are independent of the tiebreak
-    * choice — equal values share a bucket and interchange freely at any
-    * rank boundary.
+    * duplicate-heavy generated data). Input: column `v` (double); any
+    * other columns are ignored (the selection is value-collapsed, so no
+    * row tiebreak exists to matter). Output: (pct, n, value) per
+    * requested integer percentile, interpolated like `percentile()`
+    * with exact integer positions.
     */
-  private[graft] def histogramSelect(data: DataFrame, pcts: Seq[Int], nb: Int = 1024): DataFrame = {
+  private[graft] def histogramSelect(data: DataFrame, pcts: Seq[Int], nb: Int = 1024): DataFrame =
+    histogramSelectParts(data, pcts, nb)._1
+
+  /** [[histogramSelect]] plus its window-INPUT frame (the collapsed
+    * distinct-value table `dv`), exposed so the property gate can pin
+    * the degenerate-skew bound: PropertySpec drives a 99%-one-value
+    * column and asserts no window partition exceeds the sub-bucket
+    * distinct-value bound.
+    *
+    * Two defenses close the old single-level hole (a dominant value
+    * concentrating ~n rows into ONE rank-window task):
+    *  - DISTINCT-VALUE COLLAPSE: equal values interchange freely at any
+    *    rank boundary, so selection needs only (value, multiplicity);
+    *    straddle-bucket rows collapse by exact value in a map-side-
+    *    combining aggregate BEFORE any window — duplicate mass (the
+    *    skew) never reaches a window partition at all;
+    *  - one RECURSION level: straddle buckets re-histogram into nb
+    *    sub-buckets on their own [min, max] (riding the level-1
+    *    histogram pass), so window partitions are bounded by
+    *    distinct-values-per-1/nb² of the value domain even on
+    *    adversarial all-distinct concentrated columns.
+    * Cost: one extra bounded window (sub-bucket totals); the dv branch
+    * reuses one exchange for both consumers.
+    */
+  private[graft] def histogramSelectParts(
+      data: DataFrame, pcts: Seq[Int], nb: Int = 1024): (DataFrame, DataFrame) = {
+    // the tiny derived frames (1-row moments, ≤1024-row histogram prefix,
+    // ≤2·pcts locator rows, collapsed dv) are persist()ed: each is
+    // referenced by 2+ downstream branches, and without the cache every
+    // reference re-executes its whole subplan — 28 base-table scans in
+    // the uncached plan vs 3 with it
     val mm = data.agg(min(col("v")).as("mn"), max(col("v")).as("mx"), count(lit(1)).as("n"))
+      .persist()
     val withB = data.crossJoin(broadcast(mm)).withColumn("b", histBucket(col("v"), nb))
-    val hist = withB.groupBy("b").agg(count(lit(1)).as("cnt"))
+    // per-bucket min/max ride the same map-side-combining pass as cnt —
+    // they define the sub-bucket (level-2) value ranges
+    val hist = withB.groupBy("b").agg(count(lit(1)).as("cnt"),
+      min(col("v")).as("bmn"), max(col("v")).as("bmx"))
     val cum = hist.withColumn("below", coalesce(
         sum(col("cnt")).over(Window.orderBy("b")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
@@ -648,19 +686,48 @@ object Relational {
       .select(col("p100"), col("n"), col("m"),
         explode(array(col("lo"), col("lo") + 1)).as("r"))
       .filter(col("r") <= col("n"))
+      .persist()
     val located = specs.join(broadcast(cum),
       col("r") > col("below") && col("r") <= col("below") + col("cnt"))
-    val buckets = located.select(col("b"), col("below")).distinct()
-    val ranked = withB
-      .join(broadcast(buckets), "b")
-      .withColumn("gr", col("below") + row_number().over(
-        Window.partitionBy("b").orderBy(col("v"), col("k"))))
-    val picked = ranked.join(
-      broadcast(located.select(col("p100"), col("n").as("n_"), col("m"),
-        col("r"), col("b").as("b_"))),
-      col("gr") === col("r") && col("b") === col("b_"))
+      .persist()
+    val buckets = located
+      .select(col("b"), col("below"), col("bmn"), col("bmx")).distinct()
+    // DISTINCT-VALUE COLLAPSE: equal values interchange freely at any
+    // rank boundary, so selection only ever needs (value, multiplicity) —
+    // the map-side-combining groupBy below absorbs duplicate mass BEFORE
+    // any window. A 99%-one-value bucket collapses to a handful of dv
+    // rows; no window ever sees the hot value's row count. The sub-bucket
+    // key b2 (the one recursion level, on the bucket's own [min, max])
+    // additionally bounds window partitions for the adversarial
+    // all-DISTINCT concentrated bucket by distinct-values-per-1/nb² of
+    // the value domain.
+    val dv = withB.join(broadcast(buckets), "b")
+      .withColumn("b2", when(col("bmx") === col("bmn"), lit(0L)).otherwise(
+        least(floor((col("v") - col("bmn")) / ((col("bmx") - col("bmn")) / nb)),
+          lit(nb - 1L)).cast("long")))
+      .groupBy("b", "below", "b2", "v").agg(count(lit(1)).as("cv"))
+      .persist()
+    // sub-bucket totals (≤ nb·|straddle buckets| rows) → per-sub-bucket
+    // rank offsets over the cached dv
+    val cum2 = dv.groupBy("b", "b2").agg(sum(col("cv")).as("cnt2"))
+      .withColumn("below2", coalesce(
+        sum(col("cnt2")).over(Window.partitionBy("b").orderBy("b2")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("b"), col("b2"), col("below2"))
+    val cumv = dv.join(broadcast(cum2), Seq("b", "b2"))
+      .withColumn("below_v", col("below") + col("below2") + coalesce(
+        sum(col("cv")).over(Window.partitionBy("b", "b2").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // global rank r lands on the distinct value whose cumulative span
+    // covers it: below_v < r ≤ below_v + cv
+    val picked = cumv.join(
+        broadcast(located.select(col("p100"), col("n").as("n_"), col("m"),
+          col("r"), col("b").as("b_"))),
+        col("b") === col("b_") && col("r") > col("below_v") &&
+          col("r") <= col("below_v") + col("cv"))
+      .select(col("p100"), col("n_"), col("m"), col("r").as("gr"), col("v"))
     val lom = specs.groupBy("p100").agg(min(col("r")).as("lo"))
-    picked.join(broadcast(lom), "p100")
+    val res = picked.join(broadcast(lom), "p100")
       .groupBy("p100")
       .agg(max(col("n_")).as("n"),
         max(when(col("gr") === col("lo"), col("v"))).as("vlo"),
@@ -672,6 +739,7 @@ object Relational {
         round(col("vlo") +
           (col("m") * (coalesce(col("vhi"), col("vlo")) - col("vlo"))) / 100.0, 6).as("value"))
       .orderBy("pct")
+    (res, dv)
   }
 
   private val aggPercentileDist: Q = (s, dir) => {
@@ -686,13 +754,15 @@ object Relational {
     * state (the built-in `percentile` buffers every group value;
     * approx_percentile answers it only within rank ε). Same substrate
     * as [[aggPercentileDist]] with the group key threaded through every
-    * step: a (group × 1024)-row weight histogram, per-group cumulative
-    * offsets on a bounded window, integer target positions, and a rank
-    * window over only the straddle buckets, PARTITIONED by (group,
-    * bucket) so parallelism scales with groups × buckets. Interpolation
-    * matches `percentile`'s definition with exact integer positions.
-    * At 100 TB: two map-side-combining scans + a window over ~n/1024
-    * rows per group — no group ever concentrates on one task.
+    * step: a (group × 1024)-row count histogram, per-group cumulative
+    * offsets on a bounded window, integer target positions, and the
+    * distinct-value-collapse rank location over only the straddle
+    * buckets, PARTITIONED by (group, bucket) so parallelism scales with
+    * groups × buckets and a 90%-one-value group contributes ONE collapsed
+    * row for its hot value. Interpolation matches `percentile`'s
+    * definition with exact integer positions. At 100 TB: three
+    * map-side-combining scans + windows over bounded distinct-value
+    * tables — no group ever concentrates on one task.
     */
   private val aggPercentileGrouped: Q = (s, dir) => {
     val nb = 1024
@@ -701,6 +771,7 @@ object Relational {
         col("l_orderkey"), col("l_linenumber"))
     val mm = li.groupBy("g")
       .agg(min(col("v")).as("mn"), max(col("v")).as("mx"), count(lit(1)).as("n"))
+      .persist() // multi-referenced tiny frames cached (see histogramSelectParts)
     val withB = li.join(broadcast(mm), "g")
       .withColumn("b", histBucket(col("v"), nb))
     val hist = withB.groupBy("g", "b").agg(count(lit(1)).as("cnt"))
@@ -715,19 +786,30 @@ object Relational {
       .select(col("g"), col("p100"), col("n"), col("m"),
         explode(array(col("lo"), col("lo") + 1)).as("r"))
       .filter(col("r") <= col("n"))
+      .persist()
     val located = specs.join(broadcast(cum.withColumnRenamed("g", "g_")),
       col("g") === col("g_") &&
         col("r") > col("below") && col("r") <= col("below") + col("cnt"))
       .drop("g_")
+      .persist()
+    // DISTINCT-VALUE COLLAPSE (the histogramSelectParts degenerate-skew
+    // defense, group-keyed): straddle-bucket rows collapse to (value,
+    // multiplicity) map-side BEFORE the rank-locating window, so a group
+    // where one value holds 90% of the rows contributes ONE dv row for
+    // that value — no window partition ever sees the hot value's count
     val buckets = located.select(col("g"), col("b"), col("below")).distinct()
-    val ranked = withB.join(broadcast(buckets), Seq("g", "b"))
-      .withColumn("gr", col("below") + row_number().over(
-        Window.partitionBy("g", "b")
-          .orderBy(col("v"), col("l_orderkey"), col("l_linenumber"))))
-    val picked = ranked.join(
-      broadcast(located.select(col("g").as("gg"), col("p100"), col("n").as("n_"),
-        col("m"), col("r"), col("b").as("b_"))),
-      col("g") === col("gg") && col("gr") === col("r") && col("b") === col("b_"))
+    val dv = withB.join(broadcast(buckets), Seq("g", "b"))
+      .groupBy("g", "b", "below", "v").agg(count(lit(1)).as("cv"))
+    val cumv = dv.withColumn("below_v", col("below") + coalesce(
+        sum(col("cv")).over(Window.partitionBy("g", "b").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val picked = cumv.join(
+        broadcast(located.select(col("g").as("gg"), col("p100"),
+          col("n").as("n_"), col("m"), col("r"))),
+        col("g") === col("gg") && col("r") > col("below_v") &&
+          col("r") <= col("below_v") + col("cv"))
+      .select(col("g"), col("p100"), col("n_"), col("m"),
+        col("r").as("gr"), col("v"))
     val lom = specs.groupBy("g", "p100").agg(min(col("r")).as("lo"))
     picked.join(broadcast(lom), Seq("g", "p100"))
       .groupBy("g", "p100")
@@ -749,9 +831,10 @@ object Relational {
     * built-in covers exactly. Type-1 weighted quantile: the p-quantile
     * is the smallest v whose cumulative weight reaches p·W, located with
     * pure INTEGER comparisons (cumw·100 ≥ p100·W — no float target).
-    * The weight histogram replaces the count histogram; only the ≤3
-    * straddle buckets' rows get the per-bucket cumulative-weight window.
-    * Same scale posture: two map-side-combining scans, no row shuffles.
+    * The weight histogram replaces the count histogram; straddle-bucket
+    * rows collapse to (distinct value, Σweight) before the per-bucket
+    * cumulative-weight window. Same scale posture: three
+    * map-side-combining scans, windows only over collapsed value tables.
     */
   private val aggPercentileWeighted: Q = (s, dir) => {
     val nb = 1024
@@ -760,6 +843,7 @@ object Relational {
         expr("cast(round(l_quantity) as bigint)").as("w"),
         col("l_orderkey"), col("l_linenumber"))
     val mm = li.agg(min(col("v")).as("mn"), max(col("v")).as("mx"), sum(col("w")).as("tw"))
+      .persist() // multi-referenced tiny frames cached (see histogramSelectParts)
     val hist = li.crossJoin(broadcast(mm))
       .withColumn("b", histBucket(col("v"), nb))
       .groupBy("b").agg(sum(col("w")).as("bw"))
@@ -771,14 +855,23 @@ object Relational {
     val located = specs.join(broadcast(cum),
       col("t100") > col("below") * 100 &&
         col("t100") <= (col("below") + col("bw")) * 100)
+      .persist()
     val buckets = located.select(col("b"), col("below")).distinct()
-    val ranked = li.crossJoin(broadcast(mm))
+    // DISTINCT-VALUE COLLAPSE (the histogramSelectParts degenerate-skew
+    // defense, weighted): straddle-bucket rows collapse to (value,
+    // Σweight) map-side, so the cumulative-weight window runs over the
+    // bucket's DISTINCT values — a dominant value is one dv row at any
+    // multiplicity, and the type-1 pick (smallest v whose cumulative
+    // weight reaches the target) is unchanged because equal values share
+    // one cumulative span
+    val dv = li.crossJoin(broadcast(mm))
       .withColumn("b", histBucket(col("v"), nb))
       .join(broadcast(buckets), "b")
-      .withColumn("cw", col("below") + sum(col("w")).over(
-        Window.partitionBy("b").orderBy(col("v"), col("l_orderkey"), col("l_linenumber"))
+      .groupBy("b", "below", "v").agg(sum(col("w")).as("wv"))
+    val cumv = dv.withColumn("cw", col("below") + sum(col("wv")).over(
+        Window.partitionBy("b").orderBy(col("v"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    ranked.join(
+    cumv.join(
         broadcast(located.select(col("p100").as("p_"), col("t100"), col("tw").as("tw_"),
           col("b").as("b_"))),
         col("b") === col("b_") && col("cw") * 100 >= col("t100"))

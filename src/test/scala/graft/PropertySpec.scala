@@ -242,4 +242,47 @@ class PropertySpec extends AnyFunSuite {
     }
     check("histogram-selection-vs-direct", prop, 8)
   }
+
+  test("property: histogram selection on a 99%-constant column — correct AND no window partition exceeds the collapsed distinct-value bound") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    import s.implicits._
+    // degenerate skew: one value holds 99% of the mass, the rest spread
+    // over a wide range that SHARES the dominant value's bucket — the
+    // shape where the old single-level row-ranking plan funneled ~n rows
+    // into one window task
+    val rnd = new scala.util.Random(11)
+    val vs: Seq[Double] = Seq.tabulate(20000)(i =>
+      if (i % 100 == 0) rnd.nextDouble() * 1e6 else 42.0)
+    val df = rnd.shuffle(vs).zipWithIndex
+      .map { case (v, i) => (v, i.toLong) }.toDF("v", "k")
+    val (res, dv) =
+      operators.Relational.histogramSelectParts(df, Seq(50, 90, 99), nb = 16)
+    // correctness vs the direct sorted interpolation
+    val got = res.collect()
+      .map(r => (r.getAs[Double]("pct"), r.getAs[Double]("value"))).toMap
+    val sorted = vs.sorted
+    val n = sorted.length
+    Seq(50, 90, 99).foreach { p =>
+      val pos100 = p.toLong * (n - 1)
+      val lo = (pos100 / 100).toInt
+      val m = pos100 % 100
+      val vlo = sorted(lo)
+      val vhi = if (lo + 1 < n) sorted(lo + 1) else vlo
+      val want = BigDecimal(vlo + (m * (vhi - vlo)) / 100.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(got(p / 100.0) - want) <= 1e-9, s"p$p: got ${got(p / 100.0)} want $want")
+    }
+    // plan pin: the window-input frame is the COLLAPSED distinct-value
+    // table — the dominant value is one row per sub-bucket, and no
+    // (bucket, sub-bucket) window partition exceeds the distinct-value
+    // bound (straddle distincts ≤ 1% spread + the hot value)
+    val parts = dv.groupBy("b", "b2").agg(count(lit(1)).as("sz"))
+      .agg(org.apache.spark.sql.functions.max(col("sz")).as("mx"),
+        org.apache.spark.sql.functions.sum(col("sz")).as("tot")).head()
+    val distinctStraddle = parts.getLong(1)
+    assert(distinctStraddle <= 300,
+      s"collapse failed: $distinctStraddle rows reached the window input (expect ≤ ~1%-spread distincts)")
+    assert(parts.getLong(0) <= 300,
+      s"a window partition holds ${parts.getLong(0)} rows — the degenerate-skew bound is broken")
+  }
 }
