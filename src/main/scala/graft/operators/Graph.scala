@@ -413,10 +413,9 @@ object Graph {
     * eccentricity of each component's minimum node, small for the
     * co-purchase graph (dense overlap through shared orders). At 100 TB
     * the same loop runs with the edge list partitioned once; for
-    * path-shaped adversarial graphs the large-star/small-star
-    * pointer-doubling variant (Kiveris et al., "Connected Components in
-    * MapReduce and Beyond") drops rounds to O(log n) — not needed here,
-    * and the simple hash-min rounds are exactly replayable in SQL.
+    * path-shaped / high-diameter graphs use the SHIPPED pointer-doubling
+    * sibling `graph_cc_pointer_doubling` ([[pointerDoubleLabels]]),
+    * which drops rounds to O(log d).
     *
     * Round budget: 8, mirrored by the oracle's 8 unrolled rounds.
     * Propagation is monotone (labels only decrease, a no-change round
@@ -427,9 +426,12 @@ object Graph {
     * with its component id (= min reachable node id) and the component
     * size.
     */
-  private val connectedComponents: Q = (s, dir) => {
-    val maxRounds = 8
-    val adj = adjacency(s, dir)
+  /** Hash-min label rounds over an arbitrary symmetric (src, dst)
+    * adjacency — the CC core, exposed for the pointer-doubling spec's
+    * side-by-side convergence comparison. After r rounds every node
+    * carries the min id within graph distance r.
+    */
+  private[graft] def hashMinLabels(adj: DataFrame, maxRounds: Int): DataFrame = {
     val allNodes = adj.select(col("src").as("node")).distinct().localCheckpoint(true)
     var lbl = allNodes.select(col("node"), col("node").as("lbl")).localCheckpoint(true)
     var r = 1
@@ -446,11 +448,77 @@ object Graph {
       lbl = next
       r += 1
     }
+    lbl
+  }
+
+  /** Hash-min + POINTER DOUBLING: each round gathers the neighbor
+    * minimum (one edge-linear co-partitioned join, as [[hashMinLabels]])
+    * and then JUMPS every label through the label table itself
+    * (lbl(v) := lbl(lbl(v)) — labels are node ids, so the jump is one
+    * node-linear self-join). Information now travels 2^r hops in r
+    * rounds instead of r, so a diameter-d component converges in
+    * O(log d) rounds — the property the plain hash-min budget cannot
+    * offer on path-shaped graphs (Kiveris et al., "Connected Components
+    * in MapReduce and Beyond" — this is the label-table formulation of
+    * their star-contraction idea; RoundNineOpsSpec proves the separation
+    * on a diameter-50 path where 8-round hash-min returns non-components).
+    */
+  private[graft] def pointerDoubleLabels(adj: DataFrame, maxRounds: Int): DataFrame = {
+    val allNodes = adj.select(col("src").as("node")).distinct().localCheckpoint(true)
+    var lbl = allNodes.select(col("node"), col("node").as("lbl")).localCheckpoint(true)
+    var r = 1
+    var converged = false
+    while (r <= maxRounds && !converged) {
+      // materialize the gather before the self-join below: the jump
+      // references `gathered` twice, and a node-sized leaf keeps the
+      // per-round plan flat (the dedup_clusters localCheckpoint lesson)
+      val gathered = adj.join(lbl, col("src") === col("node"))
+        .select(col("dst").as("node"), col("lbl"))
+        .unionAll(lbl)
+        .groupBy("node").agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+      // jump: every label is a node id, and every node appears in
+      // `gathered` (the union keeps isolated-from-gather nodes), so the
+      // lookup join is total and labels only decrease (min monotonicity).
+      // The lookup side is checkpointed SEPARATELY: a self-join of one
+      // checkpointed frame trips Spark's relation-dedup constraint
+      // rewrite (cloned LogicalRDDs keep stale constraint attribute ids)
+      val lookup = gathered
+        .select(col("node").as("lbl"), col("lbl").as("lbl2"))
+        .localCheckpoint(true)
+      val next = gathered.join(lookup, "lbl")
+        .select(col("node"), col("lbl2").as("lbl"))
+        .localCheckpoint(true)
+      val changed = next.as("n").join(lbl.as("o"), "node")
+        .filter(col("n.lbl") =!= col("o.lbl"))
+      if (changed.isEmpty) converged = true
+      lbl = next
+      r += 1
+    }
+    lbl
+  }
+
+  private def componentsOutput(lbl: DataFrame): DataFrame = {
     val sizes = lbl.groupBy("lbl").agg(count(lit(1)).as("n_nodes"))
     lbl.join(sizes, "lbl")
       .select(col("node"), col("lbl").as("component"), col("n_nodes"))
       .orderBy("node")
   }
+
+  private val connectedComponents: Q = (s, dir) =>
+    componentsOutput(hashMinLabels(adjacency(s, dir), 8))
+
+  /** Connected components via [[pointerDoubleLabels]] — the O(log d)
+    * variant a 100 TB graph of unknown diameter needs (8-round hash-min
+    * silently returns non-components on any component whose min-node
+    * eccentricity exceeds the budget, and the budget-mirroring oracle
+    * cannot catch it). On the co-purchase graph both converge inside
+    * their budgets to the SAME unique fixpoint (min reachable id), so
+    * the oracle is the true-fixpoint replay; the convergence separation
+    * is pinned in RoundNineOpsSpec on a diameter-50 path.
+    */
+  private val ccPointerDoubling: Q = (s, dir) =>
+    componentsOutput(pointerDoubleLabels(adjacency(s, dir), 16))
 
   /** Degree assortativity (Newman's r) — do hubs attach to hubs? The
     * one-number summary that separates social-style graphs (r > 0) from
@@ -490,6 +558,7 @@ object Graph {
   val queries: Map[String, Q] = Map(
     "graph_assortativity" -> assortativity,
     "graph_connected_components" -> connectedComponents,
+    "graph_cc_pointer_doubling" -> ccPointerDoubling,
     "graph_kcore" -> kcore,
     "graph_link_predict" -> linkPredict,
     "graph_triangles" -> triangles,
@@ -576,6 +645,11 @@ object Graph {
         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS assortativity
         |FROM s""".stripMargin,
     "graph_connected_components" -> oCc,
+    // pointer doubling converges to the SAME unique fixpoint (the min
+    // reachable id — both loops are monotone min-propagations run to
+    // no-change inside their budgets on this graph), so the oracle is
+    // the same true-fixpoint replay
+    "graph_cc_pointer_doubling" -> oCc,
     "graph_kcore" -> oKcore,
     "graph_link_predict" ->
       """WITH pl AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

@@ -62,6 +62,7 @@ class DeterminismSpec extends AnyFunSuite {
     "agg_percentile_grouped", // per-group histogram selection
     "agg_percentile_weighted", // weight histogram + integer cumw crossing
     "graph_connected_components", // monotone hash-min rounds
+    "graph_cc_pointer_doubling", // hash-min + label-jump rounds to fixpoint
     "graph_modularity",    // exact integer Q numerator over cached LPA labels
     "graph_assortativity", // DECIMAL-routed degree products
     "emb_covariance",      // mergeable integer Gramian state

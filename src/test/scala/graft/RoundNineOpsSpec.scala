@@ -60,6 +60,39 @@ class RoundNineOpsSpec extends AnyFunSuite {
     assert(acc.n == vecs.length)
   }
 
+  test("pointer-doubling CC converges on a diameter-50 path where 8-round hash-min provably does not") {
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    // path 0—1—…—50: the true component min is 0 for every node, but
+    // hash-min moves information one hop per round, so after 8 rounds
+    // node 50 carries label 42 — a non-component the budget-mirroring
+    // oracle could never catch. Pointer doubling jumps labels through
+    // the label table and closes the same path in ~log2(50) rounds.
+    // persist mirrors the production adjacency cache shape
+    val adj = (0 until 50)
+      .flatMap(i => Seq((i.toLong, i.toLong + 1), (i.toLong + 1, i.toLong)))
+      .toDF("src", "dst")
+      .repartition(4, col("src"))
+      .persist()
+    adj.count()
+    val hm = operators.Graph.hashMinLabels(adj, 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hm(50L) == 42L && hm.values.exists(_ != 0L),
+      s"hash-min unexpectedly converged inside 8 rounds: ${hm.toSeq.sorted}")
+    val pd = operators.Graph.pointerDoubleLabels(adj, 16).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pd.size == 51 && pd.values.forall(_ == 0L),
+      s"pointer doubling failed to reach the true fixpoint: ${pd.toSeq.sorted}")
+  }
+
+  test("graph_cc_pointer_doubling equals graph_connected_components on the co-purchase graph") {
+    val a = SparkEntry.queries("graph_cc_pointer_doubling")(s, dir)
+      .collect().map(_.toString).toSeq
+    val b = SparkEntry.queries("graph_connected_components")(s, dir)
+      .collect().map(_.toString).toSeq
+    assert(a == b, "the two CC variants disagree — both must sit at the unique min-label fixpoint")
+  }
+
   test("gramian_of: a vector of the wrong dimension throws (schema drift fail-fast)") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.graft.GramianAgg.gramian_of
