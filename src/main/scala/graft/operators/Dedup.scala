@@ -187,6 +187,131 @@ object Dedup {
     inter.unionAll(intra).orderBy("doc_a", "doc_b")
   }
 
+  // ---------------------------------------- ngram minhash (approximate default)
+
+  /** Rep-level RARE string-shingle sets — the cross-engine twin of
+    * [[postings]]: same corpus-relative frequent-shingle cap (doc
+    * frequency counted over COPIES), but the shingles stay STRINGS so the
+    * md5-based minhash permutations below are replayable verbatim in the
+    * DuckDB oracle (xxhash64 is not). One row per distinct content:
+    * (ckey, n = full shingle-set size, rs = sorted rare shingles).
+    */
+  private def rareStringSets(s: SparkSession, dir: String): DataFrame =
+    graft.Cached.of(s, dir, "dedup.rarestr") {
+      val d = Tables.docsSpread(s, dir).select(col("doc_id"), col("text"))
+      val g = d.groupBy(md5(col("text")).as("ckey"))
+        .agg(count(lit(1)).as("cnt"), first(col("text")).as("text"))
+        .select(col("ckey"), col("cnt"), expr(shingleExpr).as("sh"))
+      val ex = g.select(col("ckey"), col("cnt"),
+        expr("cast(size(sh) as bigint)").as("n"), explode(col("sh")).as("s0"))
+      val nDocs = g.agg(sum(col("cnt")).as("n_docs"))
+      val rare = ex.groupBy("s0").agg(sum(col("cnt")).as("df"))
+        .crossJoin(broadcast(nDocs))
+        .filter(col("df") <= greatest(lit(50L), expr("n_docs div 100")))
+        .select("s0")
+      ex.join(rare, "s0")
+        .groupBy("ckey")
+        .agg(first(col("n")).as("n"), sort_array(collect_list(col("s0"))).as("rs"))
+    }
+
+  /** 16 md5-permutation minhashes over each rep's rare-shingle set —
+    * h_p(s) = first 60 bits of md5(p || '|' || s), deterministic and
+    * identical in both engines (the simhash hex→BIGINT discipline).
+    */
+  private def ngramMinhashSigs(s: SparkSession, dir: String): DataFrame =
+    graft.Cached.of(s, dir, "dedup.ngmh.sig") {
+      rareStringSets(s, dir).withColumn("sg", expr(
+        """transform(sequence(0, 15), p -> array_min(transform(rs, s0 ->
+          |  cast(conv(substr(md5(concat(cast(p as string), '|', s0)), 1, 15), 16, 10) as bigint))))"""
+          .stripMargin))
+    }
+
+  /** The APPROXIMATE-candidate default for the exact-Jaccard family:
+    * identical pair MEASURE and threshold as [[ngramJaccard]] (shared
+    * RARE shingles / (na + nb − shared) ≥ 0.6), but candidates come from
+    * 8-band × 2-row minhash banding over the rare sets instead of the
+    * rare-posting self-join — so the cost is CANDIDATE-bound, not
+    * Σdf²-bound, on distinct-content corpora where the exact plan's
+    * posting join is provably the (expensive) optimum (see the AllPairs
+    * analysis above [[postings]]). Verification is exact on candidates
+    * (array_intersect on the rare sets after a result-neutral size
+    * prefilter), so output pairs are a SUBSET of the exact pairs —
+    * recall is the one quantity lost, and `dedup_ngram_minhash_recall`
+    * measures it against the exact plan (RoundNineOpsSpec pins the
+    * floor). At 100 TB this is the plan to run first: band keys are 16
+    * bytes/rep, bucket joins are quadratic only within a band bucket,
+    * and the Σ-shared verify bill is paid only for candidate pairs.
+    */
+  private val ngramMinhash: Q = (s, dir) => {
+    val sh = shingles(s, dir)
+    val rsets = rareStringSets(s, dir)
+    val bands = ngramMinhashSigs(s, dir).select(col("ckey"),
+        explode(expr(
+          "transform(sequence(0, 7), b -> struct(b AS bidx, element_at(sg, 2*b+1) AS h1, element_at(sg, 2*b+2) AS h2))"))
+          .as("bd"))
+      .select(col("ckey"), col("bd.bidx").as("bidx"),
+        col("bd.h1").as("h1"), col("bd.h2").as("h2"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.bidx") === col("b.bidx") && col("a.h1") === col("b.h1") &&
+          col("a.h2") === col("b.h2") && col("a.ckey") < col("b.ckey"))
+      .select(col("a.ckey").as("ka"), col("b.ckey").as("kb"))
+      .distinct()
+    // result-neutral size prefilter: shared ≤ min(|ra|,|rb|), so
+    // J ≥ 0.6 forces 8·min(|ra|,|rb|) ≥ 3·(na+nb) — broadcast long math
+    // before any shingle array ships (the dedup_minhash discipline)
+    val sizes = rsets.select(col("ckey"), col("n"),
+      expr("cast(size(rs) as bigint)").as("nr"))
+    val candSized = cand
+      .join(broadcast(sizes.select(col("ckey").as("ka"), col("n").as("na"),
+        col("nr").as("ra"))), "ka")
+      .join(broadcast(sizes.select(col("ckey").as("kb"), col("n").as("nb"),
+        col("nr").as("rb"))), "kb")
+      .filter(least(col("ra"), col("rb")) * 8 >= (col("na") + col("nb")) * 3)
+      .select("ka", "kb")
+    val interG = candSized
+      .join(rsets.select(col("ckey").as("ka"), col("rs").as("rs_a"),
+        col("n").as("na")), "ka")
+      .join(rsets.select(col("ckey").as("kb"), col("rs").as("rs_b"),
+        col("n").as("nb")), "kb")
+      .withColumn("shared", expr("cast(size(array_intersect(rs_a, rs_b)) as bigint)"))
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+      .filter(col("jaccard") >= 0.6)
+    val inter = interG
+      .join(sh.select(col("ckey").as("ka"), col("doc_id").as("id_a")), "ka")
+      .join(sh.select(col("ckey").as("kb"), col("doc_id").as("id_b")), "kb")
+      .select(least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"), col("jaccard"))
+    // intra (identical text): J = sr / (2n - sr), as the exact plan
+    val intraG = rsets
+      .select(col("ckey"), expr("cast(size(rs) as bigint)").as("sr"), col("n"))
+      .withColumn("jaccard",
+        col("sr").cast("double") / (col("n") * 2 - col("sr")))
+      .filter(col("jaccard") >= 0.6)
+    val intra = intraG
+      .join(sh.select(col("ckey"), col("doc_id").as("id_a")), "ckey")
+      .join(sh.select(col("ckey"), col("doc_id").as("id_b")), "ckey")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("jaccard"))
+    inter.unionAll(intra).orderBy("doc_a", "doc_b")
+  }
+
+  /** Recall of the minhash-candidate pairs against the exact posting-join
+    * pairs (same measure, same threshold — the approximate output is a
+    * subset, so recall is the whole honesty story). One row:
+    * (n_exact, n_found, recall).
+    */
+  private val ngramMinhashRecall: Q = (s, dir) => {
+    val exact = ngramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
+    val approx = ngramMinhash(s, dir)
+      .select(col("doc_a").as("qa"), col("doc_b").as("qb"))
+    exact.join(approx,
+        col("doc_a") === col("qa") && col("doc_b") === col("qb"), "left")
+      .agg(count(lit(1)).as("n_exact"), count(col("qa")).as("n_found"))
+      .withColumn("recall", when(col("n_exact") === 0, lit(1.0)).otherwise(
+        round(col("n_found").cast("double") / col("n_exact"), 6)))
+  }
+
   // ------------------------------------------------------------- token spans
 
   /** Exact duplicated-span detection (the "exact substring dedup" of
@@ -621,6 +746,8 @@ object Dedup {
     minhashBands(s, dir).count()
     minhashPairs(s, dir).count()
     simhashes(s, dir).count()
+    rareStringSets(s, dir).count()
+    ngramMinhashSigs(s, dir).count()
   }
 
   val queries: Map[String, Q] = Map(
@@ -630,6 +757,8 @@ object Dedup {
     "dedup_containment" -> containment,
     "dedup_editdist" -> editdist,
     "dedup_ngram_jaccard" -> ngramJaccard,
+    "dedup_ngram_minhash" -> ngramMinhash,
+    "dedup_ngram_minhash_recall" -> ngramMinhashRecall,
     "dedup_minhash" -> minhash,
     "dedup_simhash" -> simhash,
     "dedup_simhash_pairs" -> simhashPairs,
@@ -637,6 +766,64 @@ object Dedup {
     "dedup_clusters" -> clusters,
     "pipeline_dedup_canonical" -> canonical,
   )
+
+  /** DuckDB replay of the full ngram-minhash pipeline: rep collapse,
+    * rare cap over copies, 16 md5-permutation minhashes, 8×2 banding,
+    * exact verify on candidates, doc expansion + intra pairs. `nmp` is
+    * the final (doc_a, doc_b, jaccard) pair table. The size prefilter is
+    * result-neutral, so the oracle omits it.
+    */
+  private val oNgramMinhashCte =
+    s"""gdoc AS MATERIALIZED (SELECT md5(text) AS ckey, COUNT(*) AS cnt, ANY_VALUE(text) AS text
+       |  FROM documents GROUP BY 1),
+       |gsh AS MATERIALIZED (SELECT ckey, cnt, $oShingle AS sh FROM gdoc),
+       |gex AS MATERIALIZED (SELECT ckey, cnt, len(sh) AS n, unnest(sh) AS s0 FROM gsh),
+       |grare AS MATERIALIZED (SELECT s0 FROM gex GROUP BY s0
+       |  HAVING SUM(cnt) <= greatest(50, (SELECT COUNT(*) FROM documents) // 100)),
+       |grf AS MATERIALIZED (SELECT gex.* FROM gex JOIN grare USING (s0)),
+       |grs AS MATERIALIZED (SELECT ckey, ANY_VALUE(n) AS n, list(s0) AS rs FROM grf GROUP BY ckey),
+       |gsig AS MATERIALIZED (SELECT ckey, list_transform(range(16), p ->
+       |    list_min(list_transform(rs, s0 ->
+       |      CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || '|' || s0), 1, 15)) AS BIGINT)))) AS sg
+       |  FROM grs),
+       |gband AS MATERIALIZED (SELECT ckey, b AS bidx, sg[2*b+1] AS h1, sg[2*b+2] AS h2
+       |  FROM gsig, range(8) t(b)),
+       |gcand AS MATERIALIZED (SELECT DISTINCT a.ckey AS ka, b.ckey AS kb
+       |  FROM gband a JOIN gband b
+       |  ON a.bidx = b.bidx AND a.h1 = b.h1 AND a.h2 = b.h2 AND a.ckey < b.ckey),
+       |gver AS MATERIALIZED (SELECT ka, kb,
+       |    CAST(len(list_intersect(ra.rs, rb.rs)) AS BIGINT) AS shared,
+       |    ra.n AS na, rb.n AS nb
+       |  FROM gcand JOIN grs ra ON ra.ckey = gcand.ka JOIN grs rb ON rb.ckey = gcand.kb),
+       |gint AS MATERIALIZED (SELECT ka, kb,
+       |    CAST(shared AS DOUBLE) / (na + nb - shared) AS jaccard
+       |  FROM gver WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.6),
+       |gdid AS MATERIALIZED (SELECT md5(text) AS ckey, doc_id FROM documents),
+       |ginter AS MATERIALIZED (SELECT least(x.doc_id, y.doc_id) AS doc_a,
+       |    greatest(x.doc_id, y.doc_id) AS doc_b, jaccard
+       |  FROM gint JOIN gdid x ON x.ckey = gint.ka JOIN gdid y ON y.ckey = gint.kb),
+       |gisr AS MATERIALIZED (SELECT ckey, CAST(COUNT(*) AS BIGINT) AS sr, ANY_VALUE(n) AS n
+       |  FROM grf GROUP BY ckey),
+       |gintra AS MATERIALIZED (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    CAST(sr AS DOUBLE) / (2 * n - sr) AS jaccard
+       |  FROM gisr JOIN gdid x USING (ckey) JOIN gdid y USING (ckey)
+       |  WHERE x.doc_id < y.doc_id AND CAST(sr AS DOUBLE) / (2 * n - sr) >= 0.6),
+       |nmp AS MATERIALIZED (SELECT * FROM ginter UNION ALL SELECT * FROM gintra)""".stripMargin
+
+  /** The exact ngram-Jaccard pair set as a CTE (`xjp`) — the
+    * dedup_ngram_jaccard oracle re-expressed for composition with the
+    * minhash CTEs in the recall oracle.
+    */
+  private val oNgramExactCte =
+    s"""xsh AS MATERIALIZED (SELECT doc_id, $oShingle AS sh FROM documents),
+       |xe AS MATERIALIZED (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM xsh),
+       |xrare AS MATERIALIZED (SELECT s FROM xe GROUP BY s
+       |  HAVING COUNT(*) <= greatest(50, (SELECT COUNT(*) FROM documents) // 100)),
+       |xef AS MATERIALIZED (SELECT xe.* FROM xe JOIN xrare USING (s)),
+       |xjp AS MATERIALIZED (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM xef a JOIN xef b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |  HAVING CAST(COUNT(*) AS DOUBLE) / (ANY_VALUE(a.n) + ANY_VALUE(b.n) - COUNT(*)) >= 0.6)""".stripMargin
 
   private val oSimhashCte =
     s"""tk AS (SELECT doc_id, list_distinct(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS tk FROM documents),
@@ -725,6 +912,19 @@ object Dedup {
         |FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
         |WHERE levenshtein(a.head, b.head) <= 8
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_ngram_minhash" ->
+      s"""WITH $oNgramMinhashCte
+         |SELECT doc_a, doc_b, jaccard FROM nmp ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_ngram_minhash_recall" ->
+      s"""WITH $oNgramMinhashCte,
+         |$oNgramExactCte,
+         |hit AS (SELECT x.doc_a FROM xjp x
+         |  JOIN nmp m ON x.doc_a = m.doc_a AND x.doc_b = m.doc_b)
+         |SELECT CAST((SELECT COUNT(*) FROM xjp) AS BIGINT) AS n_exact,
+         |  CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_found,
+         |  CASE WHEN (SELECT COUNT(*) FROM xjp) = 0 THEN 1.0
+         |    ELSE round(CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+         |      / (SELECT COUNT(*) FROM xjp), 6) END AS recall""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH sh AS (SELECT doc_id, $oShingle AS sh FROM documents),
          |e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sh),

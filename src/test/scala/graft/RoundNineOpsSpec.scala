@@ -93,6 +93,22 @@ class RoundNineOpsSpec extends AnyFunSuite {
     assert(a == b, "the two CC variants disagree — both must sit at the unique min-label fixpoint")
   }
 
+  test("dedup_ngram_minhash: pairs are a subset of the exact set, recall >= 0.9") {
+    val r = SparkEntry.queries("dedup_ngram_minhash_recall")(s, dir).head()
+    assert(r.getAs[Double]("recall") >= 0.9,
+      s"recall ${r.getAs[Double]("recall")} below the 0.9 floor " +
+        s"(${r.getAs[Long]("n_found")}/${r.getAs[Long]("n_exact")})")
+    // same measure + threshold as the exact plan ⇒ precision is exactly 1:
+    // every approximate pair must appear in the exact pair set
+    def pairs(name: String): Set[(Long, Long)] =
+      SparkEntry.queries(name)(s, dir).select("doc_a", "doc_b")
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val exact = pairs("dedup_ngram_jaccard")
+    val approx = pairs("dedup_ngram_minhash")
+    assert(approx.subsetOf(exact),
+      s"non-exact pairs leaked: ${(approx -- exact).take(5)}")
+  }
+
   test("gramian_of: a vector of the wrong dimension throws (schema drift fail-fast)") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.graft.GramianAgg.gramian_of
