@@ -522,19 +522,21 @@ object Sim {
     * √(M² − ‖x‖²) as a 65th coordinate (M² = the corpus max squared
     * norm, one broadcast scalar), and every corpus vector lands on the
     * M-sphere where inner-product order IS cosine order; queries append
-    * 0, leaving their dot products untouched. The existing IVF coarse
-    * machinery then applies verbatim in the augmented space: midrange
-    * centroids per cell (bit-reproducible, see [[centroids]]), nprobe=5
-    * probe (deeper than cosine-IVF's 3: the augmentation compresses
-    * corpus vectors toward the 65th axis, flattening centroid contrast —
-    * the known cost of the reduction, priced in probe depth), exact
-    * inner-product scoring inside probed cells. Same
-    * augmented corpus as [[mipsTopk]] (double-scaled variants), so the
-    * recall gate measures the index against the genuinely-MIPS ranking
-    * the brute pass pins. At 100 TB: the augmentation is one map over
-    * the corpus (the scalar broadcast), centroids are tiny, and a query
-    * touches nprobe/ncells of the data — identical economics to
-    * [[ivfTopk]].
+    * 0, leaving their dot products untouched. The coarse quantizer is
+    * NORM-BANDED (label × high/low ‖x‖² vs M²/2 — ScaNN-style
+    * norm-explicit cells: the augmentation maps norm onto the 65th
+    * axis, and mixing norm regimes in one cell erases the centroid
+    * contrast MIPS needs), with midrange centroids per cell
+    * (bit-reproducible, see [[centroids]]) and probe order by centroid
+    * INNER PRODUCT at nprobe=12 of 20 — the measured recall/probe
+    * frontier on this corpus (BASELINE.md round-9 sweep; the 0.8 recall
+    * floor is pinned in RoundNineOpsSpec). Exact inner-product scoring
+    * inside probed cells. Same augmented corpus as [[mipsTopk]]
+    * (double-scaled variants), so the recall gate measures the index
+    * against the genuinely-MIPS ranking the brute pass pins. At 100 TB:
+    * the augmentation is one map over the corpus (the scalar
+    * broadcast), centroids are tiny, and a query touches
+    * nprobe/ncells of the data — identical economics to [[ivfTopk]].
     */
   private val mipsIvf: Q = (s, dir) => {
     val base = vectors(s, dir).select(col("vec_id"), col("label"), col("v"))
@@ -545,27 +547,42 @@ object Sim {
     val m2 = aug.agg(max(col("n2")).as("m2"))
     // M² − ‖x‖² ≥ 0 exactly (m2 is the max of the same doubles), so the
     // sqrt is total; the augmented norm is M for every corpus vector
+    // NORM-BANDED cells (label × high/low squared norm vs M²/2): the
+    // augmentation maps norm onto the 65th coordinate, so mixing norm
+    // regimes in one cell bloats its radius and starves the probe
+    // ordering of contrast — norm-range partitioning is the standard
+    // MIPS-IVF refinement (ScaNN-style norm-explicit cells), and it is
+    // exactly replayable (one integer CASE on n2·2 > M²)
     val ax = aug.crossJoin(broadcast(m2))
       .withColumn("va", expr("concat(v, array(sqrt(m2 - n2)))"))
-    val cent = ax.select(col("label"), posexplode(col("va")))
-      .groupBy("label", "pos")
+      .withColumn("cell0",
+        col("label") * 2 + when(col("n2") * 2 > col("m2"), 1L).otherwise(0L))
+    val cent = ax.select(col("cell0"), posexplode(col("va")))
+      .groupBy("cell0", "pos")
       .agg(((min(col("col")) + max(col("col"))) / 2).as("cx"))
-      .groupBy("label")
+      .groupBy("cell0")
       .agg(expr("transform(array_sort(collect_list(struct(pos, cx))), p -> p.cx)").as("cv"))
-      .select(col("label").as("cell"), col("cv"),
-        sqrt(vec_dot(col("cv"), col("cv"))).as("cn"))
+      .select(col("cell0").as("cell"), col("cv"))
     val q = aug.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("q_id"), expr("concat(v, array(0.0d))").as("qa"),
-        sqrt(col("n2")).as("qn"))
+      .select(col("vec_id").as("q_id"), expr("concat(v, array(0.0d))").as("qa"))
+    // probe order by centroid INNER PRODUCT (not cosine): MIPS winners
+    // carry their magnitude, and normalizing the centroid threw away the
+    // norm-band contrast the cells now encode. Config from the measured
+    // sweep (BASELINE.md round-9): these embeddings are near-isotropic,
+    // so no coarse quantizer ranks winners' cells sharply — cosine/
+    // nprobe5/label cells sat at 0.65 recall; radius-upper-bound
+    // ordering reached 0.70; banded cells + IP ordering dominate at
+    // every probed fraction and clear the 0.8 floor at nprobe 12/20
+    // (recall 0.825/0.90/0.95 at sf0.1/0.01/0.001)
     val qCells = q.crossJoin(broadcast(cent))
-      .withColumn("ccos", vec_dot(col("qa"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("ub", vec_dot(col("qa"), col("cv")))
       .withColumn("crk", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("ccos").desc, col("cell"))))
-      .filter(col("crk") <= 5)
+        Window.partitionBy("q_id").orderBy(col("ub").desc, col("cell"))))
+      .filter(col("crk") <= 12)
       .select(col("q_id"), col("qa"), col("cell"))
     // qa·va = q·x exactly: the appended query coordinate is 0.0, and
     // adding 0.0·aug to a finite fold is the identity in IEEE
-    val scored = broadcast(qCells).join(ax, col("cell") === col("label"))
+    val scored = broadcast(qCells).join(ax, col("cell") === col("cell0"))
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("ip", round(vec_dot(col("qa"), col("va")), 6))
     val w = Window.partitionBy("q_id").orderBy(col("ip").desc, col("vec_id"))
@@ -802,10 +819,11 @@ object Sim {
        |  FROM pscore) WHERE rk <= 5)""".stripMargin
 
   /** DuckDB replay of the augmented-IVF MIPS pipeline: the same aug
-    * corpus as sim_mips_topk, the 65th √(M²−‖x‖²) coordinate, midrange
-    * centroids in the augmented space, nprobe=3, exact inner-product
-    * scoring. `mir` is the IVF-MIPS top-5; `mb` the brute MIPS top-5
-    * (shared with the recall oracle).
+    * corpus as sim_mips_topk, the 65th √(M²−‖x‖²) coordinate,
+    * norm-banded cells (label×2 + high/low ‖x‖² band), midrange
+    * centroids in the augmented space, inner-product probe order at
+    * nprobe=12, exact inner-product scoring. `mir` is the IVF-MIPS
+    * top-5; `mb` the brute MIPS top-5 (shared with the recall oracle).
     */
   private val oMipsIvfCte: String =
     """mbase AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -817,22 +835,22 @@ object Sim {
       |man AS (SELECT vec_id, label, v,
       |  list_sum(list_transform(v, x -> x * x)) AS n2 FROM maug),
       |mm AS (SELECT MAX(n2) AS m2 FROM man),
-      |max_ AS (SELECT vec_id, label, list_append(v, sqrt(m2 - n2)) AS va FROM man, mm),
-      |mcd AS (SELECT label, i, (MIN(va[i]) + MAX(va[i])) / 2 AS cx
-      |        FROM max_, range(1, 66) t(i) GROUP BY label, i),
-      |mcen AS (SELECT cell, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS cn FROM (
-      |  SELECT label AS cell, list(cx ORDER BY i) AS cv FROM mcd GROUP BY label)),
-      |mq AS (SELECT vec_id AS q_id, list_append(v, 0.0) AS qa, sqrt(n2) AS qn
+      |max_ AS (SELECT vec_id, label, list_append(v, sqrt(m2 - n2)) AS va,
+      |  label * 2 + CASE WHEN n2 * 2 > m2 THEN 1 ELSE 0 END AS cell0 FROM man, mm),
+      |mcd AS (SELECT cell0, i, (MIN(va[i]) + MAX(va[i])) / 2 AS cx
+      |        FROM max_, range(1, 66) t(i) GROUP BY cell0, i),
+      |mcen AS (SELECT cell0 AS cell, list(cx ORDER BY i) AS cv FROM mcd GROUP BY cell0),
+      |mq AS (SELECT vec_id AS q_id, list_append(v, 0.0) AS qa
       |       FROM man WHERE vec_id < 8),
       |mqc AS (SELECT q_id, qa, cell FROM (
       |  SELECT mq.q_id, mq.qa, c.cell,
       |    row_number() OVER (PARTITION BY mq.q_id ORDER BY
-      |      list_sum(list_transform(range(65), i -> mq.qa[i+1] * c.cv[i+1])) / (mq.qn * c.cn) DESC,
+      |      list_sum(list_transform(range(65), i -> mq.qa[i+1] * c.cv[i+1])) DESC,
       |      c.cell) AS crk
-      |  FROM mq CROSS JOIN mcen c) WHERE crk <= 5),
+      |  FROM mq CROSS JOIN mcen c) WHERE crk <= 12),
       |msc AS (SELECT mqc.q_id, w.vec_id AS cand_id,
       |  round(list_sum(list_transform(range(65), i -> mqc.qa[i+1] * w.va[i+1])), 6) AS ip
-      |  FROM mqc JOIN max_ w ON mqc.cell = w.label AND mqc.q_id <> w.vec_id),
+      |  FROM mqc JOIN max_ w ON mqc.cell = w.cell0 AND mqc.q_id <> w.vec_id),
       |mir AS (SELECT q_id, rk, cand_id, ip FROM (
       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY ip DESC, cand_id) AS rk FROM msc)
       |  WHERE rk <= 5),

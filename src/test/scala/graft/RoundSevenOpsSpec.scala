@@ -160,11 +160,11 @@ class RoundSevenOpsSpec extends AnyFunSuite {
       "no day ever had 2 concurrent 10-minute intervals — sweep ordering is broken")
   }
 
-  test("sim_mips_recall: the augmented-IVF index keeps mean recall@5 >= 0.5 vs brute MIPS") {
+  test("sim_mips_recall: the augmented-IVF index keeps mean recall@5 >= 0.8 vs brute MIPS") {
     val rows = SparkEntry.queries("sim_mips_recall")(s, dir).collect()
     assert(rows.length == 8)
     val mean = rows.map(_.getAs[Double]("recall_at_5")).sum / rows.length
-    assert(mean >= 0.5, s"mean recall@5 $mean — probe depth no longer covers the MIPS winners")
+    assert(mean >= 0.8, s"mean recall@5 $mean — probe depth no longer covers the MIPS winners")
   }
 
   test("sim_mips_topk_ivf: every reported ip matches the brute ranking's value for that candidate") {
