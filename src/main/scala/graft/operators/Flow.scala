@@ -267,7 +267,14 @@ object Flow {
   private val attributionLinear: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
     val ev = Tables(s, dir, "events")
+    // value >= 0 is ENFORCED, not assumed: the credit split uses integer
+    // div/% which truncates in Spark but floors in DuckDB (`//`), so a
+    // negative purchase value (refund) would silently diverge the two
+    // engines. Refund attribution is a different semantic (negative
+    // credit policy is a business choice); this operator defines itself
+    // over non-negative purchases and filters the rest out in BOTH plans.
     val purchases = ev.filter(col("event_type") === "purchase")
+      .filter(col("value") >= 0)
       .select(col("user_id"), col("event_id").as("pid"),
         unix_micros(col("ts")).as("pts"),
         expr("cast(round(value * 100, 0) as bigint) * 10000").as("ucents"))
@@ -1123,7 +1130,7 @@ object Flow {
     "flow_attribution_linear" ->
       """WITH p AS (SELECT user_id, event_id AS pid, epoch_us(ts) AS pts,
         |    CAST(round(value * 100, 0) AS BIGINT) * 10000 AS ucents
-        |  FROM events WHERE event_type = 'purchase'),
+        |  FROM events WHERE event_type = 'purchase' AND value >= 0),
         |t AS (SELECT user_id, event_id AS tid, epoch_us(ts) AS tts,
         |    event_type AS channel
         |  FROM events WHERE event_type IN ('click', 'view')),

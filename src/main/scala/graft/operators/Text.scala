@@ -482,12 +482,27 @@ object Text {
         sum(col("lx") * col("ly")).as("sxy"),
         sum(col("lx") * col("lx")).as("sxx"),
         sum(col("ly") * col("ly")).as("syy"))
+      // n·sxy and sx·sy pass 2^63 with ~15% headroom at the comment's own
+      // extreme-frequency bound (n=256, lx·ly ≤ 1.2e15 ⇒ n·sxy ≈ 7.9e19)
+      // — route every product through DECIMAL(38,0) (the autocorr /
+      // modularity discipline; the oracle's HUGEINT sums are exact the
+      // same way) and convert to double once, identically, at the end
       .select(col("n"),
-        round(expr("cast(n * sxy - sx * sy as double) / cast(n * sxx - sx * sx as double)"), 6)
-          .as("zipf_slope"),
         round(expr(
-          """(cast(n * sxy - sx * sy as double) * cast(n * sxy - sx * sy as double))
-            | / (cast(n * sxx - sx * sx as double) * cast(n * syy - sy * sy as double))"""
+          """cast(cast(n as decimal(38,0)) * sxy
+            |   - cast(sx as decimal(19,0)) * cast(sy as decimal(19,0)) as double)
+            | / cast(cast(n as decimal(38,0)) * sxx
+            |   - cast(sx as decimal(19,0)) * cast(sx as decimal(19,0)) as double)"""
+            .stripMargin), 6).as("zipf_slope"),
+        round(expr(
+          """(cast(cast(n as decimal(38,0)) * sxy
+            |    - cast(sx as decimal(19,0)) * cast(sy as decimal(19,0)) as double)
+            |  * cast(cast(n as decimal(38,0)) * sxy
+            |    - cast(sx as decimal(19,0)) * cast(sy as decimal(19,0)) as double))
+            | / (cast(cast(n as decimal(38,0)) * sxx
+            |    - cast(sx as decimal(19,0)) * cast(sx as decimal(19,0)) as double)
+            |  * cast(cast(n as decimal(38,0)) * syy
+            |    - cast(sy as decimal(19,0)) * cast(sy as decimal(19,0)) as double))"""
             .stripMargin), 6).as("r2"))
   }
 

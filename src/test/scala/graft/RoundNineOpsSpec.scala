@@ -109,6 +109,20 @@ class RoundNineOpsSpec extends AnyFunSuite {
       s"non-exact pairs leaked: ${(approx -- exact).take(5)}")
   }
 
+  test("xxhash64 pair keys: zero ckey collisions in the corpus (documented assumption, now checked)") {
+    import org.apache.spark.sql.functions._
+    // the posting-join pair keys are xxhash64(md5(text)) longs; a
+    // collision would silently merge two contents' posting groups with
+    // no runtime detection path — probability ~|reps|²/2⁶⁵, but this
+    // turns the assumption into a checked fact on every test corpus
+    val r = Tables(s, dir, "documents")
+      .select(md5(col("text")).as("ckey"))
+      .agg(countDistinct(col("ckey")).as("nk"),
+        countDistinct(expr("xxhash64(ckey)")).as("nh")).head()
+    assert(r.getLong(0) == r.getLong(1),
+      s"${r.getLong(0) - r.getLong(1)} xxhash64 collisions across distinct contents")
+  }
+
   test("gramian_of: a vector of the wrong dimension throws (schema drift fail-fast)") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.graft.GramianAgg.gramian_of
