@@ -553,7 +553,83 @@ object Ingest {
         round(col("hi_"), 6).as("hi_fence"), col("n_low"), col("n_high"))
   }
 
+  /** Distribution-drift audit (Population Stability Index) between two
+    * order periods — the ML-monitoring gate that catches "the feature
+    * moved" before a model does. o_totalprice histograms over 10 fixed
+    * global-range buckets in period A (< 1998-01-01) vs B (≥); PSI =
+    * Σ (pa − pb)·ln(pa/pb) with the standard 1e-6 share floor so empty
+    * buckets stay finite. Counts are exact integers from ONE
+    * map-side-combining scan (conditional sums); shares/ln are the only
+    * IEEE steps, replayed verbatim by the oracle. PSI ≥ 0.2 is the
+    * conventional "significant drift" flag. At 100 TB: one scan + a
+    * 1-row broadcast of the global range — the dq_profile shape.
+    */
+  private val dqDriftPsi: Q = (s, dir) => {
+    val o = Tables(s, dir, "orders")
+      .select(col("o_totalprice").as("v"),
+        (col("o_orderdate") < lit("1998-01-01")).as("in_a"))
+    val mm = o.agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val b = o.crossJoin(broadcast(mm))
+      .withColumn("bkt", when(col("mx") === col("mn"), lit(0L)).otherwise(
+        least(floor((col("v") - col("mn")) / ((col("mx") - col("mn")) / 10)), lit(9L))
+          .cast("long")))
+      .groupBy("bkt")
+      .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("na"),
+        sum(when(!col("in_a"), 1L).otherwise(0L)).as("nb"))
+    val tot = b.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+    b.crossJoin(broadcast(tot))
+      .withColumn("pa", greatest(col("na").cast("double") / col("ta"), lit(1e-6)))
+      .withColumn("pb", greatest(col("nb").cast("double") / col("tb"), lit(1e-6)))
+      .withColumn("psi_term", (col("pa") - col("pb")) * log(col("pa") / col("pb")))
+      .agg(max(col("ta")).as("n_a"), max(col("tb")).as("n_b"),
+        round(sum(col("psi_term")), 6).as("psi"))
+      .withColumn("drifted", col("psi") >= 0.2)
+  }
+
+  /** Referential-integrity audit across the whole TPC-H foreign-key
+    * graph — the load-time DQ gate a warehouse ingest runs before
+    * exposing tables: one row per FK edge with exact row/orphan counts.
+    * Each edge is one left-anti join (child keys vs parent keys) + two
+    * counts; dimension parents broadcast, the lineitem→orders edge is
+    * the only genuine shuffle at 100 TB. Keys are NOT NULL in this
+    * schema, so anti-join orphan semantics equal NOT IN here (the
+    * NULL-key caveat is join_null_safe's subject).
+    */
+  private val dqRefIntegrity: Q = (s, dir) => {
+    def edge(name: String, child: DataFrame, parent: DataFrame): DataFrame = {
+      val orphans = child.join(parent, Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      child.agg(count(lit(1)).as("n_rows")).crossJoin(orphans)
+        .select(lit(name).as("fk"), col("n_rows"), col("n_orphans"),
+          (col("n_orphans") === 0L).as("ok"))
+    }
+    val li = Tables(s, dir, "lineitem")
+    val ord = Tables(s, dir, "orders")
+    val cust = Tables(s, dir, "customer")
+    val sup = Tables(s, dir, "supplier")
+    val nat = Tables(s, dir, "nation")
+    Seq(
+      edge("customer.c_nationkey->nation", cust.select(col("c_nationkey").as("k")),
+        nat.select(col("n_nationkey").as("k"))),
+      edge("lineitem.l_orderkey->orders", li.select(col("l_orderkey").as("k")),
+        ord.select(col("o_orderkey").as("k"))),
+      edge("lineitem.l_partkey->part", li.select(col("l_partkey").as("k")),
+        Tables(s, dir, "part").select(col("p_partkey").as("k"))),
+      edge("lineitem.l_suppkey->supplier", li.select(col("l_suppkey").as("k")),
+        sup.select(col("s_suppkey").as("k"))),
+      edge("nation.n_regionkey->region", nat.select(col("n_regionkey").as("k")),
+        Tables(s, dir, "region").select(col("r_regionkey").as("k"))),
+      edge("orders.o_custkey->customer", ord.select(col("o_custkey").as("k")),
+        cust.select(col("c_custkey").as("k"))),
+      edge("supplier.s_nationkey->nation", sup.select(col("s_nationkey").as("k")),
+        nat.select(col("n_nationkey").as("k"))))
+      .reduce(_.unionAll(_))
+      .orderBy("fk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "dq_drift_psi" -> dqDriftPsi,
+    "dq_ref_integrity" -> dqRefIntegrity,
     "dq_outlier_iqr" -> dqOutlierIqr,
     "dq_benford" -> dqBenford,
     "dp_geometric_counts" -> dpGeometric,
@@ -583,6 +659,54 @@ object Ingest {
     "l_shipdate")
 
   val oracles: Map[String, String] = Map(
+    "dq_drift_psi" ->
+      """WITH o AS (SELECT o_totalprice AS v, o_orderdate < DATE '1998-01-01' AS in_a FROM orders),
+        |mm AS (SELECT MIN(v) AS mn, MAX(v) AS mx FROM o),
+        |b AS (SELECT CASE WHEN mx = mn THEN 0
+        |    ELSE least(CAST(floor((v - mn) / ((mx - mn) / 10)) AS BIGINT), 9) END AS bkt,
+        |    CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS nb
+        |  FROM o, mm GROUP BY 1),
+        |t AS (SELECT CAST(SUM(na) AS BIGINT) AS ta, CAST(SUM(nb) AS BIGINT) AS tb FROM b),
+        |p AS (SELECT greatest(CAST(na AS DOUBLE) / ta, 1e-6) AS pa,
+        |    greatest(CAST(nb AS DOUBLE) / tb, 1e-6) AS pb, ta, tb FROM b, t)
+        |SELECT MAX(ta) AS n_a, MAX(tb) AS n_b,
+        |  round(SUM((pa - pb) * ln(pa / pb)), 6) AS psi,
+        |  round(SUM((pa - pb) * ln(pa / pb)), 6) >= 0.2 AS drifted
+        |FROM p""".stripMargin,
+    "dq_ref_integrity" ->
+      """WITH e AS (
+        |  SELECT 'customer.c_nationkey->nation' AS fk,
+        |    (SELECT COUNT(*) FROM customer) AS n_rows,
+        |    (SELECT COUNT(*) FROM customer c LEFT JOIN nation n
+        |      ON c.c_nationkey = n.n_nationkey WHERE n.n_nationkey IS NULL) AS n_orphans
+        |  UNION ALL SELECT 'lineitem.l_orderkey->orders',
+        |    (SELECT COUNT(*) FROM lineitem),
+        |    (SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o
+        |      ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL)
+        |  UNION ALL SELECT 'lineitem.l_partkey->part',
+        |    (SELECT COUNT(*) FROM lineitem),
+        |    (SELECT COUNT(*) FROM lineitem l LEFT JOIN part p
+        |      ON l.l_partkey = p.p_partkey WHERE p.p_partkey IS NULL)
+        |  UNION ALL SELECT 'lineitem.l_suppkey->supplier',
+        |    (SELECT COUNT(*) FROM lineitem),
+        |    (SELECT COUNT(*) FROM lineitem l LEFT JOIN supplier s
+        |      ON l.l_suppkey = s.s_suppkey WHERE s.s_suppkey IS NULL)
+        |  UNION ALL SELECT 'nation.n_regionkey->region',
+        |    (SELECT COUNT(*) FROM nation),
+        |    (SELECT COUNT(*) FROM nation n LEFT JOIN region r
+        |      ON n.n_regionkey = r.r_regionkey WHERE r.r_regionkey IS NULL)
+        |  UNION ALL SELECT 'orders.o_custkey->customer',
+        |    (SELECT COUNT(*) FROM orders),
+        |    (SELECT COUNT(*) FROM orders o LEFT JOIN customer c
+        |      ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL)
+        |  UNION ALL SELECT 'supplier.s_nationkey->nation',
+        |    (SELECT COUNT(*) FROM supplier),
+        |    (SELECT COUNT(*) FROM supplier s LEFT JOIN nation n
+        |      ON s.s_nationkey = n.n_nationkey WHERE n.n_nationkey IS NULL))
+        |SELECT fk, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(n_orphans AS BIGINT) AS n_orphans, n_orphans = 0 AS ok
+        |FROM e ORDER BY fk""".stripMargin,
     "dq_outlier_iqr" ->
       """WITH v AS (SELECT o_totalprice AS v, o_orderkey FROM orders),
         |n AS (SELECT COUNT(*) AS n FROM v),

@@ -702,7 +702,92 @@ object Sim {
       .orderBy("i", "j")
   }
 
+  /** Top principal direction of the embedding corpus by POWER ITERATION
+    * on the exact Gramian-derived covariance — the step after
+    * [[embCovariance]] in a PCA/whitening pipeline, built on the same
+    * one-scan mergeable aggregate: the 64×64 covariance numerators
+    * n·Σqiqj − Σqi·Σqj are exact integers (two-limb Gramian state →
+    * DECIMAL), and only the 3 unrolled x ↦ Mx/‖Mx‖ steps are IEEE —
+    * every fold runs in ascending-index order (zip_with + sequential
+    * aggregate), mirrored by ordered list_sums in the oracle, so the
+    * iteration is bit-replayable. Output: the top-8 |loading|
+    * dimensions of the dominant eigenvector + the Rayleigh eigenvalue
+    * in covariance units. At 100 TB: ONE scan (the Gramian), then
+    * driver-scale 64×64 math — the standard tall-skinny PCA shape
+    * (Spark ML computePrincipalComponents does the same: Gramian on the
+    * cluster, eigendecomposition on 64×64).
+    */
+  private val pcaPower: Q = (s, dir) => {
+    import org.apache.spark.sql.graft.GramianAgg.gramian_of
+    val e = vectors(s, dir)
+    val g = e.select(expr("transform(v, x -> cast(round(x * 1048576) as bigint))").as("q"))
+      .agg(gramian_of(col("q"), 64).as("g"))
+      .select(expr("g.n").as("n"), expr("g.s").as("s"), expr("g.p").as("p"))
+    var it = g.select(col("n"), expr(
+        """transform(sequence(0, 63), i -> transform(sequence(0, 63), j ->
+          |  cast(n * element_at(p, cast(CASE WHEN i <= j
+          |        THEN i*64 - (i*(i-1)) div 2 + (j - i) + 1
+          |        ELSE j*64 - (j*(j-1)) div 2 + (i - j) + 1 END as int))
+          |    - cast(element_at(s, i + 1) as decimal(19,0))
+          |      * cast(element_at(s, j + 1) as decimal(19,0)) as double)))"""
+          .stripMargin).as("m"))
+      .withColumn("v", expr("transform(sequence(1, 64), x -> 0.125d)"))
+    (1 to 3).foreach { _ =>
+      // materialize each step: withColumn substitution would otherwise
+      // INLINE the previous iteration's expression under every one of
+      // the 64 lambda references — a 64^k expression-tree blowup that
+      // never finishes analysis. One-row localCheckpoints are free.
+      it = it
+        .withColumn("w", expr(
+          "transform(m, row -> aggregate(zip_with(row, v, (a, b) -> a * b), 0d, (acc, x) -> acc + x))"))
+        .withColumn("nw", expr(
+          "sqrt(aggregate(transform(w, x -> x * x), 0d, (acc, x) -> acc + x))"))
+        .withColumn("v", expr("transform(w, x -> x / nw)"))
+        .localCheckpoint(true)
+    }
+    it.select(col("n"), col("nw"), posexplode(col("v")).as(Seq("pos", "loading")))
+      .withColumn("ark", row_number().over(
+        Window.orderBy(abs(col("loading")).desc, col("pos"))))
+      .filter(col("ark") <= 8)
+      .select(col("pos").cast("bigint").as("dim"),
+        round(col("loading"), 6).as("loading"),
+        round(col("nw") / (col("n").cast("double") * col("n") * lit(1099511627776.0)), 9)
+          .as("eig"))
+      .orderBy("dim")
+  }
+
+  /** Matryoshka-style dimension-truncation ablation: recall@5 of
+    * brute cosine search over the FIRST 16 of 64 dimensions against the
+    * full-dimension truth — the measurement behind "can we serve the
+    * index at d/4?" for MRL-trained embeddings. Same recall-gate shape
+    * as the LSH/IVF/PQ families; the truncated pass reads 1/4 of the
+    * vector bytes, which at 100 TB is the entire point.
+    */
+  private val matryoshkaRecall: Q = (s, dir) => {
+    val e = vectors(s, dir)
+      .withColumn("v16", expr("slice(v, 1, 16)"))
+      .withColumn("n16", sqrt(vec_dot(col("v16"), col("v16"))))
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("v16").as("qv16"), col("n16").as("qn16"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos16").desc, col("vec_id"))
+    val pref = broadcast(q).crossJoin(e)
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos16", round(vec_dot(col("qv16"), col("v16")) / (col("qn16") * col("n16")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= K)
+      .select(col("q_id").as("aq"), col("vec_id").as("ac"))
+    val brute = bruteTopk(s, dir).select(col("q_id"), col("cand_id"))
+    brute.join(pref,
+        col("q_id") === col("aq") && col("cand_id") === col("ac"), "left")
+      .groupBy("q_id")
+      .agg(expr("cast(count(ac) as bigint)").as("n_hit"))
+      .withColumn("recall_at_5", col("n_hit").cast("double") / 5)
+      .orderBy("q_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "emb_pca_power" -> pcaPower,
+    "emb_matryoshka_recall" -> matryoshkaRecall,
     "emb_covariance" -> embCovariance,
     "sim_knn_classify" -> knnClassify,
     "emb_pq_encode" -> pqEncode,
@@ -863,6 +948,60 @@ object Sim {
       |  WHERE rk <= 5)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // HUGEINT Gramian sums → 64×64 covariance numerators exact, then 3
+    // power-iteration steps as ordered list_sum folds (the ADC ordered-
+    // fold discipline) — the IEEE chain replays the Spark side exactly
+    "emb_pca_power" ->
+      """WITH pv AS MATERIALIZED (SELECT list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> CAST(round(x * 1048576) AS BIGINT)) AS qv FROM embeddings),
+        |pn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pv),
+        |ps AS MATERIALIZED (SELECT i, CAST(SUM(qv[i+1]) AS HUGEINT) AS s
+        |  FROM pv, range(64) t(i) GROUP BY i),
+        |pp AS MATERIALIZED (SELECT i, j, SUM(CAST(qv[i+1] AS HUGEINT) * qv[j+1]) AS pij
+        |  FROM pv, range(64) a(i), range(64) b(j) GROUP BY i, j),
+        |pm AS MATERIALIZED (SELECT pp.i, pp.j, CAST(n * pij - si.s * sj.s AS DOUBLE) AS mv
+        |  FROM pp JOIN ps si ON si.i = pp.i JOIN ps sj ON sj.i = pp.j, pn),
+        |pmm AS MATERIALIZED (SELECT i, list(mv ORDER BY j) AS row FROM pm GROUP BY i),
+        |w1 AS (SELECT i, list_sum(list_transform(range(64), j -> row[j+1] * 0.125)) AS w FROM pmm),
+        |w1l AS (SELECT list(w ORDER BY i) AS wl FROM w1),
+        |n1 AS (SELECT sqrt(list_sum(list_transform(wl, x -> x * x))) AS nw FROM w1l),
+        |v1 AS (SELECT list_transform(wl, x -> x / nw) AS vl FROM w1l, n1),
+        |w2 AS (SELECT i, list_sum(list_transform(range(64), j -> row[j+1] * vl[j+1])) AS w FROM pmm, v1),
+        |w2l AS (SELECT list(w ORDER BY i) AS wl FROM w2),
+        |n2 AS (SELECT sqrt(list_sum(list_transform(wl, x -> x * x))) AS nw FROM w2l),
+        |v2 AS (SELECT list_transform(wl, x -> x / nw) AS vl FROM w2l, n2),
+        |w3 AS (SELECT i, list_sum(list_transform(range(64), j -> row[j+1] * vl[j+1])) AS w FROM pmm, v2),
+        |w3l AS (SELECT list(w ORDER BY i) AS wl FROM w3),
+        |n3 AS (SELECT sqrt(list_sum(list_transform(wl, x -> x * x))) AS nw FROM w3l),
+        |v3 AS (SELECT list_transform(wl, x -> x / nw) AS vl FROM w3l, n3),
+        |px AS (SELECT i, vl[i+1] AS loading FROM v3, range(64) t(i)),
+        |pr AS (SELECT i, loading,
+        |  row_number() OVER (ORDER BY abs(loading) DESC, i) AS ark FROM px)
+        |SELECT CAST(pr.i AS BIGINT) AS dim, round(pr.loading, 6) AS loading,
+        |  round((SELECT nw FROM n3) / (CAST(pn.n AS DOUBLE) * pn.n * 1099511627776.0), 9) AS eig
+        |FROM pr, pn WHERE pr.ark <= 8 ORDER BY dim""".stripMargin,
+    "emb_matryoshka_recall" ->
+      """WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |vv AS (SELECT vec_id, v,
+        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+        |    v[1:16] AS v16,
+        |    sqrt(list_sum(list_transform(v[1:16], x -> x * x))) AS n16 FROM v0),
+        |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, v16 AS qv16, n16 AS qn16
+        |  FROM vv WHERE vec_id < 8),
+        |bs AS (SELECT q.q_id, w.vec_id,
+        |    round(list_sum(list_transform(range(64), i -> q.qv[i+1] * w.v[i+1])) / (q.qn * w.nrm), 6) AS cs
+        |  FROM q JOIN vv w ON q.q_id <> w.vec_id),
+        |bt AS (SELECT q_id, vec_id FROM (SELECT *,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, vec_id) rk FROM bs) WHERE rk <= 5),
+        |ts AS (SELECT q.q_id, w.vec_id,
+        |    round(list_sum(list_transform(range(16), i -> q.qv16[i+1] * w.v16[i+1])) / (q.qn16 * w.n16), 6) AS cs
+        |  FROM q JOIN vv w ON q.q_id <> w.vec_id),
+        |tt AS (SELECT q_id, vec_id FROM (SELECT *,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, vec_id) rk FROM ts) WHERE rk <= 5)
+        |SELECT b.q_id, CAST(COUNT(t.vec_id) AS BIGINT) AS n_hit,
+        |  CAST(COUNT(t.vec_id) AS DOUBLE) / 5 AS recall_at_5
+        |FROM bt b LEFT JOIN tt t ON b.q_id = t.q_id AND b.vec_id = t.vec_id
+        |GROUP BY b.q_id ORDER BY b.q_id""".stripMargin,
     "sim_mips_topk_ivf" ->
       s"""WITH $oMipsIvfCte
          |SELECT q_id, rk, cand_id, ip FROM mir ORDER BY q_id, rk""".stripMargin,

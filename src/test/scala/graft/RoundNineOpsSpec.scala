@@ -109,6 +109,102 @@ class RoundNineOpsSpec extends AnyFunSuite {
       s"non-exact pairs leaked: ${(approx -- exact).take(5)}")
   }
 
+  test("emb_pca_power: loadings match an in-memory power iteration from the exact Gramian") {
+    import org.apache.spark.sql.functions._
+    val vecs = Tables(s, dir, "embeddings")
+      .select(expr("transform(cast(embedding as array<double>), x -> cast(round(x * 1048576) as bigint))"))
+      .collect().map(_.getSeq[Long](0).toArray)
+    val n = vecs.length
+    val d = 64
+    val sums = Array.fill(d)(BigInt(0))
+    val prods = Array.fill(d, d)(BigInt(0))
+    vecs.foreach { q =>
+      for (i <- 0 until d) {
+        sums(i) += q(i)
+        for (j <- 0 until d) prods(i)(j) += BigInt(q(i)) * q(j)
+      }
+    }
+    val m = Array.tabulate(d, d)((i, j) => (BigInt(n) * prods(i)(j) - sums(i) * sums(j)).toDouble)
+    var v = Array.fill(d)(0.125)
+    var nw = 0.0
+    (1 to 3).foreach { _ =>
+      val w = m.map(row => row.zip(v).map { case (a, b) => a * b }.sum)
+      nw = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / nw)
+    }
+    val want = v.zipWithIndex.sortBy { case (x, i) => (-math.abs(x), i) }.take(8)
+      .map { case (x, i) => (i.toLong, x) }.sortBy(_._1)
+    val got = SparkEntry.queries("emb_pca_power")(s, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.map(_._1).toSeq == want.map(_._1).toSeq,
+      s"top-|loading| dims differ: got ${got.map(_._1).mkString(",")} want ${want.map(_._1).mkString(",")}")
+    got.zip(want).foreach { case ((_, g), (_, w)) =>
+      assert(math.abs(g - w) <= 1e-5, s"loading drift: $g vs $w")
+    }
+  }
+
+  test("emb_matryoshka_recall: recall equals the in-memory 16-dim vs 64-dim top-5 overlap") {
+    import org.apache.spark.sql.functions._
+    val rows = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), expr("cast(embedding as array<double>)"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def topk(q: (Long, Array[Double]), dims: Int): Set[Long] = {
+      def cos(a: Array[Double], b: Array[Double]) = {
+        val d = (0 until dims).map(i => a(i) * b(i)).sum
+        val na = math.sqrt((0 until dims).map(i => a(i) * a(i)).sum)
+        val nb = math.sqrt((0 until dims).map(i => b(i) * b(i)).sum)
+        BigDecimal(d / (na * nb)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      rows.filter(_._1 != q._1)
+        .map { case (id, v) => (id, cos(q._2, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSet
+    }
+    val want = rows.filter(_._1 < 8).map { q =>
+      q._1 -> (topk(q, 64) & topk(q, 16)).size
+    }.toMap
+    val got = SparkEntry.queries("emb_matryoshka_recall")(s, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    assert(got == want, s"recall overlap drift: got $got want $want")
+  }
+
+  test("dq_drift_psi: PSI is non-negative and matches an in-memory recomputation") {
+    import org.apache.spark.sql.functions._
+    val o = Tables(s, dir, "orders")
+      .select(col("o_totalprice"), col("o_orderdate").cast("string"))
+      .collect().map(r => (r.getDouble(0), r.getString(1) < "1998-01-01"))
+    val mn = o.map(_._1).min
+    val mx = o.map(_._1).max
+    def bkt(v: Double): Long =
+      if (mx == mn) 0L else math.min(math.floor((v - mn) / ((mx - mn) / 10)).toLong, 9L)
+    val na = o.filter(_._2).groupBy(x => bkt(x._1)).view.mapValues(_.size.toLong).toMap
+    val nb = o.filterNot(_._2).groupBy(x => bkt(x._1)).view.mapValues(_.size.toLong).toMap
+    val ta = na.values.sum.toDouble
+    val tb = nb.values.sum.toDouble
+    val keys = (na.keySet ++ nb.keySet).toSeq
+    val psi = keys.map { k =>
+      val pa = math.max(na.getOrElse(k, 0L) / ta, 1e-6)
+      val pb = math.max(nb.getOrElse(k, 0L) / tb, 1e-6)
+      (pa - pb) * math.log(pa / pb)
+    }.sum
+    val r = SparkEntry.queries("dq_drift_psi")(s, dir).head()
+    assert(r.getAs[Double]("psi") >= 0.0, "PSI terms are (x-y)ln(x/y) >= 0 — a negative total is impossible")
+    assert(math.abs(r.getAs[Double]("psi") - psi) <= 1e-5,
+      s"psi ${r.getAs[Double]("psi")} vs in-memory $psi")
+    assert(r.getAs[Long]("n_a") == ta.toLong && r.getAs[Long]("n_b") == tb.toLong)
+  }
+
+  test("dq_ref_integrity: every FK edge is clean on generated TPC-H data, with exact row counts") {
+    val rows = SparkEntry.queries("dq_ref_integrity")(s, dir).collect()
+    assert(rows.length == 7)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("ok") && r.getAs[Long]("n_orphans") == 0L,
+        s"${r.getAs[String]("fk")}: ${r.getAs[Long]("n_orphans")} orphans")
+    }
+    val li = Tables(s, dir, "lineitem").count()
+    assert(rows.filter(_.getAs[String]("fk").startsWith("lineitem."))
+      .forall(_.getAs[Long]("n_rows") == li))
+  }
+
   test("xxhash64 pair keys: zero ckey collisions in the corpus (documented assumption, now checked)") {
     import org.apache.spark.sql.functions._
     // the posting-join pair keys are xxhash64(md5(text)) longs; a
