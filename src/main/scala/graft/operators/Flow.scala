@@ -871,7 +871,29 @@ object Flow {
       .orderBy("dow")
   }
 
+  /** Inter-event-time distribution: per-user lag deltas (exact µs
+    * integers on ONE user_id exchange) fed to the histogram-selection
+    * percentile substrate — exact interpolated p50/p90/p99 of the gap
+    * distribution with no global sort and no unbounded aggregate state.
+    * The latency-distribution question every event pipeline asks, and a
+    * second fact table (events) exercising the substrate. At 100 TB:
+    * the lag window rides the standard user_id exchange; the substrate
+    * adds its three map-side-combining scans over the gap column.
+    */
+  private val gapPercentiles: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gaps = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        unix_micros(col("ts")).as("t"))
+      .withColumn("pt", lag(col("t"), 1).over(w))
+      .filter(col("pt").isNotNull)
+      .select((col("t") - col("pt")).cast("double").as("v"))
+    Relational.histogramSelect(gaps, Seq(50, 90, 99))
+  }
+
   val queries: Map[String, Q] = Map(
+    "flow_gap_percentiles" -> gapPercentiles,
     "ts_dow_seasonality" -> dowSeasonality,
     "cdc_apply_deletes" -> cdcDeletes,
     "flow_rfm_segments" -> rfm,
@@ -1127,6 +1149,23 @@ object Flow {
         |  COUNT(*) AS n_days
         |FROM g GROUP BY user_id, anchor
         |ORDER BY user_id, start_day""".stripMargin,
+    "flow_gap_percentiles" ->
+      """WITH g AS (SELECT user_id, event_id, epoch_us(ts) AS t,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pt
+        |  FROM events),
+        |v AS (SELECT CAST(t - pt AS DOUBLE) AS v FROM g WHERE pt IS NOT NULL),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v) AS r FROM v),
+        |n AS (SELECT COUNT(*) AS n FROM v),
+        |sp AS (SELECT p100, n, p100 * (n - 1) AS pos100
+        |  FROM (VALUES (50), (90), (99)) AS t(p100), n),
+        |sp2 AS (SELECT p100, n, pos100 // 100 + 1 AS lo, pos100 % 100 AS m FROM sp),
+        |pick AS (SELECT sp2.p100, MAX(sp2.n) AS n, MAX(sp2.m) AS m,
+        |    MAX(CASE WHEN r.r = sp2.lo THEN v END) AS vlo,
+        |    MAX(CASE WHEN r.r = sp2.lo + 1 THEN v END) AS vhi
+        |  FROM sp2 JOIN r ON r.r BETWEEN sp2.lo AND sp2.lo + 1 GROUP BY 1)
+        |SELECT p100 / 100.0 AS pct, CAST(n AS BIGINT) AS n,
+        |  round(vlo + (m * (COALESCE(vhi, vlo) - vlo)) / 100.0, 6) AS value
+        |FROM pick ORDER BY pct""".stripMargin,
     "flow_attribution_linear" ->
       """WITH p AS (SELECT user_id, event_id AS pid, epoch_us(ts) AS pts,
         |    CAST(round(value * 100, 0) AS BIGINT) * 10000 AS ucents

@@ -749,6 +749,33 @@ object Relational {
     histogramSelect(li, Seq(50, 90, 99))
   }
 
+  /** Robust means — winsorized (values clipped to [p05, p95]) and
+    * trimmed (values outside dropped) — COMPOSING the histogram-selection
+    * substrate (exact interpolated fences, no sort, no unbounded state)
+    * with one clipped map-side-combining aggregate over the broadcast
+    * 2-value fence row. Sums route through DECIMAL(25,6) (the dsum
+    * discipline) so the means are merge-order-free; one IEEE division +
+    * round(6) each. At 100 TB: the substrate's three scans + one more —
+    * the standard robust-statistics pass no built-in covers exactly.
+    */
+  private val aggRobustMean: Q = (s, dir) => {
+    val li = Tables(s, dir, "lineitem").select(col("l_extendedprice").as("v"))
+    val fences = histogramSelect(li, Seq(5, 95))
+      .agg(max(when(col("pct") === 0.05, col("value"))).as("p05"),
+        max(when(col("pct") === 0.95, col("value"))).as("p95"))
+    li.crossJoin(broadcast(fences))
+      .agg(count(lit(1)).as("n"),
+        max(col("p05")).as("p05"), max(col("p95")).as("p95"),
+        (sum(least(greatest(col("v"), col("p05")), col("p95"))
+          .cast("decimal(25,6)")).cast("double") / count(lit(1))).as("wm"),
+        (sum(when(col("v").between(col("p05"), col("p95")), col("v"))
+          .cast("decimal(25,6)")).cast("double") /
+          count(when(col("v").between(col("p05"), col("p95")), lit(1)))).as("tm"))
+      .select(col("n"), col("p05"), col("p95"),
+        round(col("wm"), 6).as("winsorized_mean"),
+        round(col("tm"), 6).as("trimmed_mean"))
+  }
+
   /** PER-GROUP exact percentiles by histogram selection — the "p99 per
     * endpoint" query every latency dashboard runs, exact, with bounded
     * state (the built-in `percentile` buffers every group value;
@@ -1102,6 +1129,7 @@ object Relational {
     "join_skew_salted" -> joinSkewSalted,
     "agg_percentile" -> aggPercentile,
     "agg_percentile_dist" -> aggPercentileDist,
+    "agg_robust_mean" -> aggRobustMean,
     "agg_percentile_weighted" -> aggPercentileWeighted,
     "agg_percentile_grouped" -> aggPercentileGrouped,
     "agg_approx_quantile" -> aggApproxQuantile,
@@ -1367,6 +1395,26 @@ object Relational {
         | round(min(l_extendedprice), 6) AS p0,
         | round(max(l_extendedprice), 6) AS p100
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_robust_mean" ->
+      """WITH v AS (SELECT l_extendedprice AS v FROM lineitem),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v) AS r FROM v),
+        |n AS (SELECT COUNT(*) AS n FROM v),
+        |sp AS (SELECT p100, n, p100 * (n - 1) AS pos100
+        |  FROM (VALUES (5), (95)) AS t(p100), n),
+        |sp2 AS (SELECT p100, n, pos100 // 100 + 1 AS lo, pos100 % 100 AS m FROM sp),
+        |pick AS (SELECT sp2.p100, MAX(sp2.m) AS m,
+        |    MAX(CASE WHEN r.r = sp2.lo THEN v END) AS vlo,
+        |    MAX(CASE WHEN r.r = sp2.lo + 1 THEN v END) AS vhi
+        |  FROM sp2 JOIN r ON r.r BETWEEN sp2.lo AND sp2.lo + 1 GROUP BY 1),
+        |f AS (SELECT
+        |    MAX(CASE WHEN p100 = 5 THEN round(vlo + (m * (COALESCE(vhi, vlo) - vlo)) / 100.0, 6) END) AS p05,
+        |    MAX(CASE WHEN p100 = 95 THEN round(vlo + (m * (COALESCE(vhi, vlo) - vlo)) / 100.0, 6) END) AS p95
+        |  FROM pick)
+        |SELECT CAST(n.n AS BIGINT) AS n, f.p05 AS p05, f.p95 AS p95,
+        |  round(CAST(SUM(CAST(least(greatest(v.v, f.p05), f.p95) AS DECIMAL(25,6))) AS DOUBLE) / n.n, 6) AS winsorized_mean,
+        |  round(CAST(SUM(CASE WHEN v.v BETWEEN f.p05 AND f.p95 THEN CAST(v.v AS DECIMAL(25,6)) END) AS DOUBLE)
+        |    / COUNT(CASE WHEN v.v BETWEEN f.p05 AND f.p95 THEN 1 END), 6) AS trimmed_mean
+        |FROM v, f, n GROUP BY n.n, f.p05, f.p95""".stripMargin,
     "agg_percentile_dist" ->
       """WITH v AS (SELECT l_extendedprice AS v, l_orderkey, l_linenumber FROM lineitem),
         |r AS (SELECT v, row_number() OVER (ORDER BY v, l_orderkey, l_linenumber) AS r FROM v),

@@ -205,6 +205,58 @@ class RoundNineOpsSpec extends AnyFunSuite {
       .forall(_.getAs[Long]("n_rows") == li))
   }
 
+  test("agg_robust_mean: fences and both means match an in-memory recomputation") {
+    import org.apache.spark.sql.functions._
+    val vs = Tables(s, dir, "lineitem").select(col("l_extendedprice"))
+      .collect().map(_.getDouble(0)).sorted
+    val n = vs.length
+    def fence(p: Int): Double = {
+      val pos100 = p.toLong * (n - 1)
+      val lo = (pos100 / 100).toInt
+      val m = pos100 % 100
+      val vlo = vs(lo)
+      val vhi = if (lo + 1 < n) vs(lo + 1) else vlo
+      BigDecimal(vlo + (m * (vhi - vlo)) / 100.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val (p05, p95) = (fence(5), fence(95))
+    val wm = vs.map(v => BigDecimal(math.min(math.max(v, p05), p95))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum / n
+    val trimmedVals = vs.filter(v => v >= p05 && v <= p95)
+    val tm = trimmedVals.map(v => BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum / trimmedVals.length
+    val r = SparkEntry.queries("agg_robust_mean")(s, dir).head()
+    assert(r.getAs[Long]("n") == n)
+    assert(r.getAs[Double]("p05") == p05 && r.getAs[Double]("p95") == p95)
+    assert(math.abs(r.getAs[Double]("winsorized_mean") - wm.toDouble) <= 1e-5)
+    assert(math.abs(r.getAs[Double]("trimmed_mean") - tm.toDouble) <= 1e-5)
+  }
+
+  test("flow_gap_percentiles: matches the in-memory interpolated percentiles of per-user gaps") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val gaps = ev.groupBy(_._1).values.flatMap { rows =>
+      rows.sortBy(r => (r._3, r._2)).sliding(2).collect {
+        case Array(a, b) => (b._3 - a._3).toDouble
+      }
+    }.toArray.sorted
+    val n = gaps.length
+    val got = SparkEntry.queries("flow_gap_percentiles")(s, dir).collect()
+      .map(r => (r.getAs[Double]("pct"), r.getAs[Double]("value"))).toMap
+    Seq(50, 90, 99).foreach { p =>
+      val pos100 = p.toLong * (n - 1)
+      val lo = (pos100 / 100).toInt
+      val m = pos100 % 100
+      val vlo = gaps(lo)
+      val vhi = if (lo + 1 < n) gaps(lo + 1) else vlo
+      val want = BigDecimal(vlo + (m * (vhi - vlo)) / 100.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(got(p / 100.0) - want) <= 1e-9, s"p$p: got ${got(p / 100.0)} want $want")
+    }
+  }
+
   test("xxhash64 pair keys: zero ckey collisions in the corpus (documented assumption, now checked)") {
     import org.apache.spark.sql.functions._
     // the posting-join pair keys are xxhash64(md5(text)) longs; a
