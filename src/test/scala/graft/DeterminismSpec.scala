@@ -69,6 +69,14 @@ class DeterminismSpec extends AnyFunSuite {
     "flow_attribution_linear", // integer micro-cent split, total-ordered remainders
     "ts_theilsen",         // explicit rank-formula medians on the pair table
     "train_curriculum",    // globalRank + closed-form ntile over the doc table
+    "dedup_ngram_minhash", // md5-permutation minhash banding + exact verify
+    "dedup_ngram_minhash_recall", // both pair pipelines + one division
+    "emb_pca_power",       // exact Gramian numerators; ordered IEEE folds
+    "emb_matryoshka_recall", // two brute rank passes on round6'd cosines
+    "agg_robust_mean",     // selection-substrate fences + DECIMAL-routed sums
+    "flow_gap_percentiles", // lag deltas into the value-collapse substrate
+    "dq_drift_psi",        // exact bucket counts; shares/ln at the end
+    "dq_ref_integrity",    // anti-join counts only
   )
 
   underTest.foreach { name =>
