@@ -297,6 +297,20 @@ class PlanEvidenceSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(exchanges <= 3, s"expected user_id + path (+final rank) exchanges only, got $exchanges:\n$p")
   }
 
+  test("percentile family: NO row-ranking window survives — selection runs on collapsed distinct values") {
+    // the round-9 degenerate-skew fix: straddle rows collapse to
+    // (value, multiplicity) map-side, so the plan must contain no
+    // row_number over data rows in any of the three variants (the old
+    // formulation's per-bucket row_number is exactly what funneled ~n
+    // rows into one task under a dominant value)
+    Seq("agg_percentile_dist", "agg_percentile_grouped", "agg_percentile_weighted")
+      .foreach { q =>
+        val p = planString(SparkEntry.queries(q)(s, dir))
+        assert(!p.contains("row_number"),
+          s"$q: a row-ranking window reappeared in the physical plan:\n$p")
+      }
+  }
+
   test("AQE re-plans a small sort-merge join into a broadcast join") {
     import org.apache.spark.sql.functions._
     val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
