@@ -463,7 +463,16 @@ object Graph {
     * their star-contraction idea; RoundNineOpsSpec proves the separation
     * on a diameter-50 path where 8-round hash-min returns non-components).
     */
-  private[graft] def pointerDoubleLabels(adj: DataFrame, maxRounds: Int): DataFrame = {
+  private[graft] def pointerDoubleLabels(adj: DataFrame, maxRounds: Int): DataFrame =
+    pointerDoubleLabelsWithRounds(adj, maxRounds)._1
+
+  /** [[pointerDoubleLabels]] plus the number of rounds actually run —
+    * the observable the O(log d) claim is probed on (BASELINE.md
+    * round-9: a 1 M-node path converges in ~log₂ rounds where hash-min
+    * would need a million).
+    */
+  private[graft] def pointerDoubleLabelsWithRounds(
+      adj: DataFrame, maxRounds: Int): (DataFrame, Int) = {
     val allNodes = adj.select(col("src").as("node")).distinct().localCheckpoint(true)
     var lbl = allNodes.select(col("node"), col("node").as("lbl")).localCheckpoint(true)
     var r = 1
@@ -495,7 +504,7 @@ object Graph {
       lbl = next
       r += 1
     }
-    lbl
+    (lbl, r - 1)
   }
 
   private def componentsOutput(lbl: DataFrame): DataFrame = {
