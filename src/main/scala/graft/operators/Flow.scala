@@ -889,7 +889,8 @@ object Flow {
       .withColumn("pt", lag(col("t"), 1).over(w))
       .filter(col("pt").isNotNull)
       .select((col("t") - col("pt")).cast("double").as("v"))
-    Relational.histogramSelect(gaps, Seq(50, 90, 99))
+    Relational.histogramSelect(gaps, Seq(50, 90, 99),
+      cacheKey = Some((s, dir, "pct.gaps")))
   }
 
   val queries: Map[String, Q] = Map(

@@ -558,24 +558,26 @@ object Ingest {
     * moved" before a model does. o_totalprice histograms over 10 fixed
     * global-range buckets in period A (< 1998-01-01) vs B (≥); PSI =
     * Σ (pa − pb)·ln(pa/pb) with the standard 1e-6 share floor so empty
-    * buckets stay finite. Counts are exact integers from ONE
-    * map-side-combining scan (conditional sums); shares/ln are the only
-    * IEEE steps, replayed verbatim by the oracle. PSI ≥ 0.2 is the
-    * conventional "significant drift" flag. At 100 TB: one scan + a
-    * 1-row broadcast of the global range — the dq_profile shape.
+    * buckets stay finite. Counts are exact integers from two
+    * map-side-combining scans (the min/max range pass + the histogram
+    * pass — the selection-substrate shape); shares/ln are the only IEEE
+    * steps, replayed verbatim by the oracle. PSI ≥ 0.2 is the
+    * conventional "significant drift" flag.
     */
   private val dqDriftPsi: Q = (s, dir) => {
     val o = Tables(s, dir, "orders")
       .select(col("o_totalprice").as("v"),
         (col("o_orderdate") < lit("1998-01-01")).as("in_a"))
     val mm = o.agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
-    val b = o.crossJoin(broadcast(mm))
+    // b is ≤10 rows and referenced by both tot and the final select —
+    // session-cached so the histogram pass runs once, not per reference
+    val b = graft.Cached.of(s, dir, "dq.psi.hist")(o.crossJoin(broadcast(mm))
       .withColumn("bkt", when(col("mx") === col("mn"), lit(0L)).otherwise(
         least(floor((col("v") - col("mn")) / ((col("mx") - col("mn")) / 10)), lit(9L))
           .cast("long")))
       .groupBy("bkt")
       .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("na"),
-        sum(when(!col("in_a"), 1L).otherwise(0L)).as("nb"))
+        sum(when(!col("in_a"), 1L).otherwise(0L)).as("nb")))
     val tot = b.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
     b.crossJoin(broadcast(tot))
       .withColumn("pa", greatest(col("na").cast("double") / col("ta"), lit(1e-6)))
@@ -610,7 +612,8 @@ object Ingest {
     val cust = Tables(s, dir, "customer")
     val sup = Tables(s, dir, "supplier")
     val nat = Tables(s, dir, "nation")
-    val liN = li.agg(count(lit(1)).as("n_rows")).persist()
+    val liN = graft.Cached.of(s, dir, "dq.ref.liN")(
+      li.agg(count(lit(1)).as("n_rows")))
     val ordN = ord.agg(count(lit(1)).as("n_rows"))
     val custN = cust.agg(count(lit(1)).as("n_rows"))
     val supN = sup.agg(count(lit(1)).as("n_rows"))

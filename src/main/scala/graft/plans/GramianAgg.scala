@@ -108,7 +108,7 @@ object GramianBuffer {
     * here must be an error, never a wrong answer).
     */
   private[graft] def guardSums(n: Long): Unit =
-    require(n <= (1L << 43),
+    require(n < (1L << 43),
       s"gramian_of: $n rows exceeds the 2^43 exact-sum bound for 2^20-quantized components")
 }
 
