@@ -629,7 +629,47 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Per-source boilerplate-span detection — the C4/RefinedWeb cleaning
+    * step that catches template headers, licence banners and navigation
+    * chrome BEFORE they reach training data: a 7-token span appearing in
+    * ≥ 30% of one source's documents is boilerplate for that source even
+    * when whole-doc similarity is low. The synthetic corpus carries no
+    * natural boilerplate (measured: max per-source span df = 1), so the
+    * query APPENDS the failure mode it exists to catch — even-numbered
+    * sources get a 10-token template header prepended (the
+    * pii_redact/norm_outliers augmentation discipline) and must surface
+    * exactly its pure-header spans. Shape at 100 TB: one tokenize
+    * explode (rows ~ tokens), one map-side-combining (source, span-md5)
+    * aggregate, a 20-row broadcast of per-source doc counts — the
+    * dedup_span shape plus per-source normalization; span TEXT never
+    * shuffles, only md5s.
+    */
+  private val boilerplateSpans: Q = (s, dir) => {
+    val d = Tables.docsSpread(s, dir).select(col("doc_id"), col("source"), col("text"))
+    val aug = d.withColumn("text",
+      when(expr("cast(substr(source, 4, 8) as int) % 2 = 0"),
+        concat(lit("tmpl hdr alpha beta gamma delta epsilon zeta eta theta "), col("text")))
+        .otherwise(col("text")))
+    val sp = aug
+      .withColumn("tk", expr("filter(split(text, ' '), t -> length(t) > 0)"))
+      .select(col("doc_id"), col("source"), explode(expr(
+        """CASE WHEN size(tk) < 7 THEN CAST(array() AS array<string>)
+          |ELSE transform(sequence(1, size(tk) - 6), i -> md5(concat_ws(' ', slice(tk, i, 7))))
+          |END""".stripMargin)).as("h"))
+    val f = sp.groupBy("source", "h")
+      .agg(expr("cast(count(distinct doc_id) as bigint)").as("df"))
+    val sd = aug.groupBy("source")
+      .agg(expr("cast(count(distinct doc_id) as bigint)").as("nd"))
+    f.join(broadcast(sd), "source")
+      .groupBy("source")
+      .agg(max(col("nd")).as("n_docs"),
+        sum(when(col("df") * 10 >= col("nd") * 3, 1L).otherwise(0L)).as("n_boiler_spans"),
+        max(col("df")).as("max_span_df"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_boilerplate_spans" -> boilerplateSpans,
     "text_watermark_detect" -> watermarkDetect,
     "text_bpe_train" -> bpeTrain,
     "text_bpe_count" -> bpeCount,
@@ -684,6 +724,28 @@ object Text {
        |SELECT doc_id, n_words, n_bpe_tokens FROM bpd ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "text_boilerplate_spans" ->
+      """WITH d0 AS (SELECT doc_id, source, text FROM documents),
+        |aug AS (SELECT doc_id, source,
+        |    CASE WHEN CAST(substr(source, 4, 8) AS INT) % 2 = 0
+        |      THEN 'tmpl hdr alpha beta gamma delta epsilon zeta eta theta ' || text
+        |      ELSE text END AS text
+        |  FROM d0),
+        |tk AS (SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk FROM aug),
+        |sp AS (SELECT doc_id, source, unnest(
+        |    CASE WHEN len(tk) < 7 THEN CAST([] AS VARCHAR[])
+        |    ELSE list_transform(range(1, len(tk) - 5), i -> md5(array_to_string(tk[i:i+6], ' ')))
+        |    END) AS h
+        |  FROM tk),
+        |f AS (SELECT source, h, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        |  FROM sp GROUP BY 1, 2),
+        |sd AS (SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
+        |  FROM aug GROUP BY 1)
+        |SELECT f.source, MAX(sd.nd) AS n_docs,
+        |  CAST(SUM(CASE WHEN df * 10 >= sd.nd * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler_spans,
+        |  MAX(df) AS max_span_df
+        |FROM f JOIN sd USING (source) GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_watermark_detect" ->
       """WITH aug AS (
         |  SELECT doc_id, text FROM documents

@@ -257,6 +257,27 @@ class RoundNineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("text_boilerplate_spans: flags exactly the injected template header, nothing else") {
+    val rows = SparkEntry.queries("text_boilerplate_spans")(s, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val even = src.drop(3).toInt % 2 == 0
+      if (even) {
+        // a 10-token header yields exactly 4 pure-header 7-grams, each in
+        // EVERY doc of the source; header-boundary spans mix in varying
+        // doc prefixes and must stay under the 30% share
+        assert(r.getAs[Long]("n_boiler_spans") == 4L,
+          s"$src: ${r.getAs[Long]("n_boiler_spans")} boilerplate spans (want the 4 header grams)")
+        assert(r.getAs[Long]("max_span_df") == r.getAs[Long]("n_docs"),
+          s"$src: header spans must hit every doc")
+      } else {
+        assert(r.getAs[Long]("n_boiler_spans") == 0L,
+          s"$src: uninjected source flagged ${r.getAs[Long]("n_boiler_spans")} spans")
+      }
+    }
+  }
+
   test("xxhash64 pair keys: zero ckey collisions in the corpus (documented assumption, now checked)") {
     import org.apache.spark.sql.functions._
     // the posting-join pair keys are xxhash64(md5(text)) longs; a
