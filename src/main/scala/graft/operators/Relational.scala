@@ -807,7 +807,8 @@ object Relational {
       .agg(min(col("v")).as("mn"), max(col("v")).as("mx"), count(lit(1)).as("n")))
     val withB = li.join(broadcast(mm), "g")
       .withColumn("b", histBucket(col("v"), nb))
-    val hist = withB.groupBy("g", "b").agg(count(lit(1)).as("cnt"))
+    val hist = withB.groupBy("g", "b").agg(count(lit(1)).as("cnt"),
+      min(col("v")).as("bmn"), max(col("v")).as("bmx"))
     val cum = hist.withColumn("below", coalesce(
         sum(col("cnt")).over(Window.partitionBy("g").orderBy("b")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
@@ -825,16 +826,29 @@ object Relational {
         col("g") === col("g_") &&
           col("r") > col("below") && col("r") <= col("below") + col("cnt"))
         .drop("g_"))
-    // DISTINCT-VALUE COLLAPSE (the histogramSelectParts degenerate-skew
-    // defense, group-keyed): straddle-bucket rows collapse to (value,
-    // multiplicity) map-side BEFORE the rank-locating window, so a group
-    // where one value holds 90% of the rows contributes ONE dv row for
-    // that value — no window partition ever sees the hot value's count
-    val buckets = located.select(col("g"), col("b"), col("below")).distinct()
-    val dv = withB.join(broadcast(buckets), Seq("g", "b"))
-      .groupBy("g", "b", "below", "v").agg(count(lit(1)).as("cv"))
-    val cumv = dv.withColumn("below_v", col("below") + coalesce(
-        sum(col("cv")).over(Window.partitionBy("g", "b").orderBy("v")
+    // DISTINCT-VALUE COLLAPSE + one sub-bucket level (the FULL
+    // histogramSelectParts degenerate-skew defense, group-keyed):
+    // straddle-bucket rows collapse to (value, multiplicity) map-side
+    // BEFORE any window — a group where one value holds 90% of the rows
+    // contributes ONE dv row for it — and sub-bucketing on the bucket's
+    // own [min, max] bounds window partitions by
+    // distinct-values-per-1/nb² even on all-distinct concentrated groups
+    val buckets = located
+      .select(col("g"), col("b"), col("below"), col("bmn"), col("bmx")).distinct()
+    val dv = graft.Cached.of(s, dir, "pct.grp.dv")(
+      withB.join(broadcast(buckets), Seq("g", "b"))
+        .withColumn("b2", when(col("bmx") === col("bmn"), lit(0L)).otherwise(
+          least(floor((col("v") - col("bmn")) / ((col("bmx") - col("bmn")) / nb)),
+            lit(nb - 1L)).cast("long")))
+        .groupBy("g", "b", "below", "b2", "v").agg(count(lit(1)).as("cv")))
+    val cum2 = dv.groupBy("g", "b", "b2").agg(sum(col("cv")).as("cnt2"))
+      .withColumn("below2", coalesce(
+        sum(col("cnt2")).over(Window.partitionBy("g", "b").orderBy("b2")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("g"), col("b"), col("b2"), col("below2"))
+    val cumv = dv.join(broadcast(cum2), Seq("g", "b", "b2"))
+      .withColumn("below_v", col("below") + col("below2") + coalesce(
+        sum(col("cv")).over(Window.partitionBy("g", "b", "b2").orderBy("v")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
     val picked = cumv.join(
         broadcast(located.select(col("g").as("gg"), col("p100"),
@@ -879,7 +893,8 @@ object Relational {
       li.agg(min(col("v")).as("mn"), max(col("v")).as("mx"), sum(col("w")).as("tw")))
     val hist = li.crossJoin(broadcast(mm))
       .withColumn("b", histBucket(col("v"), nb))
-      .groupBy("b").agg(sum(col("w")).as("bw"))
+      .groupBy("b").agg(sum(col("w")).as("bw"),
+        min(col("v")).as("bmn"), max(col("v")).as("bmx"))
     val cum = hist.withColumn("below", coalesce(
         sum(col("bw")).over(Window.orderBy("b")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
@@ -889,20 +904,32 @@ object Relational {
       specs.join(broadcast(cum),
         col("t100") > col("below") * 100 &&
           col("t100") <= (col("below") + col("bw")) * 100))
-    val buckets = located.select(col("b"), col("below")).distinct()
-    // DISTINCT-VALUE COLLAPSE (the histogramSelectParts degenerate-skew
-    // defense, weighted): straddle-bucket rows collapse to (value,
-    // Σweight) map-side, so the cumulative-weight window runs over the
-    // bucket's DISTINCT values — a dominant value is one dv row at any
-    // multiplicity, and the type-1 pick (smallest v whose cumulative
-    // weight reaches the target) is unchanged because equal values share
-    // one cumulative span
-    val dv = li.crossJoin(broadcast(mm))
-      .withColumn("b", histBucket(col("v"), nb))
-      .join(broadcast(buckets), "b")
-      .groupBy("b", "below", "v").agg(sum(col("w")).as("wv"))
-    val cumv = dv.withColumn("cw", col("below") + sum(col("wv")).over(
-        Window.partitionBy("b").orderBy(col("v"))
+    val buckets = located
+      .select(col("b"), col("below"), col("bmn"), col("bmx")).distinct()
+    // DISTINCT-VALUE COLLAPSE + one sub-bucket level (the FULL
+    // histogramSelectParts degenerate-skew defense, weighted):
+    // straddle-bucket rows collapse to (value, Σweight) map-side — a
+    // dominant value is one dv row at any multiplicity — and the
+    // cumulative-weight windows run per (bucket, sub-bucket) over
+    // distinct values only; the type-1 pick (smallest v whose global
+    // cumulative weight reaches the target) is unchanged because equal
+    // values share one cumulative span and cw stays globally offset
+    val dv = graft.Cached.of(s, dir, "pct.w.dv")(
+      li.crossJoin(broadcast(mm))
+        .withColumn("b", histBucket(col("v"), nb))
+        .join(broadcast(buckets), "b")
+        .withColumn("b2", when(col("bmx") === col("bmn"), lit(0L)).otherwise(
+          least(floor((col("v") - col("bmn")) / ((col("bmx") - col("bmn")) / nb)),
+            lit(nb - 1L)).cast("long")))
+        .groupBy("b", "below", "b2", "v").agg(sum(col("w")).as("wv")))
+    val cum2 = dv.groupBy("b", "b2").agg(sum(col("wv")).as("w2"))
+      .withColumn("below2", coalesce(
+        sum(col("w2")).over(Window.partitionBy("b").orderBy("b2")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("b"), col("b2"), col("below2"))
+    val cumv = dv.join(broadcast(cum2), Seq("b", "b2"))
+      .withColumn("cw", col("below") + col("below2") + sum(col("wv")).over(
+        Window.partitionBy("b", "b2").orderBy(col("v"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     cumv.join(
         broadcast(located.select(col("p100").as("p_"), col("t100"), col("tw").as("tw_"),

@@ -285,4 +285,41 @@ class PropertySpec extends AnyFunSuite {
     assert(parts.getLong(0) <= 300,
       s"a window partition holds ${parts.getLong(0)} rows — the degenerate-skew bound is broken")
   }
+
+  test("property: histogram selection on an all-DISTINCT concentrated column — the sub-bucket level bounds window partitions") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    import s.implicits._
+    // the adversarial complement of duplicate skew: 20 000 DISTINCT
+    // values packed into one bucket's range ([0, 1e-6] with a 1e6
+    // outlier) — collapse alone cannot shrink this; the one recursion
+    // level must split the hot bucket so no (b, b2) partition holds the
+    // whole concentration
+    val nb = 16
+    val vs: Seq[Double] = Seq.tabulate(20000)(i => i * 5e-11) :+ 1e6
+    val rnd = new scala.util.Random(13)
+    val df = rnd.shuffle(vs).zipWithIndex
+      .map { case (v, i) => (v, i.toLong) }.toDF("v", "k")
+    val (res, dv) =
+      operators.Relational.histogramSelectParts(df, Seq(50, 90, 99), nb = nb)
+    val got = res.collect()
+      .map(r => (r.getAs[Double]("pct"), r.getAs[Double]("value"))).toMap
+    val sorted = vs.sorted
+    val n = sorted.length
+    Seq(50, 90, 99).foreach { p =>
+      val pos100 = p.toLong * (n - 1)
+      val lo = (pos100 / 100).toInt
+      val m = pos100 % 100
+      val vlo = sorted(lo)
+      val vhi = if (lo + 1 < n) sorted(lo + 1) else vlo
+      val want = BigDecimal(vlo + (m * (vhi - vlo)) / 100.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(got(p / 100.0) - want) <= 1e-9, s"p$p: got ${got(p / 100.0)} want $want")
+    }
+    val mx = dv.groupBy("b", "b2").agg(count(lit(1)).as("sz"))
+      .agg(org.apache.spark.sql.functions.max(col("sz"))).head().getLong(0)
+    // 20 000 distincts over nb sub-buckets of the hot bucket's own range
+    // → ~n/nb per partition; 4× slack for uneven spread
+    assert(mx <= 20000 / nb * 4,
+      s"a window partition holds $mx rows — the sub-bucket level failed to split the concentration")
+  }
 }
