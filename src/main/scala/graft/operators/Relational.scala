@@ -628,6 +628,15 @@ object Relational {
       least(floor((v - col("mn")) / ((col("mx") - col("mn")) / nb)), lit(nb - 1L))
         .cast("long"))
 
+  /** The same monotone nb-cell bucketing over an EXPLICIT [lo, hi] range
+    * — the sub-bucket (recursion) level of the selection substrate,
+    * shared by the global, grouped and weighted variants so the
+    * zero-width guard and the top-cell cap live in exactly one place.
+    */
+  private[operators] def subBucket(v: Column, lo: Column, hi: Column, nb: Int): Column =
+    when(hi === lo, lit(0L)).otherwise(
+      least(floor((v - lo) / ((hi - lo) / nb)), lit(nb - 1L)).cast("long"))
+
   /** The histogram-selection engine behind the exact-percentile family —
     * exposed for the property gate (PropertySpec drives it over skewed /
     * duplicate-heavy generated data). Input: column `v` (double); any
@@ -712,9 +721,7 @@ object Relational {
     // all-DISTINCT concentrated bucket by distinct-values-per-1/nb² of
     // the value domain.
     val dv = keep("dv")(withB.join(broadcast(buckets), "b")
-      .withColumn("b2", when(col("bmx") === col("bmn"), lit(0L)).otherwise(
-        least(floor((col("v") - col("bmn")) / ((col("bmx") - col("bmn")) / nb)),
-          lit(nb - 1L)).cast("long")))
+      .withColumn("b2", subBucket(col("v"), col("bmn"), col("bmx"), nb))
       .groupBy("b", "below", "b2", "v").agg(count(lit(1)).as("cv")))
     // sub-bucket totals (≤ nb·|straddle buckets| rows) → per-sub-bucket
     // rank offsets over the cached dv
@@ -837,9 +844,7 @@ object Relational {
       .select(col("g"), col("b"), col("below"), col("bmn"), col("bmx")).distinct()
     val dv = graft.Cached.of(s, dir, "pct.grp.dv")(
       withB.join(broadcast(buckets), Seq("g", "b"))
-        .withColumn("b2", when(col("bmx") === col("bmn"), lit(0L)).otherwise(
-          least(floor((col("v") - col("bmn")) / ((col("bmx") - col("bmn")) / nb)),
-            lit(nb - 1L)).cast("long")))
+        .withColumn("b2", subBucket(col("v"), col("bmn"), col("bmx"), nb))
         .groupBy("g", "b", "below", "b2", "v").agg(count(lit(1)).as("cv")))
     val cum2 = dv.groupBy("g", "b", "b2").agg(sum(col("cv")).as("cnt2"))
       .withColumn("below2", coalesce(
@@ -918,9 +923,7 @@ object Relational {
       li.crossJoin(broadcast(mm))
         .withColumn("b", histBucket(col("v"), nb))
         .join(broadcast(buckets), "b")
-        .withColumn("b2", when(col("bmx") === col("bmn"), lit(0L)).otherwise(
-          least(floor((col("v") - col("bmn")) / ((col("bmx") - col("bmn")) / nb)),
-            lit(nb - 1L)).cast("long")))
+        .withColumn("b2", subBucket(col("v"), col("bmn"), col("bmx"), nb))
         .groupBy("b", "below", "b2", "v").agg(sum(col("w")).as("wv")))
     val cum2 = dv.groupBy("b", "b2").agg(sum(col("wv")).as("w2"))
       .withColumn("below2", coalesce(

@@ -646,8 +646,12 @@ object Text {
     */
   private val boilerplateSpans: Q = (s, dir) => {
     val d = Tables.docsSpread(s, dir).select(col("doc_id"), col("source"), col("text"))
+    // injection tag = md5(source) first-nibble parity: corpus-agnostic
+    // (no assumption about the source naming scheme) and identical in
+    // both engines — a numeric-suffix cast would NULL on Spark but
+    // ERROR in DuckDB for an unexpected source format
     val aug = d.withColumn("text",
-      when(expr("cast(substr(source, 4, 8) as int) % 2 = 0"),
+      when(expr("substr(md5(source), 1, 1) in ('0','2','4','6','8','a','c','e')"),
         concat(lit("tmpl hdr alpha beta gamma delta epsilon zeta eta theta "), col("text")))
         .otherwise(col("text")))
     val sp = aug
@@ -658,8 +662,9 @@ object Text {
           |END""".stripMargin)).as("h"))
     val f = sp.groupBy("source", "h")
       .agg(expr("cast(count(distinct doc_id) as bigint)").as("df"))
-    val sd = aug.groupBy("source")
-      .agg(expr("cast(count(distinct doc_id) as bigint)").as("nd"))
+    // doc counts from the UN-augmented frame with a plain count:
+    // augmentation never changes row count and doc_id is unique per row
+    val sd = d.groupBy("source").agg(count(lit(1)).as("nd"))
     f.join(broadcast(sd), "source")
       .groupBy("source")
       .agg(max(col("nd")).as("n_docs"),
@@ -727,7 +732,7 @@ object Text {
     "text_boilerplate_spans" ->
       """WITH d0 AS (SELECT doc_id, source, text FROM documents),
         |aug AS (SELECT doc_id, source,
-        |    CASE WHEN CAST(substr(source, 4, 8) AS INT) % 2 = 0
+        |    CASE WHEN substr(md5(source), 1, 1) IN ('0','2','4','6','8','a','c','e')
         |      THEN 'tmpl hdr alpha beta gamma delta epsilon zeta eta theta ' || text
         |      ELSE text END AS text
         |  FROM d0),
@@ -740,8 +745,8 @@ object Text {
         |  FROM tk),
         |f AS (SELECT source, h, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
         |  FROM sp GROUP BY 1, 2),
-        |sd AS (SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
-        |  FROM aug GROUP BY 1)
+        |sd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nd
+        |  FROM d0 GROUP BY 1)
         |SELECT f.source, MAX(sd.nd) AS n_docs,
         |  CAST(SUM(CASE WHEN df * 10 >= sd.nd * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler_spans,
         |  MAX(df) AS max_span_df

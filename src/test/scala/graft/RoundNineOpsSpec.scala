@@ -258,11 +258,25 @@ class RoundNineOpsSpec extends AnyFunSuite {
   }
 
   test("text_boilerplate_spans: flags exactly the injected template header, nothing else") {
+    def injected(source: String): Boolean = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(source.getBytes("UTF-8"))
+      "%02x".format(h(0) & 0xff).charAt(0) match {
+        case '0' | '2' | '4' | '6' | '8' | 'a' | 'c' | 'e' => true
+        case _ => false
+      }
+    }
     val rows = SparkEntry.queries("text_boilerplate_spans")(s, dir).collect()
     assert(rows.nonEmpty)
+    assert(rows.exists(r => injected(r.getAs[String]("source"))) &&
+      rows.exists(r => !injected(r.getAs[String]("source"))),
+      "corpus must contain both injected and clean sources for the test to mean anything")
     rows.foreach { r =>
       val src = r.getAs[String]("source")
-      val even = src.drop(3).toInt % 2 == 0
+      // the 30% share threshold needs >= 4 docs per source, or df = 1
+      // natural spans would clear it — pin the corpus assumption
+      assert(r.getAs[Long]("n_docs") >= 4L, s"$src: only ${r.getAs[Long]("n_docs")} docs")
+      val even = injected(src)
       if (even) {
         // a 10-token header yields exactly 4 pure-header 7-grams, each in
         // EVERY doc of the source; header-boundary spans mix in varying
