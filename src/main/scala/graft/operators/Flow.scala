@@ -893,8 +893,36 @@ object Flow {
       cacheKey = Some((s, dir, "pct.gaps")))
   }
 
+  /** Seasonal-naive forecast BACKTEST — the baseline every real
+    * forecasting pipeline must beat, evaluated honestly: predict each
+    * day's event count by the count 7 days earlier, then score MAE and
+    * MAPE over all scored days. Counts collapse map-side to the day
+    * grain (one scan); the lag-7 lookup is a self-join on the ≤series
+    * day table; error terms are EXACT integers (MAPE per-day ratios
+    * quantize to micro-units before summing — the dyadic/autocorr
+    * discipline — so the aggregate is merge-order-free and replays
+    * bit-for-bit). Output: one row (n_days, n_scored, mae, mape_pct).
+    */
+  private val forecastSnaive: Q = (s, dir) => {
+    val daily = Tables(s, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("d"))
+      .agg(count(lit(1)).as("y"))
+    val pred = daily.select(date_add(col("d"), 7).as("d"), col("y").as("yhat"))
+    val scored = daily.join(pred, "d")
+      .withColumn("abs_err", abs(col("y") - col("yhat")))
+      .withColumn("ape_micro",
+        expr("cast(round(abs_err * 1000000.0 / y) as bigint)"))
+    daily.agg(count(lit(1)).as("n_days")).crossJoin(
+      scored.agg(count(lit(1)).as("n_scored"),
+        sum(col("abs_err")).as("sae"), sum(col("ape_micro")).as("sape")))
+      .select(col("n_days"), col("n_scored"),
+        round(col("sae").cast("double") / col("n_scored"), 6).as("mae"),
+        round(col("sape").cast("double") / col("n_scored") / 10000.0, 6).as("mape_pct"))
+  }
+
   val queries: Map[String, Q] = Map(
     "flow_gap_percentiles" -> gapPercentiles,
+    "ts_forecast_snaive" -> forecastSnaive,
     "ts_dow_seasonality" -> dowSeasonality,
     "cdc_apply_deletes" -> cdcDeletes,
     "flow_rfm_segments" -> rfm,
@@ -1150,6 +1178,18 @@ object Flow {
         |  COUNT(*) AS n_days
         |FROM g GROUP BY user_id, anchor
         |ORDER BY user_id, start_day""".stripMargin,
+    "ts_forecast_snaive" ->
+      """WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS y FROM events GROUP BY 1),
+        |pred AS (SELECT d + INTERVAL 7 DAY AS d, y AS yhat FROM daily),
+        |sc AS (SELECT daily.y, pred.yhat, abs(daily.y - pred.yhat) AS abs_err,
+        |    CAST(round(abs(daily.y - pred.yhat) * 1000000.0 / daily.y) AS BIGINT) AS ape_micro
+        |  FROM daily JOIN pred ON daily.d = pred.d)
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+        |  CAST(COUNT(*) AS BIGINT) AS n_scored,
+        |  round(CAST(SUM(abs_err) AS DOUBLE) / COUNT(*), 6) AS mae,
+        |  round(CAST(SUM(ape_micro) AS DOUBLE) / COUNT(*) / 10000.0, 6) AS mape_pct
+        |FROM sc""".stripMargin,
     "flow_gap_percentiles" ->
       """WITH g AS (SELECT user_id, event_id, epoch_us(ts) AS t,
         |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pt

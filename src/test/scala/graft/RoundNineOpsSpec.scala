@@ -292,6 +292,26 @@ class RoundNineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ts_forecast_snaive: MAE/MAPE match an in-memory lag-7 backtest") {
+    import org.apache.spark.sql.functions._
+    val daily = Tables(s, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("d"))
+      .agg(count(lit(1)).as("y"))
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1))).toMap
+    val scored = daily.toSeq.flatMap { case (d, y) =>
+      daily.get(d.minusDays(7)).map(yhat => (y, yhat))
+    }
+    val mae = scored.map { case (y, yh) => math.abs(y - yh) }.sum.toDouble / scored.size
+    val mape = scored.map { case (y, yh) =>
+      math.round(math.abs(y - yh) * 1000000.0 / y)
+    }.sum.toDouble / scored.size / 10000.0
+    val r = SparkEntry.queries("ts_forecast_snaive")(s, dir).head()
+    assert(r.getAs[Long]("n_days") == daily.size)
+    assert(r.getAs[Long]("n_scored") == scored.size)
+    assert(math.abs(r.getAs[Double]("mae") - mae) <= 1e-6)
+    assert(math.abs(r.getAs[Double]("mape_pct") - mape) <= 1e-6)
+  }
+
   test("xxhash64 pair keys: zero ckey collisions in the corpus (documented assumption, now checked)") {
     import org.apache.spark.sql.functions._
     // the posting-join pair keys are xxhash64(md5(text)) longs; a
