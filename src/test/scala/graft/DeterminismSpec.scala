@@ -77,6 +77,8 @@ class DeterminismSpec extends AnyFunSuite {
     "flow_gap_percentiles", // lag deltas into the value-collapse substrate
     "dq_drift_psi",        // exact bucket counts; shares/ln at the end
     "dq_ref_integrity",    // anti-join counts only
+    "text_boilerplate_spans", // md5 spans, exact df counts, integer threshold
+    "ts_forecast_snaive",  // integer error terms, micro-unit MAPE quantization
   )
 
   underTest.foreach { name =>
