@@ -673,8 +673,52 @@ object Text {
       .orderBy("source")
   }
 
+  /** Variable-length duplicated-substring RUNS — the exact-substring
+    * dedup criterion of Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better" (substrings ≥ N tokens appearing in more
+    * than one document), computed WITHOUT suffix arrays: consecutive
+    * cross-doc-duplicated 7-token windows chain into maximal islands via
+    * the gaps-and-islands trick (i − row_number is constant on a run),
+    * and an island spanning positions [a, b] covers exactly b − a + 7
+    * tokens. Per doc: run count, longest run, its start. Shape at
+    * 100 TB: one tokenize explode, one map-side-combining duplicate
+    * filter on span md5s, and a per-DOC position window (bounded by
+    * document length, never corpus size).
+    */
+  private val dupSubstringRuns: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val sp = Tables.docsSpread(s, dir)
+      .withColumn("tk", expr("filter(split(text, ' '), t -> length(t) > 0)"))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(tk) < 7 THEN CAST(array() AS array<struct<i: int, h: string>>)
+          |ELSE transform(sequence(1, size(tk) - 6), i -> struct(i AS i, md5(concat_ws(' ', slice(tk, i, 7))) AS h))
+          |END""".stripMargin)).as("sp"))
+      .select(col("doc_id"), col("sp.i").as("i"), col("sp.h").as("h"))
+    val dup = sp.groupBy("h")
+      .agg(expr("cast(count(distinct doc_id) as bigint)").as("nd"))
+      .filter(col("nd") >= 2)
+      .select("h")
+    val fl = sp.join(dup, "h")
+    val isl = fl.withColumn("grp",
+      col("i") - row_number().over(Window.partitionBy("doc_id").orderBy("i")))
+    val runs = isl.groupBy("doc_id", "grp")
+      .agg(min(col("i")).as("st"),
+        (max(col("i")) - min(col("i")) + 7).cast("bigint").as("run_tokens"))
+    // longest run with ties broken to the SMALLEST start: one struct-max
+    // (lexicographic on (run_tokens, -st)) — deterministic, single agg
+    runs.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_runs"),
+        max(struct(col("run_tokens"), (-col("st")).as("negst"))).as("best"))
+      .filter(col("best.run_tokens") >= 12)
+      .select(col("doc_id"), col("n_runs"),
+        col("best.run_tokens").as("max_run_tokens"),
+        (-col("best.negst")).cast("bigint").as("longest_start"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "text_boilerplate_spans" -> boilerplateSpans,
+    "text_dup_substring_runs" -> dupSubstringRuns,
     "text_watermark_detect" -> watermarkDetect,
     "text_bpe_train" -> bpeTrain,
     "text_bpe_count" -> bpeCount,
@@ -729,6 +773,27 @@ object Text {
        |SELECT doc_id, n_words, n_bpe_tokens FROM bpd ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "text_dup_substring_runs" ->
+      """WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |sp AS (SELECT doc_id, i, md5(array_to_string(tk[i:i+6], ' ')) AS h
+        |  FROM (SELECT doc_id, tk, unnest(
+        |      CASE WHEN len(tk) < 7 THEN CAST([] AS BIGINT[])
+        |      ELSE range(1, len(tk) - 5) END) AS i FROM d)),
+        |dup AS (SELECT h FROM sp GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+        |fl AS (SELECT sp.doc_id, sp.i FROM sp JOIN dup USING (h)),
+        |isl AS (SELECT doc_id,
+        |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp, i
+        |  FROM fl),
+        |runs AS (SELECT doc_id, grp, MIN(i) AS st,
+        |    MAX(i) - MIN(i) + 7 AS run_tokens FROM isl GROUP BY 1, 2),
+        |ag AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_runs,
+        |    CAST(MAX(run_tokens) AS BIGINT) AS mx FROM runs GROUP BY 1)
+        |SELECT ag.doc_id, ag.n_runs, ag.mx AS max_run_tokens,
+        |  CAST(MIN(CASE WHEN r.run_tokens = ag.mx THEN r.st END) AS BIGINT) AS longest_start
+        |FROM ag JOIN runs r USING (doc_id)
+        |WHERE ag.mx >= 12
+        |GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
     "text_boilerplate_spans" ->
       """WITH d0 AS (SELECT doc_id, source, text FROM documents),
         |aug AS (SELECT doc_id, source,

@@ -79,6 +79,7 @@ class DeterminismSpec extends AnyFunSuite {
     "dq_ref_integrity",    // anti-join counts only
     "text_boilerplate_spans", // md5 spans, exact df counts, integer threshold
     "ts_forecast_snaive",  // integer error terms, micro-unit MAPE quantization
+    "text_dup_substring_runs", // md5 spans + integer island arithmetic
   )
 
   underTest.foreach { name =>

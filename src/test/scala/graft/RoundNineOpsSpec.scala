@@ -312,6 +312,39 @@ class RoundNineOpsSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("mape_pct") - mape) <= 1e-6)
   }
 
+  test("text_dup_substring_runs: matches an in-memory chained-island recomputation") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1).split(" ").filter(_.nonEmpty)))
+    def md5(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val spans = docs.flatMap { case (id, tk) =>
+      (0 to tk.length - 7).map(i => (id, i + 1, md5(tk.slice(i, i + 7).mkString(" "))))
+    }
+    val dup = spans.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2).keySet
+    val want = docs.flatMap { case (id, _) =>
+      val ps = spans.filter(x => x._1 == id && dup(x._3)).map(_._2).sorted
+      if (ps.isEmpty) None
+      else {
+        // chain consecutive positions into islands
+        val runs = ps.foldLeft(List.empty[(Int, Int)]) {
+          case ((a, b) :: rest, p) if p == b + 1 => (a, p) :: rest
+          case (acc, p) => (p, p) :: acc
+        }.map { case (a, b) => (a, b - a + 7) }
+        val mx = runs.map(_._2).max
+        if (mx < 12) None
+        else Some((id, runs.size.toLong, mx.toLong,
+          runs.filter(_._2 == mx).map(_._1).min.toLong))
+      }
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("text_dup_substring_runs")(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == want.toSeq,
+      s"run table drift: got ${got.take(3).mkString(",")} want ${want.take(3).mkString(",")}")
+  }
+
   test("xxhash64 pair keys: zero ckey collisions in the corpus (documented assumption, now checked)") {
     import org.apache.spark.sql.functions._
     // the posting-join pair keys are xxhash64(md5(text)) longs; a
