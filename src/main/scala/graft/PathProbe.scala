@@ -5,7 +5,9 @@ import org.apache.spark.sql.functions._
 
 /** Dev probe: pointer-doubling CC on a synthetic N-node PATH graph —
   * the adversarial diameter shape. Usage: runMain graft.PathProbe [n].
-  * Reports rounds used and wall time; hash-min would need N rounds.
+  * Reports PRODUCTIVE rounds (last round that changed a label — the
+  * trailing no-change verification round is excluded) and wall time;
+  * hash-min would need N rounds.
   */
 object PathProbe {
   def main(args: Array[String]): Unit = {

@@ -466,45 +466,60 @@ object Graph {
   private[graft] def pointerDoubleLabels(adj: DataFrame, maxRounds: Int): DataFrame =
     pointerDoubleLabelsWithRounds(adj, maxRounds)._1
 
-  /** [[pointerDoubleLabels]] plus the number of rounds actually run —
-    * the observable the O(log d) claim is probed on (BASELINE.md
-    * round-9: a 1 M-node path converges in ~log₂ rounds where hash-min
-    * would need a million).
+  /** [[pointerDoubleLabels]] plus the number of PRODUCTIVE rounds — the
+    * last round at which any label changed, the observable the O(log d)
+    * claim is probed on (BASELINE.md round-9: a 1 M-node path converges
+    * in ~log₂ rounds where hash-min would need a million). The final
+    * no-change verification round is excluded from the count (it does
+    * run, but its only effect is detecting the fixpoint).
     */
   private[graft] def pointerDoubleLabelsWithRounds(
       adj: DataFrame, maxRounds: Int): (DataFrame, Int) = {
     val allNodes = adj.select(col("src").as("node")).distinct().localCheckpoint(true)
     var lbl = allNodes.select(col("node"), col("node").as("lbl")).localCheckpoint(true)
     var r = 1
+    var lastChange = 0
     var converged = false
+    // monotone convergence check: labels only ever DECREASE, so the
+    // round changed something iff the exact label sum dropped — one
+    // narrow aggregate job over the fresh checkpoint instead of a
+    // node×node join per round (DECIMAL(38,0) keeps the sum exact at
+    // any node-id × node-count scale a cluster can hold)
+    def lblSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast("decimal(38,0)")).as("s"))
+        .head().getDecimal(0)
+    var prevSum = lblSum(lbl)
     while (r <= maxRounds && !converged) {
-      // materialize the gather before the self-join below: the jump
-      // references `gathered` twice, and a node-sized leaf keeps the
-      // per-round plan flat (the dedup_clusters localCheckpoint lesson)
-      val gathered = adj.join(lbl, col("src") === col("node"))
+      // gather + jump in ONE materialized round: lbl_r = lbl_{r-1} ∘
+      // gather. The jump goes THROUGH THE PREVIOUS round's table — not
+      // through the gather result as in rounds ≤9 — so reach still
+      // doubles (gather adds one hop, the lookup adds the previous
+      // round's full reach: reach_r = 2·reach_{r-1}+1 = 2^r − 1 on a
+      // path), the lookup join is total (labels are node ids and lbl
+      // covers every node), and labels only decrease (lbl_{r-1}(u) ≤ u,
+      // min monotonicity) — the fixpoint is the same unique
+      // min-reachable-id labeling. Referencing the checkpointed `lbl`
+      // leaf three times (gather join, union, lookup) is safe — the
+      // Spark 4 relation-dedup constraint bug (SURVEY §8a#3) trips only
+      // on the DIRECT self-join of one checkpointed frame, which this
+      // formulation never builds — so the round needs ONE
+      // materialization instead of the former three (the round-10
+      // double-buffer trim).
+      val gather = adj.join(lbl, col("src") === col("node"))
         .select(col("dst").as("node"), col("lbl"))
         .unionAll(lbl)
         .groupBy("node").agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint(true)
-      // jump: every label is a node id, and every node appears in
-      // `gathered` (the union keeps isolated-from-gather nodes), so the
-      // lookup join is total and labels only decrease (min monotonicity).
-      // The lookup side is checkpointed SEPARATELY: a self-join of one
-      // checkpointed frame trips Spark's relation-dedup constraint
-      // rewrite (cloned LogicalRDDs keep stale constraint attribute ids)
-      val lookup = gathered
-        .select(col("node").as("lbl"), col("lbl").as("lbl2"))
-        .localCheckpoint(true)
-      val next = gathered.join(lookup, "lbl")
+      val lookup = lbl.select(col("node").as("lbl"), col("lbl").as("lbl2"))
+      val next = gather.join(lookup, "lbl")
         .select(col("node"), col("lbl2").as("lbl"))
         .localCheckpoint(true)
-      val changed = next.as("n").join(lbl.as("o"), "node")
-        .filter(col("n.lbl") =!= col("o.lbl"))
-      if (changed.isEmpty) converged = true
+      val nextSum = lblSum(next)
+      if (nextSum.compareTo(prevSum) == 0) converged = true else lastChange = r
+      prevSum = nextSum
       lbl = next
       r += 1
     }
-    (lbl, r - 1)
+    (lbl, lastChange)
   }
 
   private def componentsOutput(lbl: DataFrame): DataFrame = {

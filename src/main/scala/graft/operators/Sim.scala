@@ -530,7 +530,8 @@ object Sim {
     * (bit-reproducible, see [[centroids]]) and probe order by centroid
     * INNER PRODUCT at nprobe=12 of 20 — the measured recall/probe
     * frontier on this corpus (BASELINE.md round-9 sweep; the 0.8 recall
-    * floor is pinned in RoundNineOpsSpec). Exact inner-product scoring
+    * floor is pinned in RoundSevenOpsSpec's updated sim_mips_recall
+    * test). Exact inner-product scoring
     * inside probed cells. Same augmented corpus as [[mipsTopk]]
     * (double-scaled variants), so the recall gate measures the index
     * against the genuinely-MIPS ranking the brute pass pins. At 100 TB:
