@@ -545,6 +545,113 @@ object Dedup {
   private val minhash: Q = (s, dir) =>
     minhashPairs(s, dir).orderBy("doc_a", "doc_b")
 
+  // ---------------------------------------------------- incremental dedup
+
+  /** Deterministic history/batch split of the corpus — the nightly
+    * pipeline shape: 75% of documents are the frozen HISTORY whose
+    * signature index is built once and persisted, 25% are tonight's
+    * BATCH (md5-prefix hash parity on doc_id, the
+    * sample_hash_bernoulli discipline, so both engines split
+    * identically).
+    */
+  private val isBatchExpr =
+    "substr(md5(concat('incr|', cast(doc_id as string))), 1, 2) < '40'"
+
+  /** The frozen history index: content collapse + 16×2 minhash bands
+    * over HISTORY documents only, session-cached exactly like the
+    * whole-corpus band table ([[minhashBands]]) — in production this is
+    * the table a nightly job reads, not rebuilds.
+    */
+  private def incrHistBands(s: SparkSession, dir: String): DataFrame =
+    graft.Cached.of(s, dir, "dedup.incr.hist") {
+      val g = shingles(s, dir).filter(not(expr(isBatchExpr)))
+        .groupBy("ckey").agg(first(col("sh64")).as("sh64"))
+        .withColumn("sig", minhash_sig(col("sh64"), 32))
+      g.select(col("ckey"), expr("cast(size(sh64) as bigint)").as("nsh"),
+          explode(expr(
+            "transform(sequence(0, 15), b -> struct(b AS bidx, xxhash64(element_at(sig, 2*b+1), element_at(sig, 2*b+2)) AS bh))"))
+            .as("band"))
+        .select(col("ckey"), col("nsh"),
+          col("band.bidx").as("bidx"), col("band.bh").as("bh"))
+    }
+
+  /** Incremental near-dup detection of a NEW batch against a FROZEN
+    * history index — the production nightly dedup shape the round-9
+    * verdict promoted: every other dedup query re-derives whole-corpus
+    * candidate structure, but a 100 TB pipeline joins tonight's slice
+    * against persisted signatures. Same measure/threshold/banding as
+    * [[minhashPairs]] (16 bands × 2 rows over 32 minhashes, exact
+    * Jaccard ≥ 0.8 verify on candidates), so the output is provably the
+    * whole-corpus pair set RESTRICTED to pairs touching a batch doc
+    * (signatures are content-determined, hence split-invariant —
+    * RoundTenOpsSpec pins the equality). Candidates come from two
+    * joins: batch bands × history bands (batch-vs-history, including
+    * identical content crossing the split — all 16 bands collide) and
+    * batch bands × batch bands (batch-internal). Cost tracks the BATCH:
+    * the history side is the cached index (band keys, 16 B/rep), never
+    * its text or shingles, and no history×history pair is ever formed.
+    * Output: (batch_doc, match_doc, jaccard, match_src∈{batch,history}).
+    */
+  private val incremental: Q = (s, dir) => {
+    val sh = shingles(s, dir)
+    val hist = incrHistBands(s, dir)
+    val bg = sh.filter(expr(isBatchExpr))
+      .groupBy("ckey").agg(count(lit(1)).as("cnt"), first(col("sh64")).as("sh64"))
+      .withColumn("sig", minhash_sig(col("sh64"), 32))
+    val bb = bg.select(col("ckey"), expr("cast(size(sh64) as bigint)").as("nsh"),
+        explode(expr(
+          "transform(sequence(0, 15), b -> struct(b AS bidx, xxhash64(element_at(sig, 2*b+1), element_at(sig, 2*b+2)) AS bh))"))
+          .as("band"))
+      .select(col("ckey"), col("nsh"),
+        col("band.bidx").as("bidx"), col("band.bh").as("bh"))
+    // size prefilter at candidate-row cost (J ≥ 0.8 ⇒ 4·max ≤ 5·min,
+    // exactly [[minhashPairs]]' bound); sizes ride the band tables so
+    // no extra join is needed, and no broadcast hint is given
+    val candX = bb.as("a").join(hist.as("b"),
+        col("a.bidx") === col("b.bidx") && col("a.bh") === col("b.bh") &&
+          greatest(col("a.nsh"), col("b.nsh")) * 4 <=
+            least(col("a.nsh"), col("b.nsh")) * 5)
+      .select(col("a.ckey").as("ka"), col("b.ckey").as("kb")).distinct()
+    val candB = bb.as("a").join(bb.as("b"),
+        col("a.bidx") === col("b.bidx") && col("a.bh") === col("b.bh") &&
+          col("a.ckey") < col("b.ckey") &&
+          greatest(col("a.nsh"), col("b.nsh")) * 4 <=
+            least(col("a.nsh"), col("b.nsh")) * 5)
+      .select(col("a.ckey").as("ka"), col("b.ckey").as("kb")).distinct()
+    // exact Jaccard verify once per candidate CONTENT pair (shingle
+    // sets are content-determined, shared with the whole-corpus cache)
+    val g = contentGroups(s, dir).select(col("ckey"), col("sh64"))
+    def verify(cand: DataFrame): DataFrame = cand
+      .join(g.select(col("ckey").as("ka"), col("sh64").as("sh_a")), "ka")
+      .join(g.select(col("ckey").as("kb"), col("sh64").as("sh_b")), "kb")
+      .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("shared").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("shared")))
+      .filter(col("jaccard") >= 0.8)
+      .select("ka", "kb", "jaccard")
+    val bDocs = sh.filter(expr(isBatchExpr)).select(col("ckey"), col("doc_id"))
+    val hDocs = sh.filter(not(expr(isBatchExpr))).select(col("ckey"), col("doc_id"))
+    // batch-vs-history: the batch doc leads regardless of id order
+    val cross = verify(candX)
+      .join(bDocs.select(col("ckey").as("ka"), col("doc_id").as("id_a")), "ka")
+      .join(hDocs.select(col("ckey").as("kb"), col("doc_id").as("id_b")), "kb")
+      .select(col("id_a").as("batch_doc"), col("id_b").as("match_doc"),
+        col("jaccard"), lit("history").as("match_src"))
+    // batch-internal near-dups between distinct contents
+    val inter = verify(candB)
+      .join(bDocs.select(col("ckey").as("ka"), col("doc_id").as("id_a")), "ka")
+      .join(bDocs.select(col("ckey").as("kb"), col("doc_id").as("id_b")), "kb")
+      .select(least(col("id_a"), col("id_b")).as("batch_doc"),
+        greatest(col("id_a"), col("id_b")).as("match_doc"),
+        col("jaccard"), lit("batch").as("match_src"))
+    // batch-internal identical content: J is exactly 1.0 in both engines
+    val intra = bDocs.as("a").join(bDocs.as("b"),
+        col("a.ckey") === col("b.ckey") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("batch_doc"), col("b.doc_id").as("match_doc"),
+        lit(1.0).as("jaccard"), lit("batch").as("match_src"))
+    cross.unionAll(inter).unionAll(intra).orderBy("batch_doc", "match_doc")
+  }
+
   // ---------------------------------------------------------------- simhash
 
   /** 60-bit SimHash per doc: md5-derived 60-bit token hashes (matching the
@@ -802,6 +909,7 @@ object Dedup {
     "dedup_ngram_minhash" -> ngramMinhash,
     "dedup_ngram_minhash_recall" -> ngramMinhashRecall,
     "dedup_minhash" -> minhash,
+    "dedup_incremental" -> incremental,
     "dedup_simhash" -> simhash,
     "dedup_simhash_pairs" -> simhashPairs,
     "dedup_embedding" -> embedding,
@@ -1002,6 +1110,27 @@ object Dedup {
          |GROUP BY 1, 2
          |HAVING CAST(COUNT(*) AS DOUBLE) / (ANY_VALUE(a.n) + ANY_VALUE(b.n) - COUNT(*)) >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // the incremental result is the whole-corpus J>=0.8 pair set
+    // restricted to pairs touching a batch doc, batch doc leading
+    "dedup_incremental" ->
+      s"""WITH sh AS (SELECT doc_id, $oShingle AS sh FROM documents),
+         |e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sh),
+         |fl AS (SELECT doc_id,
+         |    substr(md5('incr|' || CAST(doc_id AS VARCHAR)), 1, 2) < '40' AS is_batch
+         |  FROM documents),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(COUNT(*) AS DOUBLE) / (ANY_VALUE(a.n) + ANY_VALUE(b.n) - COUNT(*)) AS jaccard
+         |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |  HAVING CAST(COUNT(*) AS DOUBLE) / (ANY_VALUE(a.n) + ANY_VALUE(b.n) - COUNT(*)) >= 0.8),
+         |x AS (SELECT p.*, fa.is_batch AS ba, fb.is_batch AS bb FROM p
+         |  JOIN fl fa ON fa.doc_id = p.doc_a JOIN fl fb ON fb.doc_id = p.doc_b
+         |  WHERE fa.is_batch OR fb.is_batch)
+         |SELECT CASE WHEN ba THEN doc_a ELSE doc_b END AS batch_doc,
+         |  CASE WHEN ba THEN doc_b ELSE doc_a END AS match_doc,
+         |  jaccard,
+         |  CASE WHEN ba AND bb THEN 'batch' ELSE 'history' END AS match_src
+         |FROM x ORDER BY batch_doc, match_doc""".stripMargin,
     "dedup_simhash" ->
       s"""WITH $oSimhashCte
          |SELECT simhash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies

@@ -274,6 +274,106 @@ object Sim {
       .orderBy("vec_id")
   }
 
+  /** Lloyd's k-means to a MOVEMENT-THRESHOLD fixpoint — the clustering
+    * family's fixpoint discipline, matching what the graph family got
+    * in r8 (kcore) and r9 (CC): [[kmeansIter]] ships one
+    * bit-deterministic iteration; this loops the same exact ×2^20
+    * integer-quantized assign→update rounds and STOPS at the first
+    * round where at most 2% of vectors change cell (moved·50 ≤ n,
+    * exact integer math — the `tol` every production k-means exposes:
+    * on near-isotropic data the zero-movement tail is unboundedly long
+    * boundary wobble, measured in BASELINE.md round-10), with a hard
+    * cap of 6 update rounds. The stop round is a deterministic function
+    * of the data (first threshold hit, else the cap), so the oracle
+    * replays it exactly: it unrolls all 6 rounds, computes the same
+    * per-round move counts, and selects the same round's assignment —
+    * no no-op-tail assumption needed, and BOTH stop paths are
+    * hash-verified (the threshold fires at round 5 at sf0.01; the cap
+    * binds at sf0.1). Every round's centroid table and assignment are
+    * localCheckpointed (the emb_pca_power lambda-inlining guard; at
+    * 100 TB the assignment would persist to storage between rounds —
+    * same shape, and every round is one broadcast-assign scan plus one
+    * (cell,dim,sum) shuffle). Output per vector: first/stop-round cell,
+    * number of cell changes across executed rounds, final cosine, and
+    * the stop round. RoundTenOpsSpec pins the stopping rule and
+    * centroid-count invariance on this corpus.
+    */
+  private val kmeansConverge: Q = (s, dir) => kmeansConvergeDetail(s, dir)._1
+
+  /** [[kmeansConverge]] plus the loop observables RoundTenOpsSpec pins:
+    * the stop round and whether the movement threshold (rather than the
+    * cap alone) was satisfied there.
+    */
+  private[graft] def kmeansConvergeDetail(
+      s: SparkSession, dir: String): (DataFrame, Int, Boolean) = {
+    val e = vectors(s, dir)
+      .withColumn("x", expr("transform(v, t -> cast(round(t * 1048576.0) as double))"))
+      .withColumn("xn", sqrt(vec_dot(col("x"), col("x"))))
+      .select(col("vec_id"), col("label"), col("x"), col("xn"))
+      .localCheckpoint(true)
+    val n = e.count()
+    // one materialization per round: the assignment frame carries its
+    // whole history (first cell, cumulative move count, the round's
+    // moved flag), so neither the per-round convergence check nor the
+    // final output needs any join back across rounds. The centroid agg
+    // stays UNmaterialized inside the round plan — it hangs off the
+    // checkpointed previous assignment, so plan depth is constant (the
+    // lambda-inlining blowup needs expression re-substitution, which a
+    // leaf input cannot cause).
+    // argmax as max(struct(ccos, −cell)) — identical semantics to the
+    // (ccos DESC, cell ASC) rank window (struct comparison is
+    // lexicographic, negating the cell flips its order), but a
+    // partial-aggregating hash agg already co-partitioned on vec_id
+    // instead of a sort window — one less shuffle+sort per round
+    def assign(cents: DataFrame, prev: DataFrame): DataFrame =
+      prev.join(e, "vec_id").crossJoin(broadcast(cents))
+        .withColumn("ccos", vec_dot(col("x"), col("cv")) / (col("xn") * col("cn")))
+        .groupBy("vec_id")
+        .agg(max(struct(col("ccos"), (-col("cell")).as("nc"))).as("b"),
+          first(col("pcell")).as("pcell"),
+          first(col("cell_first")).as("cell_first"),
+          first(col("n_moves")).as("nm"))
+        .select(col("vec_id"), (-col("b.nc")).as("cell"), col("b.ccos").as("ccos"),
+          col("cell_first"),
+          (col("nm") + (-col("b.nc") =!= col("pcell")).cast("long")).as("n_moves"),
+          (-col("b.nc") =!= col("pcell")).as("moved"))
+        .localCheckpoint(true)
+    def cents(xs: DataFrame): DataFrame = xs
+      .groupBy("cell")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cx))), p -> p.cx)").as("cv"))
+      .withColumn("cn", sqrt(vec_dot(col("cv"), col("cv"))))
+    val c0 = cents(
+      e.select(col("label").as("cell"), posexplode(col("x")))
+        .groupBy("cell", "pos").agg((min(col("col")) + max(col("col"))).as("cx")))
+    val a0 = e.crossJoin(broadcast(c0))
+      .withColumn("ccos", vec_dot(col("x"), col("cv")) / (col("xn") * col("cn")))
+      .groupBy("vec_id")
+      .agg(max(struct(col("ccos"), (-col("cell")).as("nc"))).as("b"))
+      .select(col("vec_id"), (-col("b.nc")).as("cell"), col("b.ccos").as("ccos"),
+        (-col("b.nc")).as("cell_first"), lit(0L).as("n_moves"), lit(false).as("moved"))
+      .localCheckpoint(true)
+    var cur = a0
+    var stopRound = 0
+    var met = false
+    while (stopRound < 6 && !met) {
+      val c = cents(
+        cur.select(col("cell").as("pcell0"), col("vec_id"))
+          .join(e, "vec_id").select(col("pcell0").as("cell"), posexplode(col("x")))
+          .groupBy("cell", "pos").agg(sum(col("col")).as("cx")))
+      val an = assign(c, cur.select(col("vec_id"), col("cell").as("pcell"),
+        col("cell_first"), col("n_moves")))
+      stopRound += 1
+      if (an.filter(col("moved")).count() * 50 <= n) met = true
+      cur = an
+    }
+    val out = cur
+      .select(col("vec_id"), col("cell_first"), col("cell").as("cell_final"),
+        col("n_moves"), round(col("ccos"), 6).as("cos_final"),
+        lit(stopRound.toLong).as("stop_round"))
+      .orderBy("vec_id")
+    (out, stopRound, met)
+  }
+
   /** Product quantization encode — the 32× compression path under
     * IVF-PQ at ANN scale: 64 dims split into 8 subspaces of 8; per
     * subspace the codebook is the per-label midrange subvector (10
@@ -799,6 +899,7 @@ object Sim {
     "sim_mips_recall" -> mipsRecall,
     "sim_ivfpq_recall" -> ivfpqRecall,
     "emb_kmeans_iter" -> kmeansIter,
+    "emb_kmeans_converge" -> kmeansConverge,
     "emb_assign_nearest" -> assignNearest,
     "sim_cosine_topk" -> bruteTopk,
     "sim_cosine_topk_lsh" -> lshTopk,
@@ -947,6 +1048,81 @@ object Sim {
       |mb AS (SELECT q_id, rk, cand_id, ip FROM (
       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY ip DESC, cand_id) AS rk FROM mbs)
       |  WHERE rk <= 5)""".stripMargin
+
+  /** One unrolled Lloyd round for the emb_kmeans_converge oracle:
+    * integer-sum centroid update from a(r-1), then cosine-argmax
+    * re-assignment — the emb_kmeans_iter CTE shapes, MATERIALIZED (the
+    * graph_kcore exponential-inlining lesson). Generated per round so
+    * the 4 update rounds stay one block of source.
+    */
+  private def oKmeansRound(r: Int): String =
+    s"""c${r}d AS MATERIALIZED (SELECT cell, i, SUM(x[i]) AS cx
+       |        FROM a${r - 1}, range(1, 65) t(i) GROUP BY 1, 2),
+       |c$r AS MATERIALIZED (SELECT cell, cv, sqrt(list_sum(list_transform(cv, t -> t * t))) AS cn
+       |       FROM (SELECT cell, list(cx ORDER BY i) AS cv FROM c${r}d GROUP BY 1)),
+       |a$r AS MATERIALIZED (SELECT vec_id, cell, ccos, x, xn FROM (
+       |  SELECT xn.vec_id, c$r.cell, xn.x, xn.xn,
+       |    list_sum(list_transform(range(64), i -> xn.x[i+1] * c$r.cv[i+1]))
+       |      / (xn.xn * c$r.cn) AS ccos,
+       |    row_number() OVER (PARTITION BY xn.vec_id ORDER BY
+       |      list_sum(list_transform(range(64), i -> xn.x[i+1] * c$r.cv[i+1]))
+       |        / (xn.xn * c$r.cn) DESC, c$r.cell) AS rk
+       |  FROM xn CROSS JOIN c$r) WHERE rk = 1)""".stripMargin
+
+  /** Full emb_kmeans_converge oracle: midrange init + 6 unrolled
+    * update/assign rounds, then the SAME stopping rule the Spark loop
+    * applies — the first round whose move count satisfies moved·50 ≤ n
+    * (2% movement threshold), else the cap. The stop round is a
+    * deterministic function of the data, so selecting that round's
+    * assignment replays the early-exited loop exactly; rounds past the
+    * stop are computed but excluded from n_moves, matching the loop
+    * never running them.
+    */
+  private val oKmeansConverge: String = {
+    val cap = 6
+    val mCols = (1 to cap).map(r =>
+      s"""(SELECT COUNT(*) FROM a$r JOIN a${r - 1} USING (vec_id)
+         |     WHERE a$r.cell <> a${r - 1}.cell) AS m$r""".stripMargin).mkString(",\n  ")
+    val kCase = (1 to cap).map(r => s"WHEN m$r * 50 <= n THEN $r").mkString(" ")
+    val finSel = (1 to cap).map(r =>
+      s"SELECT vec_id, cell, ccos FROM a$r WHERE (SELECT k FROM kk) = $r")
+      .mkString("\n  UNION ALL ")
+    val moveSum = (1 to cap).map(r =>
+      s"(CASE WHEN $r <= (SELECT k FROM kk) AND a$r.cell <> a${r - 1}.cell THEN 1 ELSE 0 END)")
+      .mkString("\n     + ")
+    val joins = (1 to cap).map(r => s"JOIN a$r USING (vec_id)").mkString(" ")
+    s"""WITH x AS MATERIALIZED (
+       |  SELECT vec_id, label,
+       |    list_transform(CAST(embedding AS DOUBLE[]), t -> round(t * 1048576.0)) AS x
+       |  FROM embeddings),
+       |xn AS MATERIALIZED (SELECT vec_id, label, x,
+       |  sqrt(list_sum(list_transform(x, t -> t * t))) AS xn FROM x),
+       |c0d AS MATERIALIZED (SELECT label AS cell, i, MIN(x[i]) + MAX(x[i]) AS cx
+       |        FROM x, range(1, 65) t(i) GROUP BY 1, 2),
+       |c0 AS MATERIALIZED (SELECT cell, cv, sqrt(list_sum(list_transform(cv, t -> t * t))) AS cn
+       |       FROM (SELECT cell, list(cx ORDER BY i) AS cv FROM c0d GROUP BY 1)),
+       |a0 AS MATERIALIZED (SELECT vec_id, cell, ccos, x, xn FROM (
+       |  SELECT xn.vec_id, c0.cell, xn.x, xn.xn,
+       |    list_sum(list_transform(range(64), i -> xn.x[i+1] * c0.cv[i+1]))
+       |      / (xn.xn * c0.cn) AS ccos,
+       |    row_number() OVER (PARTITION BY xn.vec_id ORDER BY
+       |      list_sum(list_transform(range(64), i -> xn.x[i+1] * c0.cv[i+1]))
+       |        / (xn.xn * c0.cn) DESC, c0.cell) AS rk
+       |  FROM xn CROSS JOIN c0) WHERE rk = 1),
+       |${(1 to cap).map(oKmeansRound).mkString(",\n")},
+       |mv AS MATERIALIZED (SELECT
+       |  $mCols,
+       |  (SELECT COUNT(*) FROM a0) AS n),
+       |kk AS MATERIALIZED (SELECT CASE $kCase ELSE $cap END AS k FROM mv),
+       |fin AS MATERIALIZED (
+       |  $finSel)
+       |SELECT a0.vec_id, a0.cell AS cell_first, fin.cell AS cell_final,
+       |  CAST($moveSum AS BIGINT) AS n_moves,
+       |  round(fin.ccos, 6) AS cos_final,
+       |  CAST((SELECT k FROM kk) AS BIGINT) AS stop_round
+       |FROM a0 JOIN fin USING (vec_id) $joins
+       |ORDER BY a0.vec_id""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     // HUGEINT Gramian sums → 64×64 covariance numerators exact, then 3
@@ -1101,6 +1277,7 @@ object Sim {
          |FROM br LEFT JOIN ptop p ON br.q_id = p.q_id AND br.cand_id = p.cand_id
          |GROUP BY br.q_id ORDER BY br.q_id""".stripMargin,
     // full Lloyd-step replay on the same ×2^20 integer quantization
+    "emb_kmeans_converge" -> oKmeansConverge,
     "emb_kmeans_iter" ->
       """WITH x AS (
         |  SELECT vec_id, label,

@@ -80,6 +80,8 @@ class DeterminismSpec extends AnyFunSuite {
     "text_boilerplate_spans", // md5 spans, exact df counts, integer threshold
     "ts_forecast_snaive",  // integer error terms, micro-unit MAPE quantization
     "text_dup_substring_runs", // md5 spans + integer island arithmetic
+    "dedup_incremental",   // band joins vs frozen index + exact verify
+    "emb_kmeans_converge", // integer-quantized Lloyd loop to movement fixpoint
   )
 
   underTest.foreach { name =>
