@@ -579,7 +579,53 @@ object Graph {
             col("sx").cast("double") * col("sx").cast("double")), 6).as("assortativity"))
   }
 
+  /** Per-edge triangle support and the truss histogram — the k-truss
+    * substrate (an edge is in the k-truss iff its support ≥ k−2, after
+    * peeling; one support pass is the standard first peel round and
+    * already separates bridge edges from community-core edges, the
+    * cohesion signal link-spam/community pipelines use). Reuses
+    * [[triangles]]' degree-oriented edge-iterator — the O(m^1.5)-work
+    * shape — but EXPLODES the per-edge common-neighbor intersection
+    * into (a, b, c) triangle rows (output-bounded: 3 rows per
+    * triangle), normalizes each triangle's three edges back to id
+    * order, and hash-aggregates support. Zero-support edges re-enter
+    * via one left join against the edge table. Output: one row per
+    * support level with its edge count — bounded by the max support,
+    * never by m.
+    */
+  private val trussSupport: Q = (s, dir) => {
+    val e = edges(s, dir)
+    val deg = degrees(s, dir).select(col("src").as("x"), col("d"))
+    val key = deg.select(col("x"), (col("d") * lit(1073741824L) + col("x")).as("ok"))
+    val oriented = e
+      .join(key.select(col("x").as("u"), col("ok").as("ku")), "u")
+      .join(key.select(col("x").as("v"), col("ok").as("kv")), "v")
+      .select(
+        when(col("ku") < col("kv"), col("u")).otherwise(col("v")).as("s"),
+        when(col("ku") < col("kv"), col("v")).otherwise(col("u")).as("t"))
+    val adjOut = oriented.groupBy(col("s"))
+      .agg(collect_list(col("t")).as("nbrs"))
+    val triRows = oriented
+      .join(adjOut.select(col("s").as("ja"), col("nbrs").as("na")), col("s") === col("ja"))
+      .join(adjOut.select(col("s").as("jb"), col("nbrs").as("nb")), col("t") === col("jb"))
+      .select(col("s").as("a"), col("t").as("b"),
+        explode(expr("array_intersect(na, nb)")).as("c"))
+    val edgeSup = triRows
+      .select(explode(array(
+        struct(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v")),
+        struct(least(col("a"), col("c")).as("u"), greatest(col("a"), col("c")).as("v")),
+        struct(least(col("b"), col("c")).as("u"), greatest(col("b"), col("c")).as("v"))))
+        .as("ed"))
+      .groupBy(col("ed.u").as("u"), col("ed.v").as("v"))
+      .agg(count(lit(1)).as("support"))
+    e.join(edgeSup, Seq("u", "v"), "left")
+      .withColumn("support", coalesce(col("support"), lit(0L)))
+      .groupBy("support").agg(count(lit(1)).as("n_edges"))
+      .orderBy("support")
+  }
+
   val queries: Map[String, Q] = Map(
+    "graph_truss_support" -> trussSupport,
     "graph_assortativity" -> assortativity,
     "graph_connected_components" -> connectedComponents,
     "graph_cc_pointer_doubling" -> ccPointerDoubling,
@@ -758,6 +804,22 @@ object Graph {
         |  SELECT adj.dst, bfs.dist + 1 FROM bfs JOIN adj ON adj.src = bfs.x
         |  WHERE bfs.dist < 3)
         |SELECT x AS part, MIN(dist) AS hops FROM bfs GROUP BY x ORDER BY part""".stripMargin,
+    // naive id-ordered triangle enumeration (the triangles-oracle
+    // discipline): same triangle set as the oriented edge-iterator, so
+    // identical per-edge supports
+    "graph_truss_support" ->
+      """WITH pl AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p),
+        |tri AS MATERIALIZED (SELECT e1.u AS a, e1.v AS b, e2.v AS c FROM e e1
+        |  JOIN e e2 ON e2.u = e1.v JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |sup AS (SELECT u, v, COUNT(*) AS support FROM (
+        |    SELECT a AS u, b AS v FROM tri
+        |    UNION ALL SELECT a, c FROM tri
+        |    UNION ALL SELECT b, c FROM tri) GROUP BY u, v),
+        |es AS (SELECT e.u, e.v, CAST(coalesce(sup.support, 0) AS BIGINT) AS support
+        |  FROM e LEFT JOIN sup USING (u, v))
+        |SELECT support, CAST(COUNT(*) AS BIGINT) AS n_edges
+        |FROM es GROUP BY support ORDER BY support""".stripMargin,
     "graph_triangles" ->
       """WITH pl AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p),

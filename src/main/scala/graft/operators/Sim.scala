@@ -34,7 +34,7 @@ object Sim {
     * Dedup.embedding) because the query side and candidate side both
     * scan it, across several queries.
     */
-  private[operators] def vectors(s: SparkSession, dir: String): DataFrame =
+  private[graft] def vectors(s: SparkSession, dir: String): DataFrame =
     graft.Cached.of(s, dir, "vectors") {
       Tables(s, dir, "embeddings")
         .select(col("vec_id"), col("label"), expr("cast(embedding AS array<double>)").as("v"))
@@ -49,7 +49,7 @@ object Sim {
   /** Exact cosine top-k (k=5) for query vectors vec_id < 8 against the
     * whole corpus (self excluded).
     */
-  private val bruteTopk: Q = (s, dir) => {
+  private[graft] val bruteTopk: Q = (s, dir) => {
     val e = vectors(s, dir)
     val q = e.select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
       .filter(col("q_id") < 8)
@@ -125,7 +125,7 @@ object Sim {
     * against a DuckDB replay, probed cells and all. Shared by the IVF
     * top-k and the k-means assignment step.
     */
-  private def centroids(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def centroids(s: SparkSession, dir: String): DataFrame = {
     val e = vectors(s, dir)
     e.select(col("label"), posexplode(col("v")))
       .groupBy("label", "pos")
@@ -136,17 +136,24 @@ object Sim {
         sqrt(vec_dot(col("cv"), col("cv"))).as("cn"))
   }
 
-  private val ivfTopk: Q = (s, dir) => {
+  private val ivfTopk: Q = (s, dir) => ivfTopkAt(s, dir, 3)
+
+  /** [[ivfTopk]] with the probe width as a parameter — the shipped
+    * query pins nprobe=3; `graft.AnnProbe` sweeps this to record the
+    * recall-vs-probed-fraction curve per corpus (BASELINE.md round-10:
+    * isotropic vs clustered).
+    */
+  private[graft] def ivfTopkAt(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
     val e = vectors(s, dir)
     val cent = centroids(s, dir)
-    // queries probe their 3 nearest centroids
+    // queries probe their nprobe nearest centroids
     val q = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     val qCells = q.crossJoin(broadcast(cent))
       .withColumn("ccos", vec_dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("crk", row_number().over(
         Window.partitionBy("q_id").orderBy(col("ccos").desc, col("cell"))))
-      .filter(col("crk") <= 3)
+      .filter(col("crk") <= nprobe)
       .select(col("q_id"), col("qv"), col("qn"), col("cell"))
     // score only vectors in the probed cells (corpus side keyed by label)
     val scored = broadcast(qCells).join(e, col("cell") === col("label"))
@@ -374,6 +381,65 @@ object Sim {
     (out, stopRound, met)
   }
 
+  /** Embedding-drift monitor — the vector-space companion of
+    * [[graft.operators.Ingest]]'s dq_drift_psi: when an encoder is
+    * retrained or a bad batch lands, the per-label MEAN embedding
+    * shifts, and every ANN index built on the old geometry silently
+    * degrades. Splits the corpus into reference (even vec_id) and
+    * current (odd) periods and tests the mean shift per label with the
+    * location statistic T = ‖μ_cur − μ_ref‖² · n_ref·n_cur/(n_ref+n_cur)
+    * — under no drift T ≈ trace(Σ) ≈ ‖x‖² = 1 for unit vectors, so
+    * T > 4 is a conservative drift flag that sampling noise cannot
+    * reach (the raw per-label midrange/mean cosine is NOISE on an
+    * isotropic corpus — a near-zero mean makes its direction
+    * meaningless — which is why the gate tests the scale-normalized
+    * shift, not an angle). The augmentation discipline injects the
+    * failure it must catch: the current-period half of label 0 gets a
+    * +1.0 bias on coordinate 0 (a biased encoder batch — sized so the
+    * flag clears the threshold with margin even at the 25-vector
+    * per-(label, period) counts of the small gate corpora: null T stays
+    * ≈ 1 ± 0.5 at EVERY n because the n_eff normalization cancels the
+    * sample size, while the injected T ≈ 1 + Δ²·n_eff ≥ 13), so exactly
+    * label 0 must flag. Exactness: coordinates quantize to the ×2^20
+    * integer grid, per-(label, period, dim) sums are exact BIGINTs in
+    * one map-side-combining scan, and the only IEEE steps are the two
+    * count divisions, the dim-ordered Δ² fold, and the final scale —
+    * replayed verbatim by the oracle. At 100 TB: one scan, 64 rows per
+    * (label, period) of aggregate state, 10-row output.
+    */
+  private val centroidDrift: Q = (s, dir) => {
+    val e = vectors(s, dir).select(col("vec_id"), col("label"), col("v"))
+    val d = e
+      .withColumn("v", when(col("label") === 0 && col("vec_id") % 2 === 1,
+        expr("transform(v, (x, i) -> IF(i = 0, x + 1.0D, x))")).otherwise(col("v")))
+      .withColumn("period",
+        when(col("vec_id") % 2 === 0, lit("ref")).otherwise(lit("cur")))
+      .withColumn("q", expr("transform(v, t -> cast(round(t * 1048576.0) as long))"))
+    val sums = d.select(col("label"), col("period"), posexplode(col("q")))
+      .groupBy("label", "period", "pos")
+      .agg(sum(col("col")).as("sx"), count(lit(1)).as("n"))
+    val a = sums.filter(col("period") === "ref")
+      .select(col("label"), col("pos"), col("sx").as("sa"), col("n").as("na"))
+    val b = sums.filter(col("period") === "cur")
+      .select(col("label").as("lb"), col("pos").as("pb"),
+        col("sx").as("sb"), col("n").as("nb"))
+    a.join(b, col("label") === col("lb") && col("pos") === col("pb"))
+      .withColumn("dmu",
+        (col("sa").cast("double") / col("na") - col("sb").cast("double") / col("nb"))
+          / 1048576.0)
+      .withColumn("term", col("dmu") * col("dmu"))
+      .groupBy("label")
+      .agg(first(col("na")).as("n_ref"), first(col("nb")).as("n_cur"),
+        expr("aggregate(transform(array_sort(collect_list(struct(pos, term))), p -> p.term), 0.0D, (acc, t) -> acc + t)")
+          .as("shift2x"))
+      .withColumn("t_stat", round(col("shift2x") *
+        col("n_ref").cast("double") * col("n_cur") / (col("n_ref") + col("n_cur")), 6))
+      .select(col("label"), col("n_ref"), col("n_cur"),
+        round(col("shift2x"), 6).as("shift2"), col("t_stat"),
+        (col("t_stat") > 4.0).as("drifted"))
+      .orderBy("label")
+  }
+
   /** Product quantization encode — the 32× compression path under
     * IVF-PQ at ANN scale: 64 dims split into 8 subspaces of 8; per
     * subspace the codebook is the per-label midrange subvector (10
@@ -487,7 +553,12 @@ object Sim {
           .as("recn2"))
     }
 
-  private val ivfpqTopk: Q = (s, dir) => {
+  private val ivfpqTopk: Q = (s, dir) => ivfpqTopkAt(s, dir, 3)
+
+  /** [[ivfpqTopk]] with the coarse probe width as a parameter (shipped
+    * pin: nprobe=3) — swept by `graft.AnnProbe`.
+    */
+  private[graft] def ivfpqTopkAt(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
     val e = vectors(s, dir)
     val cent = centroids(s, dir)
     val cb = pqCodebook(s, dir)
@@ -500,7 +571,7 @@ object Sim {
       .withColumn("ccos", vec_dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("crk", row_number().over(
         Window.partitionBy("q_id").orderBy(col("ccos").desc, col("cell"))))
-      .filter(col("crk") <= 3)
+      .filter(col("crk") <= nprobe)
       .select(col("q_id"), col("qn"), col("cell"))
     // ADC lookup table: dot of each query subvector against each codeword
     val lut = q.crossJoin(broadcast(cb))
@@ -528,6 +599,148 @@ object Sim {
         col("cand_id") === col("evid"))
       .join(q.select(col("q_id").as("q2"), col("qv")), col("q_id") === col("q2"))
       .withColumn("cos_exact", round(vec_dot(col("qv"), col("ev")) / (col("qn") * col("en")), 6))
+      .select(col("q_id"), col("rk"), col("cand_id"), col("adc_sim"), col("cos_exact"))
+      .orderBy("q_id", "rk")
+  }
+
+  /** RESIDUAL-encoding IVFADC — the production IVF-PQ shape ([[ivfpqTopkAt]]
+    * encodes raw vectors; real engines encode x − centroid(cell)):
+    * round-10's clustered-corpus probe showed WHY. When cluster radius is
+    * small against centroid spacing, every same-cell vector PQ-encodes
+    * identically under a raw-vector codebook — ADC scores tie, the
+    * tie-break picks arbitrary ids, recall collapses to 0 at ANY nprobe.
+    * Encoding residuals restores within-cell contrast: the codebook lives
+    * at the scale of the residuals themselves, whatever the cluster
+    * tightness.
+    *
+    * Deterministic construction (the hash-verifiable index discipline):
+    *  - coarse centroids = per-cell midranges ([[centroids]]);
+    *  - residual codebook = 16 SAMPLED residual subvectors per subspace
+    *    (anchors vec_id 8..23 — literal ids, so both engines build the
+    *    identical codebook; k-means-trained codewords would slot in
+    *    unchanged);
+    *  - encode: nearest codeword per (vector, subspace) by squared L2 on
+    *    residuals, ties to the smaller code;
+    *  - score: dot(q, c + recon_r) = dot(q, c) + Σ_sub LUT[sub, code] —
+    *    one extra per-(q, cell) centroid dot on top of the 8-term ADC add;
+    *    ‖c + recon_r‖² folds from query-independent per-(cell, sub, code)
+    *    tables exactly like [[pqRecNorms]];
+    *  - rerank the ADC top-`reorder` (64) against exact vectors and emit
+    *    the exact top-5 — the standard reorder stage, touching 64 full
+    *    vectors per query.
+    * All folds are sub-ordered, so scores replay bit-exactly cross-engine.
+    */
+  private[graft] def ivfpqResTopkAt(
+      s: SparkSession, dir: String, nprobe: Int, reorder: Int = 64,
+      nCodes: Int = 16, trainRounds: Int = 0): DataFrame = {
+    val e = vectors(s, dir)
+    val cent = centroids(s, dir)
+    val res = e.join(broadcast(cent), col("label") === col("cell"))
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"),
+        expr("zip_with(v, cv, (a, b) -> a - b)").as("r"))
+    // residual subvectors on the ×2^20 integer grid (the kmeansConverge
+    // quantization): training sums are exact integers held in doubles,
+    // so the trained codebook is bit-deterministic whatever the
+    // partitioning — the property that lets a trained index hash-verify
+    val rsub = res
+      .select(col("vec_id"), col("label"), explode(expr("sequence(0, 7)")).as("sub"), col("r"))
+      .withColumn("rv", expr(
+        "transform(slice(r, sub * 8 + 1, 8), t -> cast(round(t * 1048576.0) as double))"))
+      .select(col("vec_id"), col("label"), col("sub"), col("rv"))
+      .localCheckpoint(true)
+    def nearest(cbk: DataFrame): DataFrame = rsub
+      .join(broadcast(cbk), "sub")
+      .withColumn("d2", expr(
+        "aggregate(zip_with(rv, cw, (a, b) -> (a - b) * (a - b)), 0.0D, (acc, t) -> acc + t)"))
+      .groupBy("vec_id", "sub")
+      .agg(expr("min_by(struct(code), struct(d2, code))").as("w"),
+        first(col("label")).as("clabel"), first(col("rv")).as("rv"))
+      .select(col("vec_id"), col("sub"), col("w.code").as("code"),
+        col("clabel"), col("rv"))
+    // init: sampled anchor residuals (literal vec_ids); then optional
+    // Lloyd rounds — integer-exact sums, count division is the only IEEE
+    // step, per-round materialization of the tiny (8×nCodes) table
+    var cbq = rsub.filter(col("vec_id") >= 8 && col("vec_id") < (8 + nCodes))
+      .select(col("sub"), (col("vec_id") - 8).cast("int").as("code"), col("rv").as("cw"))
+      .localCheckpoint(true)
+    for (_ <- 1 to trainRounds) {
+      cbq = nearest(cbq)
+        .select(col("sub"), col("code"), posexplode(col("rv")))
+        .groupBy("sub", "code", "pos")
+        .agg((sum(col("col")) / count(lit(1))).as("cx"))
+        .groupBy("sub", "code")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cx))), p -> p.cx)").as("cw"))
+        .localCheckpoint(true)
+    }
+    // back to float scale for the ADC tables
+    val cb = cbq
+      .withColumn("cw", expr("transform(cw, t -> t / 1048576.0)"))
+      .withColumn("cwn2", vec_dot(col("cw"), col("cw")))
+    val codes = rsub
+      .withColumn("rv", expr("transform(rv, t -> t / 1048576.0)"))
+      .join(broadcast(cb), "sub")
+      .withColumn("d2", expr(
+        "aggregate(zip_with(rv, cw, (a, b) -> (a - b) * (a - b)), 0.0D, (acc, t) -> acc + t)"))
+      .groupBy("vec_id", "sub")
+      .agg(expr("min_by(struct(code, cwn2), struct(d2, code))").as("w"),
+        first(col("label")).as("clabel"))
+      .select(col("vec_id").as("cvid"), col("sub").as("csub"),
+        col("w.code").as("code"), col("w.cwn2").as("cwn2"), col("clabel"))
+    // query-independent per-(cell, sub, code) centroid·codeword dots
+    val cdot = cent
+      .select(col("cell"), explode(expr("sequence(0, 7)")).as("sub"), col("cv"))
+      .withColumn("cs", expr("slice(cv, sub * 8 + 1, 8)"))
+      .join(cb, "sub")
+      .select(col("cell").as("dcell"), col("sub").as("dsub"),
+        col("code").as("dcode"), vec_dot(col("cs"), col("cw")).as("ccdot"))
+    // ‖c + recon_r‖² per vector: cn² + Σ_sub (2·c_sub·cw + ‖cw‖²)
+    val recn = codes
+      .join(broadcast(cdot),
+        col("clabel") === col("dcell") && col("csub") === col("dsub") &&
+          col("code") === col("dcode"))
+      .withColumn("term", lit(2.0) * col("ccdot") + col("cwn2"))
+      .groupBy(col("cvid"))
+      .agg(expr(
+        "aggregate(transform(array_sort(collect_list(struct(csub, term))), p -> p.term), 0.0D, (acc, t) -> acc + t)")
+        .as("resn2x"), first(col("clabel")).as("rcell"))
+      .join(broadcast(cent.select(col("cell").as("rcell"), col("cn"))), "rcell")
+      .select(col("cvid").as("rvid"), (col("cn") * col("cn") + col("resn2x")).as("recn2"))
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val qCells = q.crossJoin(broadcast(cent))
+      .withColumn("ccos", vec_dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("ccos").desc, col("cell"))))
+      .filter(col("crk") <= nprobe)
+      .select(col("q_id"), col("qn"), col("cell"),
+        vec_dot(col("qv"), col("cv")).as("qcdot"))
+    val lut = q.select(col("q_id"), explode(expr("sequence(0, 7)")).as("sub"), col("qv"))
+      .withColumn("qs", expr("slice(qv, sub * 8 + 1, 8)"))
+      .join(broadcast(cb), "sub")
+      .select(col("q_id").as("lq"), col("sub").as("lsub"),
+        col("code").as("lcode"), vec_dot(col("qs"), col("cw")).as("pdot"))
+    val cand = broadcast(qCells).join(e, col("cell") === col("label"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("qn"), col("qcdot"), col("vec_id").as("cand_id"))
+    val adc = cand
+      .join(codes, col("cand_id") === col("cvid"))
+      .join(broadcast(lut),
+        col("q_id") === col("lq") && col("csub") === col("lsub") && col("code") === col("lcode"))
+      .groupBy(col("q_id"), col("cand_id"), col("qn"), col("qcdot"))
+      .agg(expr(
+        "aggregate(transform(array_sort(collect_list(struct(csub, pdot))), p -> p.pdot), 0.0D, (acc, t) -> acc + t)")
+        .as("adc_res"))
+      .join(recn, col("cand_id") === col("rvid"))
+      .withColumn("adc_sim",
+        round((col("qcdot") + col("adc_res")) / (col("qn") * sqrt(col("recn2"))), 6))
+    val wA = Window.partitionBy("q_id").orderBy(col("adc_sim").desc, col("cand_id"))
+    val refined = adc.withColumn("ark", row_number().over(wA)).filter(col("ark") <= reorder)
+      .join(e.select(col("vec_id").as("evid"), col("v").as("ev"), col("nrm").as("en")),
+        col("cand_id") === col("evid"))
+      .join(q.select(col("q_id").as("q2"), col("qv")), col("q_id") === col("q2"))
+      .withColumn("cos_exact", round(vec_dot(col("qv"), col("ev")) / (col("qn") * col("en")), 6))
+    val wE = Window.partitionBy("q_id").orderBy(col("cos_exact").desc, col("cand_id"))
+    refined.withColumn("rk", row_number().over(wE)).filter(col("rk") <= K)
       .select(col("q_id"), col("rk"), col("cand_id"), col("adc_sim"), col("cos_exact"))
       .orderBy("q_id", "rk")
   }
@@ -600,7 +813,7 @@ object Sim {
     * the brute pass here is the oracle-checkable baseline the recall
     * gates of that family would measure against.
     */
-  private val mipsTopk: Q = (s, dir) => {
+  private[graft] val mipsTopk: Q = (s, dir) => {
     val base = vectors(s, dir).select(col("vec_id"), col("v"))
     val aug = base.unionAll(base.filter(col("vec_id") % 100 === 0)
       .select((col("vec_id") + 100000L).as("vec_id"),
@@ -639,7 +852,14 @@ object Sim {
     * broadcast), centroids are tiny, and a query touches
     * nprobe/ncells of the data — identical economics to [[ivfTopk]].
     */
-  private val mipsIvf: Q = (s, dir) => {
+  private val mipsIvf: Q = (s, dir) => mipsIvfAt(s, dir, 12)
+
+  /** [[mipsIvf]] with the probe width as a parameter — the shipped
+    * query pins nprobe=12 of 20 norm-banded cells (the measured
+    * frontier on the near-isotropic corpus); `graft.AnnProbe` sweeps
+    * this on other corpora.
+    */
+  private[graft] def mipsIvfAt(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
     val base = vectors(s, dir).select(col("vec_id"), col("label"), col("v"))
     val aug = base.unionAll(base.filter(col("vec_id") % 100 === 0)
         .select((col("vec_id") + 100000L).as("vec_id"), col("label"),
@@ -679,7 +899,7 @@ object Sim {
       .withColumn("ub", vec_dot(col("qa"), col("cv")))
       .withColumn("crk", row_number().over(
         Window.partitionBy("q_id").orderBy(col("ub").desc, col("cell"))))
-      .filter(col("crk") <= 12)
+      .filter(col("crk") <= nprobe)
       .select(col("q_id"), col("qa"), col("cell"))
     // qa·va = q·x exactly: the appended query coordinate is 0.0, and
     // adding 0.0·aug to a finite fold is the identity in IEEE
@@ -700,6 +920,30 @@ object Sim {
   private val mipsRecall: Q = (s, dir) => {
     val brute = mipsTopk(s, dir).select(col("q_id"), col("cand_id"))
     val approx = mipsIvf(s, dir)
+      .select(col("q_id").as("aq"), col("cand_id").as("ac"))
+    brute.join(approx,
+        col("q_id") === col("aq") && col("cand_id") === col("ac"), "left")
+      .groupBy("q_id")
+      .agg(expr("cast(count(ac) as bigint)").as("n_hit"))
+      .withColumn("recall_at_5", col("n_hit").cast("double") / 5)
+      .orderBy("q_id")
+  }
+
+  /** Recall@5 of the RESIDUAL IVFADC path ([[ivfpqResTopkAt]]) against
+    * brute force, shipped at the trained-codebook config (nprobe=3,
+    * reorder=64, 16 codewords, 2 Lloyd training rounds). This is the
+    * production IVF-PQ gate: the round-10 clustered-corpus probe showed
+    * the raw-vector codebook's ADC collapsing to recall 0 on tight
+    * clusters (all same-cell vectors encode identically and the
+    * tie-break picks arbitrary ids) while the residual+trained+reorder
+    * path recovers — BASELINE.md round-10 has the curve. The whole
+    * trained index (quantized anchor init, two integer-exact Lloyd
+    * rounds, encode, LUT, ADC, reorder, refine) is replayed by the
+    * DuckDB oracle, so the recall number is hash-pinned cross-engine.
+    */
+  private val ivfpqResRecall: Q = (s, dir) => {
+    val brute = bruteTopk(s, dir).select(col("q_id"), col("cand_id"))
+    val approx = ivfpqResTopkAt(s, dir, 3, 64, 16, 2)
       .select(col("q_id").as("aq"), col("cand_id").as("ac"))
     brute.join(approx,
         col("q_id") === col("aq") && col("cand_id") === col("ac"), "left")
@@ -898,8 +1142,10 @@ object Sim {
     "sim_mips_topk_ivf" -> mipsIvf,
     "sim_mips_recall" -> mipsRecall,
     "sim_ivfpq_recall" -> ivfpqRecall,
+    "sim_ivfpq_residual_recall" -> ivfpqResRecall,
     "emb_kmeans_iter" -> kmeansIter,
     "emb_kmeans_converge" -> kmeansConverge,
+    "emb_centroid_drift" -> centroidDrift,
     "emb_assign_nearest" -> assignNearest,
     "sim_cosine_topk" -> bruteTopk,
     "sim_cosine_topk_lsh" -> lshTopk,
@@ -1278,6 +1524,135 @@ object Sim {
          |GROUP BY br.q_id ORDER BY br.q_id""".stripMargin,
     // full Lloyd-step replay on the same ×2^20 integer quantization
     "emb_kmeans_converge" -> oKmeansConverge,
+    // full replay of the trained residual IVFADC index: quantized
+    // anchor init (literal vec_ids 8..23), two integer-exact Lloyd
+    // rounds, residual encode, per-(cell,sub,code) norm tables, ADC
+    // with reorder-64 refine — every fold sub/dim-ordered so scores
+    // match bit-exactly
+    "sim_ivfpq_residual_recall" ->
+      """WITH v AS MATERIALIZED (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+        |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+        |  FROM embeddings),
+        |cd AS (SELECT label, i, (MIN(v.v[i]) + MAX(v.v[i])) / 2 AS cx
+        |       FROM v, range(1, 65) t(i) GROUP BY label, i),
+        |cen AS MATERIALIZED (SELECT cell, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS cn FROM (
+        |  SELECT label AS cell, list(cx ORDER BY i) AS cv FROM cd GROUP BY label)),
+        |res AS MATERIALIZED (SELECT v.vec_id, v.label,
+        |    list_transform(range(64), i -> v.v[i+1] - c.cv[i+1]) AS r
+        |  FROM v JOIN cen c ON v.label = c.cell),
+        |rs AS MATERIALIZED (SELECT vec_id, label, sub,
+        |    list_transform(range(8), j -> round(r[sub*8 + j + 1] * 1048576.0)) AS rv
+        |  FROM res, range(8) s(sub)),
+        |cb0 AS MATERIALIZED (SELECT sub, CAST(vec_id - 8 AS INT) AS code, rv AS cw
+        |  FROM rs WHERE vec_id >= 8 AND vec_id < 24),
+        |as1 AS MATERIALIZED (SELECT vec_id, sub, code, rv FROM (
+        |  SELECT rs.vec_id, rs.sub, b.code, rs.rv,
+        |    row_number() OVER (PARTITION BY rs.vec_id, rs.sub ORDER BY
+        |      list_sum(list_transform(range(8), j -> (rs.rv[j+1] - b.cw[j+1]) * (rs.rv[j+1] - b.cw[j+1]))) ASC,
+        |      b.code ASC) AS rk
+        |  FROM rs JOIN cb0 b ON rs.sub = b.sub) WHERE rk = 1),
+        |cb1 AS MATERIALIZED (SELECT sub, code, list(cx ORDER BY j) AS cw FROM (
+        |  SELECT sub, code, j, SUM(rv[j+1]) / COUNT(*) AS cx
+        |  FROM as1, range(8) t(j) GROUP BY 1, 2, 3) GROUP BY 1, 2),
+        |as2 AS MATERIALIZED (SELECT vec_id, sub, code, rv FROM (
+        |  SELECT rs.vec_id, rs.sub, b.code, rs.rv,
+        |    row_number() OVER (PARTITION BY rs.vec_id, rs.sub ORDER BY
+        |      list_sum(list_transform(range(8), j -> (rs.rv[j+1] - b.cw[j+1]) * (rs.rv[j+1] - b.cw[j+1]))) ASC,
+        |      b.code ASC) AS rk
+        |  FROM rs JOIN cb1 b ON rs.sub = b.sub) WHERE rk = 1),
+        |cb2 AS MATERIALIZED (SELECT sub, code, list(cx ORDER BY j) AS cw FROM (
+        |  SELECT sub, code, j, SUM(rv[j+1]) / COUNT(*) AS cx
+        |  FROM as2, range(8) t(j) GROUP BY 1, 2, 3) GROUP BY 1, 2),
+        |cbn AS MATERIALIZED (SELECT sub, code, cw,
+        |    list_sum(list_transform(cw, x -> x * x)) AS cwn2 FROM (
+        |  SELECT sub, code, list_transform(cw, t -> t / 1048576.0) AS cw FROM cb2)),
+        |enc AS MATERIALIZED (SELECT vec_id AS cvid, sub AS csub, code, cwn2, clabel FROM (
+        |  SELECT rs.vec_id, rs.sub, b.code, b.cwn2, rs.label AS clabel,
+        |    row_number() OVER (PARTITION BY rs.vec_id, rs.sub ORDER BY
+        |      list_sum(list_transform(range(8), j ->
+        |        (rs.rv[j+1] / 1048576.0 - b.cw[j+1]) * (rs.rv[j+1] / 1048576.0 - b.cw[j+1]))) ASC,
+        |      b.code ASC) AS rk
+        |  FROM rs JOIN cbn b ON rs.sub = b.sub) WHERE rk = 1),
+        |cdt AS MATERIALIZED (SELECT c.cell AS dcell, b.sub AS dsub, b.code AS dcode,
+        |    list_sum(list_transform(range(8), j -> c.cv[b.sub*8 + j + 1] * b.cw[j+1])) AS ccdot
+        |  FROM cen c CROSS JOIN cbn b),
+        |rcn0 AS (SELECT e.cvid, e.clabel, e.csub, 2.0 * d.ccdot + e.cwn2 AS term
+        |  FROM enc e JOIN cdt d
+        |    ON e.clabel = d.dcell AND e.csub = d.dsub AND e.code = d.dcode),
+        |rcnA AS (SELECT cvid, ANY_VALUE(clabel) AS clabel,
+        |    list_sum(list(term ORDER BY csub)) AS s FROM rcn0 GROUP BY cvid),
+        |rcn AS MATERIALIZED (SELECT a.cvid AS rvid, c.cn * c.cn + a.s AS recn2
+        |  FROM rcnA a JOIN cen c ON a.clabel = c.cell),
+        |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM v WHERE vec_id < 8),
+        |qc AS MATERIALIZED (SELECT q_id, qn, cell, qcdot FROM (
+        |  SELECT q.q_id, q.qn, c.cell,
+        |    list_sum(list_transform(range(64), i -> q.qv[i+1] * c.cv[i+1])) AS qcdot,
+        |    row_number() OVER (PARTITION BY q.q_id ORDER BY
+        |      list_sum(list_transform(range(64), i -> q.qv[i+1] * c.cv[i+1])) / (q.qn * c.cn) DESC,
+        |      c.cell) AS crk
+        |  FROM q CROSS JOIN cen c) WHERE crk <= 3),
+        |lut AS MATERIALIZED (SELECT q.q_id AS lq, b.sub AS lsub, b.code AS lcode,
+        |    list_sum(list_transform(range(8), j -> q.qv[b.sub*8 + j + 1] * b.cw[j+1])) AS pdot
+        |  FROM q CROSS JOIN cbn b),
+        |cand AS (SELECT qc.q_id, qc.qn, qc.qcdot, w.vec_id AS cand_id
+        |  FROM qc JOIN v w ON qc.cell = w.label AND qc.q_id <> w.vec_id),
+        |adc0 AS (SELECT c.q_id, c.cand_id, c.qn, c.qcdot, e.csub, l.pdot
+        |  FROM cand c JOIN enc e ON c.cand_id = e.cvid
+        |  JOIN lut l ON c.q_id = l.lq AND e.csub = l.lsub AND e.code = l.lcode),
+        |adcA AS (SELECT q_id, cand_id, ANY_VALUE(qn) AS qn, ANY_VALUE(qcdot) AS qcdot,
+        |    list_sum(list(pdot ORDER BY csub)) AS adc_res
+        |  FROM adc0 GROUP BY q_id, cand_id),
+        |adc AS MATERIALIZED (SELECT a.q_id, a.cand_id,
+        |    round((a.qcdot + a.adc_res) / (a.qn * sqrt(r.recn2)), 6) AS adc_sim
+        |  FROM adcA a JOIN rcn r ON a.cand_id = r.rvid),
+        |reo AS (SELECT q_id, cand_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc_sim DESC, cand_id) AS ark
+        |  FROM adc) WHERE ark <= 64),
+        |ref AS MATERIALIZED (SELECT r.q_id, r.cand_id,
+        |    round(list_sum(list_transform(range(64), i -> q.qv[i+1] * w.v[i+1])) / (q.qn * w.nrm), 6) AS cos_exact
+        |  FROM reo r JOIN v w ON r.cand_id = w.vec_id JOIN q ON r.q_id = q.q_id),
+        |pr AS (SELECT q_id, cand_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_exact DESC, cand_id) AS rk
+        |  FROM ref) WHERE rk <= 5),
+        |bs AS (SELECT q.q_id, w.vec_id AS cand_id,
+        |    round(list_sum(list_transform(range(64), i -> q.qv[i+1] * w.v[i+1])) / (q.qn * w.nrm), 6) AS cos_sim
+        |  FROM q JOIN v w ON q.q_id <> w.vec_id),
+        |br AS (SELECT q_id, cand_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id) AS rk
+        |  FROM bs) WHERE rk <= 5),
+        |j AS (SELECT br.q_id, COUNT(pr.cand_id) AS n_hit FROM br
+        |  LEFT JOIN pr ON br.q_id = pr.q_id AND br.cand_id = pr.cand_id
+        |  GROUP BY br.q_id)
+        |SELECT q_id, CAST(n_hit AS BIGINT) AS n_hit,
+        |  CAST(n_hit AS DOUBLE) / 5 AS recall_at_5
+        |FROM j ORDER BY q_id""".stripMargin,
+    // mean-shift drift test: same injected label-0 bias, same integer
+    // sums, same dim-ordered Δ² fold
+    "emb_centroid_drift" ->
+      """WITH v0 AS MATERIALIZED (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |vd AS (SELECT vec_id, label,
+        |    CASE WHEN label = 0 AND vec_id % 2 = 1
+        |         THEN list_concat([v[1] + 1.0], v[2:]) ELSE v END AS v,
+        |    CASE WHEN vec_id % 2 = 0 THEN 'ref' ELSE 'cur' END AS period
+        |  FROM v0),
+        |q AS (SELECT label, period,
+        |    list_transform(v, t -> CAST(round(t * 1048576.0) AS BIGINT)) AS q
+        |  FROM vd),
+        |sums AS (SELECT label, period, i AS pos, SUM(q[i]) AS sx, COUNT(*) AS n
+        |  FROM q, range(1, 65) t(i) GROUP BY 1, 2, 3),
+        |ab AS (SELECT a.label, a.pos, a.n AS na, b.n AS nb,
+        |    (CAST(a.sx AS DOUBLE) / a.n - CAST(b.sx AS DOUBLE) / b.n) / 1048576.0 AS dmu
+        |  FROM sums a JOIN sums b ON a.label = b.label AND a.pos = b.pos
+        |  WHERE a.period = 'ref' AND b.period = 'cur'),
+        |agg AS (SELECT label, ANY_VALUE(na) AS n_ref, ANY_VALUE(nb) AS n_cur,
+        |    list_sum(list(dmu * dmu ORDER BY pos)) AS shift2x
+        |  FROM ab GROUP BY label)
+        |SELECT label, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+        |  round(shift2x, 6) AS shift2,
+        |  round(shift2x * CAST(n_ref AS DOUBLE) * n_cur / (n_ref + n_cur), 6) AS t_stat,
+        |  round(shift2x * CAST(n_ref AS DOUBLE) * n_cur / (n_ref + n_cur), 6) > 4.0 AS drifted
+        |FROM agg ORDER BY label""".stripMargin,
     "emb_kmeans_iter" ->
       """WITH x AS (
         |  SELECT vec_id, label,

@@ -82,6 +82,9 @@ class DeterminismSpec extends AnyFunSuite {
     "text_dup_substring_runs", // md5 spans + integer island arithmetic
     "dedup_incremental",   // band joins vs frozen index + exact verify
     "emb_kmeans_converge", // integer-quantized Lloyd loop to movement fixpoint
+    "emb_centroid_drift",  // integer sums + dim-ordered Δ² fold
+    "graph_truss_support", // exact triangle explode + hash agg
+    "sim_ivfpq_residual_recall", // trained codebook from integer-exact Lloyd rounds
   )
 
   underTest.foreach { name =>

@@ -74,6 +74,46 @@ class RoundTenOpsSpec extends AnyFunSuite {
       s"centroid count drifted: $cells initial cells, $finalCells after convergence")
   }
 
+  test("emb_centroid_drift flags exactly the injected label-0 encoder bias") {
+    val rows = SparkEntry.queries("emb_centroid_drift")(s, dir).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val (label, t, drifted) = (r.getInt(0), r.getDouble(4), r.getBoolean(5))
+      assert(drifted == (label == 0),
+        s"label $label t_stat=$t drifted=$drifted — expected only label 0 to flag")
+      // the location statistic is scale-normalized: null T ≈ 1 whatever n
+      if (label != 0) assert(t > 0.0 && t < 4.0, s"null label $label t_stat=$t")
+      else assert(t > 10.0, s"injected drift t_stat=$t lacks margin")
+    }
+  }
+
+  test("graph_truss_support histogram is conservative: edges sum to m, supports sum to 3 triangles") {
+    val hist = SparkEntry.queries("graph_truss_support")(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val tri = SparkEntry.queries("graph_triangles")(s, dir).head()
+    val (m, t) = (tri.getLong(1), tri.getLong(2))
+    assert(hist.map(_._2).sum == m,
+      s"histogram covers ${hist.map(_._2).sum} edges, graph has $m")
+    assert(hist.map { case (sup, n) => sup * n }.sum == 3 * t,
+      "per-edge supports must total 3 per triangle")
+  }
+
+  test("sim_ivfpq_residual_recall: residual ADC is near-lossless against its coarse-probe ceiling") {
+    // the IVF coarse stage caps recall (same nprobe=3 cells); the PQ
+    // stage may only lose what compression costs. The round-10 probe
+    // showed the RAW codebook losing (0.40 → 0.125 at sf0.1); the
+    // residual+trained+reorder path must stay within one hit of the
+    // ceiling per query on this corpus.
+    val ceil = SparkEntry.queries("sim_ivf_recall")(s, dir)
+      .select("q_id", "n_hit").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = SparkEntry.queries("sim_ivfpq_residual_recall")(s, dir)
+      .select("q_id", "n_hit").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (q, hits) =>
+      assert(hits >= ceil(q) - 1,
+        s"query $q: residual ADC found $hits of the coarse ceiling ${ceil(q)}")
+    }
+  }
+
   test("emb_kmeans_converge: the fixpoint is stable (a re-run of the loop lands on the same assignment)") {
     val a = SparkEntry.queries("emb_kmeans_converge")(s, dir)
       .select("vec_id", "cell_final").collect().map(_.toString).toSeq
