@@ -318,8 +318,21 @@ object Dedup {
     * (n_exact, n_found, recall).
     */
   private val ngramMinhashRecall: Q = (s, dir) => {
-    val sampled = rareStringSets(s, dir)
-      .filter(expr("substr(md5(concat('rgate|', ckey)), 1, 2) < '80'"))
+    // FIXED-COUNT sample, not fixed-fraction: p = min(0.5, 4096/n_reps),
+    // so the exact ground-truth work is ~p²·Σdf² ≈ (4096²/n²)·Σdf² —
+    // CONSTANT in corpus size for constant pair density, where the r9
+    // gate's p = 0.5 was still Σdf²/4 (186 s at 16× distinct content;
+    // BASELINE.md round-10). The md5-uniform u and the count-derived
+    // threshold replay identically in DuckDB (the sample_weighted hex
+    // discipline), and the cap keeps small gate corpora at half-sample
+    // so the 0.9 recall floor still measures on real pair counts.
+    val reps = rareStringSets(s, dir)
+    val nReps = reps.agg(count(lit(1)).as("n_reps"))
+    val sampled = reps.crossJoin(broadcast(nReps))
+      .filter(
+        expr("cast(conv(substr(md5(concat('rgate|', ckey)), 1, 15), 16, 10) as double)")
+          < least(lit(0.5), lit(4096.0) / col("n_reps")) * lit(1152921504606846976.0))
+      .drop("n_reps")
     // exact pairs among sampled reps: posting join over their corpus-rare
     // shingles — the [[ngramJaccard]] plan shape at p² of its volume
     val ex = sampled.select(col("ckey"), col("n"), explode(col("rs")).as("s0"))
@@ -1053,7 +1066,8 @@ object Dedup {
     "dedup_ngram_minhash_recall" ->
       s"""WITH $oNgramMinhashCte,
          |srs AS MATERIALIZED (SELECT * FROM grs
-         |  WHERE substr(md5('rgate|' || ckey), 1, 2) < '80'),
+         |  WHERE CAST(CAST(('0x' || substr(md5('rgate|' || ckey), 1, 15)) AS BIGINT) AS DOUBLE)
+         |    < least(0.5, 4096.0 / (SELECT COUNT(*) FROM grs)) * 1152921504606846976.0),
          |sex AS MATERIALIZED (SELECT ckey, n, unnest(rs) AS s0 FROM srs),
          |sp AS MATERIALIZED (SELECT a.ckey AS ka, b.ckey AS kb
          |  FROM sex a JOIN sex b ON a.s0 = b.s0 AND a.ckey < b.ckey

@@ -642,12 +642,11 @@ object Sim {
     // quantization): training sums are exact integers held in doubles,
     // so the trained codebook is bit-deterministic whatever the
     // partitioning — the property that lets a trained index hash-verify
-    val rsub = res
+    val rsub = graft.Cached.of(s, dir, "pqres.rsub")(res
       .select(col("vec_id"), col("label"), explode(expr("sequence(0, 7)")).as("sub"), col("r"))
       .withColumn("rv", expr(
         "transform(slice(r, sub * 8 + 1, 8), t -> cast(round(t * 1048576.0) as double))"))
-      .select(col("vec_id"), col("label"), col("sub"), col("rv"))
-      .localCheckpoint(true)
+      .select(col("vec_id"), col("label"), col("sub"), col("rv")))
     def nearest(cbk: DataFrame): DataFrame = rsub
       .join(broadcast(cbk), "sub")
       .withColumn("d2", expr(
@@ -659,24 +658,28 @@ object Sim {
         col("clabel"), col("rv"))
     // init: sampled anchor residuals (literal vec_ids); then optional
     // Lloyd rounds — integer-exact sums, count division is the only IEEE
-    // step, per-round materialization of the tiny (8×nCodes) table
-    var cbq = rsub.filter(col("vec_id") >= 8 && col("vec_id") < (8 + nCodes))
-      .select(col("sub"), (col("vec_id") - 8).cast("int").as("code"), col("rv").as("cw"))
-      .localCheckpoint(true)
-    for (_ <- 1 to trainRounds) {
-      cbq = nearest(cbq)
-        .select(col("sub"), col("code"), posexplode(col("rv")))
-        .groupBy("sub", "code", "pos")
-        .agg((sum(col("col")) / count(lit(1))).as("cx"))
-        .groupBy("sub", "code")
-        .agg(expr("transform(array_sort(collect_list(struct(pos, cx))), p -> p.cx)").as("cw"))
+    // step, per-round materialization of the tiny (8×nCodes) table.
+    // Codebook, codes, and recon norms are the TRAINED INDEX: session-
+    // cached per config (like pq_codebook/pq_codes), so queries measure
+    // probe+ADC economics, not index construction.
+    val cb = graft.Cached.of(s, dir, s"pqres.cb.$nCodes.$trainRounds") {
+      var cbq = rsub.filter(col("vec_id") >= 8 && col("vec_id") < (8 + nCodes))
+        .select(col("sub"), (col("vec_id") - 8).cast("int").as("code"), col("rv").as("cw"))
         .localCheckpoint(true)
+      for (_ <- 1 to trainRounds) {
+        cbq = nearest(cbq)
+          .select(col("sub"), col("code"), posexplode(col("rv")))
+          .groupBy("sub", "code", "pos")
+          .agg((sum(col("col")) / count(lit(1))).as("cx"))
+          .groupBy("sub", "code")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, cx))), p -> p.cx)").as("cw"))
+          .localCheckpoint(true)
+      }
+      // back to float scale for the ADC tables
+      cbq.withColumn("cw", expr("transform(cw, t -> t / 1048576.0)"))
+        .withColumn("cwn2", vec_dot(col("cw"), col("cw")))
     }
-    // back to float scale for the ADC tables
-    val cb = cbq
-      .withColumn("cw", expr("transform(cw, t -> t / 1048576.0)"))
-      .withColumn("cwn2", vec_dot(col("cw"), col("cw")))
-    val codes = rsub
+    val codes = graft.Cached.of(s, dir, s"pqres.codes.$nCodes.$trainRounds")(rsub
       .withColumn("rv", expr("transform(rv, t -> t / 1048576.0)"))
       .join(broadcast(cb), "sub")
       .withColumn("d2", expr(
@@ -685,7 +688,7 @@ object Sim {
       .agg(expr("min_by(struct(code, cwn2), struct(d2, code))").as("w"),
         first(col("label")).as("clabel"))
       .select(col("vec_id").as("cvid"), col("sub").as("csub"),
-        col("w.code").as("code"), col("w.cwn2").as("cwn2"), col("clabel"))
+        col("w.code").as("code"), col("w.cwn2").as("cwn2"), col("clabel")))
     // query-independent per-(cell, sub, code) centroid·codeword dots
     val cdot = cent
       .select(col("cell"), explode(expr("sequence(0, 7)")).as("sub"), col("cv"))
@@ -694,7 +697,7 @@ object Sim {
       .select(col("cell").as("dcell"), col("sub").as("dsub"),
         col("code").as("dcode"), vec_dot(col("cs"), col("cw")).as("ccdot"))
     // ‖c + recon_r‖² per vector: cn² + Σ_sub (2·c_sub·cw + ‖cw‖²)
-    val recn = codes
+    val recn = graft.Cached.of(s, dir, s"pqres.recn.$nCodes.$trainRounds")(codes
       .join(broadcast(cdot),
         col("clabel") === col("dcell") && col("csub") === col("dsub") &&
           col("code") === col("dcode"))
@@ -704,7 +707,7 @@ object Sim {
         "aggregate(transform(array_sort(collect_list(struct(csub, term))), p -> p.term), 0.0D, (acc, t) -> acc + t)")
         .as("resn2x"), first(col("clabel")).as("rcell"))
       .join(broadcast(cent.select(col("cell").as("rcell"), col("cn"))), "rcell")
-      .select(col("cvid").as("rvid"), (col("cn") * col("cn") + col("resn2x")).as("recn2"))
+      .select(col("cvid").as("rvid"), (col("cn") * col("cn") + col("resn2x")).as("recn2")))
     val q = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     val qCells = q.crossJoin(broadcast(cent))
