@@ -311,6 +311,37 @@ class PlanEvidenceSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       }
   }
 
+  test("emb_centroid_drift aggregates map-side before its exchanges") {
+    // the drift gate's 100 TB claim is ONE map-side-combining scan: the
+    // per-(label, period, dim) integer sums must show partial aggregation
+    val p = planString(operators.Sim.queries("emb_centroid_drift")(s, dir))
+    assert(p.contains("partial_sum"), s"per-dim sums lost map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("graph_truss_support explodes triangles but never goes quadratic") {
+    // support comes from a Generate (the intersection explode, 3 rows per
+    // triangle) into a partially-aggregated count — no cartesian pair join
+    val p = planString(operators.Graph.queries("graph_truss_support")(s, dir))
+    assert(p.contains("Generate"), s"triangle explode missing:\n$p")
+    assert(p.contains("partial_count"), s"support agg lost map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("dedup_incremental joins band keys — no cartesian pair generation") {
+    val p = planString(operators.Dedup.queries("dedup_incremental")(s, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"incremental dedup must stay candidate-bound:\n$p")
+  }
+
+  test("sim_ivfpq_residual_recall broadcasts the ADC lookup tables") {
+    // the 100 TB economics: codebook/LUT broadcast, the corpus side
+    // streams — a shuffled LUT join would move the corpus codes instead
+    val p = planString(operators.Sim.queries("sim_ivfpq_residual_recall")(s, dir))
+    assert(p.contains("BroadcastHashJoin"), s"LUT join is not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("AQE re-plans a small sort-merge join into a broadcast join") {
     import org.apache.spark.sql.functions._
     val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
