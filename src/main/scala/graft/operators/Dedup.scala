@@ -601,15 +601,17 @@ object Dedup {
     * joins: batch bands × history bands (batch-vs-history, including
     * identical content crossing the split — all 16 bands collide) and
     * batch bands × batch bands (batch-internal). Cost tracks the BATCH:
-    * the history side is the cached index (band keys, 16 B/rep), never
-    * its text or shingles, and no history×history pair is ever formed.
+    * candidate generation moves only the history side's cached index
+    * rows (band keys, 16 B/rep); history shingle sets ship solely for
+    * the candidate reps surviving the band + size filters (the bounded
+    * LSH verify bill), and no history×history pair is ever formed.
     * Output: (batch_doc, match_doc, jaccard, match_src∈{batch,history}).
     */
   private val incremental: Q = (s, dir) => {
     val sh = shingles(s, dir)
     val hist = incrHistBands(s, dir)
     val bg = sh.filter(expr(isBatchExpr))
-      .groupBy("ckey").agg(count(lit(1)).as("cnt"), first(col("sh64")).as("sh64"))
+      .groupBy("ckey").agg(first(col("sh64")).as("sh64"))
       .withColumn("sig", minhash_sig(col("sh64"), 32))
     val bb = bg.select(col("ckey"), expr("cast(size(sh64) as bigint)").as("nsh"),
         explode(expr(
