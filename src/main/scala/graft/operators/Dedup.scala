@@ -818,6 +818,56 @@ object Dedup {
     crossPairs.unionByName(withinPairs).orderBy("vec_a", "vec_b")
   }
 
+  // ---------------------------------------------------------------- semantic
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup of
+    * the embedding corpus inside CLUSTER-derived blocks — near-dups are
+    * found within k-means cells, not within given labels
+    * ([[embedding]]'s blocks) and not via text shingles: two documents
+    * whose texts share nothing can still be semantic copies. Blocks =
+    * the session-cached CONVERGED assignment from `emb_kmeans_converge`
+    * (Sim.kmeansConverged — in production a persisted artifact built
+    * once per corpus snapshot; clustering is what makes the pairwise
+    * step tractable, Σ|cell|² ≪ n²). The keep rule is the paper's:
+    * within a cell, order by cosine-to-centroid ASC (prototypical
+    * vectors are the redundant ones, so the FARTHEST from the centroid
+    * ranks first; vec_id tiebreak), and prune v iff some earlier-ranked
+    * u in its cell has cos(u, v) ≥ 0.4 (the corpus-calibrated
+    * threshold [[embedding]] uses). The pairwise step runs on
+    * content-collapsed reps (exact (cell, vector) groups — the r2
+    * dedup discipline): identical vectors share cell and centroid-cos,
+    * so a group's first member inherits the rep's fate and every other
+    * member is pruned by its identical twin (cos = 1 ≥ θ by
+    * definition, never computed). Output per vector: cell, centroid
+    * cosine, n_before (earlier-ranked qualifying REP GROUPS in the
+    * cell, +1 for a non-first group member whose own group is its
+    * witness), pruned flag.
+    */
+  private val semantic: Q = (s, dir) => {
+    val e = Sim.vectors(s, dir)
+    val fin = Sim.kmeansConverged(s, dir)
+      .select(col("vec_id"), col("cell_final").as("cell"), col("cos_final").as("ccos"))
+    val av = fin.join(e.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+    val grp = av.groupBy(col("cell"), col("v"))
+      .agg(min(col("vec_id")).as("rep"), count(lit(1)).as("cnt"),
+        first(col("ccos")).as("ccos"), first(col("nrm")).as("nrm"))
+      .localCheckpoint(true)
+    val wit = grp.as("a").join(grp.as("b"),
+        col("a.cell") === col("b.cell") &&
+          (col("b.ccos") < col("a.ccos") ||
+            (col("b.ccos") === col("a.ccos") && col("b.rep") < col("a.rep"))) &&
+          round(vec_dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6) >= 0.4,
+        "left")
+      .groupBy(col("a.cell").as("cell"), col("a.v").as("v"))
+      .agg(first(col("a.rep")).as("rep"), count(col("b.rep")).as("n_before"))
+    av.join(wit, Seq("cell", "v"))
+      .select(col("vec_id"), col("cell"), col("ccos").as("cent_cos"),
+        when(col("vec_id") === col("rep"), col("n_before"))
+          .otherwise(col("n_before") + 1).as("n_before"),
+        (col("vec_id") =!= col("rep") || col("n_before") > 0).as("pruned"))
+      .orderBy("vec_id")
+  }
+
   // ---------------------------------------------------------------- clusters
 
   /** Connected components over the MinHash near-dup pair graph — what a
@@ -928,6 +978,7 @@ object Dedup {
     "dedup_simhash" -> simhash,
     "dedup_simhash_pairs" -> simhashPairs,
     "dedup_embedding" -> embedding,
+    "dedup_semantic" -> semantic,
     "dedup_clusters" -> clusters,
     "pipeline_dedup_canonical" -> canonical,
   )
@@ -1166,5 +1217,30 @@ object Dedup {
          |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE $oCos >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin,
+    // SemDeDup replay: the full kmeans-converge CTE chain supplies the
+    // converged cells (fin), then collapse to (cell, vector) reps,
+    // count earlier-ranked qualifying reps, and expand to members
+    "dedup_semantic" ->
+      s"""WITH ${graft.operators.Sim.kmeansOracleCtes},
+         |rv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |  sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+         |  FROM embeddings),
+         |sav AS (SELECT f.vec_id, f.cell, round(f.ccos, 6) AS ccos, rv.v, rv.nrm
+         |  FROM fin f JOIN rv USING (vec_id)),
+         |sgrp AS (SELECT cell, v, MIN(vec_id) AS rep, COUNT(*) AS cnt,
+         |  MAX(ccos) AS ccos, MAX(nrm) AS nrm FROM sav GROUP BY cell, v),
+         |swit AS (SELECT a.cell, a.v, MAX(a.rep) AS rep,
+         |    CAST(COUNT(b.rep) AS BIGINT) AS n_before
+         |  FROM sgrp a LEFT JOIN sgrp b ON a.cell = b.cell
+         |    AND (b.ccos < a.ccos OR (b.ccos = a.ccos AND b.rep < a.rep))
+         |    AND round(list_sum(list_transform(range(64), i -> a.v[i+1] * b.v[i+1]))
+         |        / (a.nrm * b.nrm), 6) >= 0.4
+         |  GROUP BY a.cell, a.v)
+         |SELECT sav.vec_id, sav.cell, sav.ccos AS cent_cos,
+         |  CAST(CASE WHEN sav.vec_id = w.rep THEN w.n_before
+         |       ELSE w.n_before + 1 END AS BIGINT) AS n_before,
+         |  (sav.vec_id <> w.rep OR w.n_before > 0) AS pruned
+         |FROM sav JOIN swit w ON sav.cell = w.cell AND sav.v = w.v
+         |ORDER BY sav.vec_id""".stripMargin,
   )
 }

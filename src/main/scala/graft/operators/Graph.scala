@@ -179,6 +179,68 @@ object Graph {
     dist.select(col("x").as("part"), col("dist").as("hops")).orderBy("part")
   }
 
+  /** Sampled-source betweenness centrality (Brandes 2001; the
+    * source-sampling estimator of Bader et al. 2007) truncated at
+    * radius 3 (the [[bfs]] 3-hop discipline) — the influence/bottleneck score a feature pipeline
+    * derives from an interaction graph. Sources are the 4 smallest
+    * id%97==0 nodes (the [[bfs]] source discipline, made fixed-count so
+    * the state size |S|·n is a CHOSEN budget, not a corpus-scaling
+    * one). Forward pass: 3 level-synchronous rounds keyed by (source,
+    * node) — per round ONE frontier join against the src-partitioned
+    * adjacency, a (source, node) hash-agg summing exact BIGINT path
+    * counts, and an anti-join against the visited set (σ ≤ avg-degree³
+    * here; ANSI sum would throw, not wrap, past 2^63). Backward pass:
+    * dependencies accumulate level-by-level from the deepest frontier,
+    * δ(v) = Σ_w (σv/σw)(1+δw) over edges into level h+1 — each term is
+    * one deterministic IEEE chain routed through DECIMAL(28,18) so the
+    * per-node sum is orderless-exact (the unigram_xent discipline), and
+    * the final per-node betweenness is an exact DECIMAL sum across
+    * sources. Both passes are bounded driver loops over
+    * localCheckpointed node-sized state (the [[bfs]]/pagerank shape);
+    * the edge list never reshuffles. The oracle unrolls all 5 rounds as
+    * MATERIALIZED CTEs and replays every σ and δ exactly.
+    */
+  private val betweenness: Q = (s, dir) => {
+    val adj = adjacency(s, dir)
+    val srcs = degrees(s, dir).filter(col("src") % 97 === 0)
+      .orderBy("src").limit(4).select(col("src").as("s"))
+    var vis = srcs.select(col("s"), col("s").as("v"), lit(0L).as("d"), lit(1L).as("sig"))
+      .localCheckpoint(true)
+    for (h <- 1 to 3) {
+      val frontier = vis.filter(col("d") === (h - 1))
+      val cand = adj.join(frontier, adj("src") === frontier("v"))
+        .groupBy(col("s"), col("dst")).agg(sum(col("sig")).as("sig"))
+      val nxt = cand.join(vis.select(col("s").as("s2"), col("v").as("v2")),
+          col("s") === col("s2") && col("dst") === col("v2"), "left_anti")
+        .select(col("s"), col("dst").as("v"), lit(h.toLong).as("d"), col("sig"))
+      vis = vis.unionAll(nxt).localCheckpoint(true)
+    }
+    var wlvl = vis.filter(col("d") === 3)
+      .select(col("s").as("ws"), col("v").as("wv"), col("sig").as("wsig"),
+        lit(0).cast("decimal(38,18)").as("wdel"))
+      .localCheckpoint(true)
+    var acc: DataFrame = null
+    for (h <- 2 to 1 by -1) {
+      val lv = vis.filter(col("d") === h).select(col("s"), col("v"), col("sig"))
+      val terms = lv.join(adj, adj("src") === lv("v"), "left")
+        .join(wlvl, col("ws") === lv("s") && col("wv") === col("dst"), "left")
+        .withColumn("term", expr(
+          "cast((cast(sig as double) / wsig) * (1 + cast(wdel as double)) as decimal(28,18))"))
+      val dh = terms.groupBy(col("s"), col("v"))
+        .agg(first(col("sig")).as("sig"),
+          coalesce(sum(col("term")), lit(0).cast("decimal(38,18)")).as("del"))
+        .localCheckpoint(true)
+      acc = if (acc == null) dh else acc.unionAll(dh)
+      wlvl = dh.select(col("s").as("ws"), col("v").as("wv"),
+        col("sig").as("wsig"), col("del").as("wdel"))
+    }
+    acc.groupBy(col("v").as("part"))
+      .agg(sum(col("del")).as("bcd"))
+      .filter(col("bcd") > 0)
+      .select(col("part"), round(col("bcd").cast("double"), 6).as("bc"))
+      .orderBy("part")
+  }
+
   /** Synchronous label propagation (2 rounds) — community detection with
     * every nondeterminism squeezed out: labels start as node ids, each
     * round every node adopts the most frequent neighbor label with an
@@ -634,6 +696,7 @@ object Graph {
     "graph_triangles" -> triangles,
     "graph_pagerank" -> pagerank,
     "graph_bfs_khop" -> bfs,
+    "graph_betweenness_sample" -> betweenness,
     "graph_label_prop" -> lpa,
     "graph_modularity" -> modularity,
     "graph_degree_stats" -> degreeStats,
@@ -694,6 +757,42 @@ object Graph {
        |SELECT l8.node, CAST(l8.lbl AS BIGINT) AS component,
        |  CAST(cs.n_nodes AS BIGINT) AS n_nodes
        |FROM l8 JOIN cs USING (lbl) ORDER BY node""".stripMargin
+  }
+
+  /** Unrolled DuckDB Brandes for graph_betweenness_sample (see the
+    * query doc): v0..v3 are the forward (source, node, dist, σ) levels,
+    * w3..w1 the backward δ levels.
+    */
+  private val oBetweenness: String = {
+    val fwd = (1 to 3).map(h =>
+      s"""c$h AS MATERIALIZED (SELECT t.s, adj.dst AS v, SUM(t.sig) AS sig
+         |  FROM v${h - 1} t JOIN adj ON adj.src = t.v WHERE t.d = ${h - 1} GROUP BY 1, 2),
+         |v$h AS MATERIALIZED (SELECT * FROM v${h - 1} UNION ALL
+         |  SELECT c.s, c.v, $h AS d, c.sig FROM c$h c
+         |  WHERE NOT EXISTS (SELECT 1 FROM v${h - 1} p WHERE p.s = c.s AND p.v = c.v))"""
+        .stripMargin).mkString(",\n")
+    val bwd = (2 to 1 by -1).map(h =>
+      s"""w$h AS MATERIALIZED (SELECT lv.s, lv.v, lv.sig,
+         |  COALESCE(SUM(CAST((CAST(lv.sig AS DOUBLE) / w.sig) * (1 + CAST(w.del AS DOUBLE))
+         |    AS DECIMAL(28,18))), CAST(0 AS DECIMAL(28,18))) AS del
+         |  FROM (SELECT * FROM v3 WHERE d = $h) lv
+         |  LEFT JOIN adj ON adj.src = lv.v
+         |  LEFT JOIN w${h + 1} w ON w.s = lv.s AND w.v = adj.dst
+         |  GROUP BY lv.s, lv.v, lv.sig)""".stripMargin).mkString(",\n")
+    s"""WITH pl AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p),
+       |adj AS MATERIALIZED (SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v, u FROM e0),
+       |srcs AS (SELECT src AS s FROM (SELECT DISTINCT src FROM adj)
+       |  WHERE src % 97 = 0 ORDER BY src LIMIT 4),
+       |v0 AS MATERIALIZED (SELECT s, s AS v, 0 AS d, CAST(1 AS BIGINT) AS sig FROM srcs),
+       |$fwd,
+       |w3 AS MATERIALIZED (SELECT s, v, sig, CAST(0 AS DECIMAL(28,18)) AS del
+       |  FROM v3 WHERE d = 3),
+       |$bwd,
+       |bcc AS (SELECT v AS part, SUM(del) AS bcd FROM (
+       |    SELECT s, v, del FROM w2 UNION ALL SELECT s, v, del FROM w1) GROUP BY v)
+       |SELECT part, round(CAST(bcd AS DOUBLE), 6) AS bc
+       |FROM bcc WHERE bcd > 0 ORDER BY part""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
@@ -792,6 +891,10 @@ object Graph {
         |SELECT CAST(COUNT(*) AS BIGINT) AS n_communities, MAX(m) AS m,
         |  round(CAST(SUM(qc) AS DOUBLE) / (4.0 * MAX(m) * MAX(m)), 6) AS modularity
         |FROM pc""".stripMargin,
+    // unrolled Brandes: 4 forward BFS/path-count rounds, then 3 backward
+    // dependency levels, every σ exact BIGINT and every δ a
+    // DECIMAL(28,18)-routed sum — replays the Spark loops verbatim
+    "graph_betweenness_sample" -> oBetweenness,
     "graph_bfs_khop" ->
       """WITH RECURSIVE
         |pl AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

@@ -125,8 +125,13 @@ object Sim {
     * against a DuckDB replay, probed cells and all. Shared by the IVF
     * top-k and the k-means assignment step.
     */
-  private[graft] def centroids(s: SparkSession, dir: String): DataFrame = {
-    val e = vectors(s, dir)
+  private[graft] def centroids(s: SparkSession, dir: String): DataFrame =
+    midrangeCents(vectors(s, dir))
+
+  /** [[centroids]] over an arbitrary vector frame — shared with the
+    * history-only index build of [[ivfIncremental]].
+    */
+  private[graft] def midrangeCents(e: DataFrame): DataFrame =
     e.select(col("label"), posexplode(col("v")))
       .groupBy("label", "pos")
       .agg(((min(col("col")) + max(col("col"))) / 2).as("cx"))
@@ -134,7 +139,6 @@ object Sim {
       .agg(expr("transform(array_sort(collect_list(struct(pos, cx))), p -> p.cx)").as("cv"))
       .select(col("label").as("cell"), col("cv"),
         sqrt(vec_dot(col("cv"), col("cv"))).as("cn"))
-  }
 
   private val ivfTopk: Q = (s, dir) => ivfTopkAt(s, dir, 3)
 
@@ -163,6 +167,58 @@ object Sim {
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= K)
       .select(col("q_id"), col("rk"), col("vec_id").as("cand_id"), col("cos_sim"))
+      .orderBy("q_id", "rk")
+  }
+
+  /** Deterministic history/batch split of the vector corpus — the ANN
+    * twin of Dedup's nightly split (`Dedup.isBatchExpr`): ~75% of
+    * vectors are the frozen HISTORY the IVF index is built from, ~25%
+    * are tonight's BATCH (md5-prefix parity on vec_id, the
+    * sample_hash_bernoulli discipline, replayed verbatim by the
+    * oracle).
+    */
+  private val isBatchVecExpr =
+    "substr(md5(concat('incrv|', cast(vec_id as string))), 1, 2) < '40'"
+
+  /** Incremental IVF serving — the production nightly ANN shape, the
+    * vector twin of `dedup_incremental`: every other sim query builds
+    * its index from the whole corpus, but a 100 TB pipeline ADDS a new
+    * batch of vectors to a FROZEN index built from history. For each
+    * batch vector this emits (a) the history cell it is placed in (the
+    * index-update write: nearest history centroid) and (b) its top-3
+    * nearest HISTORY vectors from its nprobe=3 probed cells (the
+    * retrieval read that backs semantic dedup / RAG admission of new
+    * documents). History centroids are the session-cached frozen index
+    * (midranges, so the build is bit-reproducible — see [[centroids]]);
+    * history vectors ship only from probed cells, batch×batch is never
+    * scored, and the cell join carries NO broadcast hint: the batch
+    * side is a corpus slice, not a query handful, so the optimizer
+    * must stay free to shuffle both sides by cell id (the ADVICE-r9
+    * lesson from dedup_ngram_minhash's prefilter). At 100 TB: cost
+    * tracks the batch — each batch vector touches nprobe/ncells of
+    * history, and ncells grows with the corpus (10 label cells here).
+    */
+  private val ivfIncremental: Q = (s, dir) => {
+    val e = vectors(s, dir)
+    val hist = e.filter(not(expr(isBatchVecExpr)))
+    val cent = graft.Cached.of(s, dir, "sim.incr.cent")(midrangeCents(hist))
+    val batch = e.filter(expr(isBatchVecExpr))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val probed = batch.crossJoin(broadcast(cent))
+      .withColumn("ccos", vec_dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("ccos").desc, col("cell"))))
+      .filter(col("crk") <= 3)
+      .withColumn("cell_assigned",
+        max(when(col("crk") === 1, col("cell"))).over(Window.partitionBy("q_id")))
+      .select(col("q_id"), col("qv"), col("qn"), col("cell"), col("cell_assigned"))
+    val scored = probed.join(hist, col("cell") === col("label"))
+      .withColumn("cos_sim", cosine(col("qv"), col("qn"), col("v"), col("nrm")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("q_id"), col("cell_assigned"), col("rk"),
+        col("vec_id").as("cand_id"), col("cos_sim"))
       .orderBy("q_id", "rk")
   }
 
@@ -305,7 +361,16 @@ object Sim {
     * the stop round. RoundTenOpsSpec pins the stopping rule and
     * centroid-count invariance on this corpus.
     */
-  private val kmeansConverge: Q = (s, dir) => kmeansConvergeDetail(s, dir)._1
+  private val kmeansConverge: Q = (s, dir) => kmeansConverged(s, dir)
+
+  /** Session-cached converged assignment — shared by the
+    * emb_kmeans_converge query and Dedup's SemDeDup blocks
+    * (`dedup_semantic`), which cluster once and dedup within cells; in
+    * production the assignment table is a persisted artifact both
+    * consumers read.
+    */
+  private[graft] def kmeansConverged(s: SparkSession, dir: String): DataFrame =
+    graft.Cached.of(s, dir, "sim.kmeans.converged")(kmeansConvergeDetail(s, dir)._1)
 
   /** [[kmeansConverge]] plus the loop observables RoundTenOpsSpec pins:
     * the stop round and whether the movement threshold (rather than the
@@ -1155,6 +1220,7 @@ object Sim {
     "sim_cosine_topk_ivf" -> ivfTopk,
     "sim_lsh_recall" -> lshRecall,
     "sim_ivf_recall" -> ivfRecall,
+    "sim_ivf_incremental" -> ivfIncremental,
   )
 
   /** DuckDB replay of the full IVF pipeline: midrange centroids per cell,
@@ -1327,7 +1393,7 @@ object Sim {
     * stop are computed but excluded from n_moves, matching the loop
     * never running them.
     */
-  private val oKmeansConverge: String = {
+  private val (oKmeansCtes, oKmeansConverge): (String, String) = {
     val cap = 6
     val mCols = (1 to cap).map(r =>
       s"""(SELECT COUNT(*) FROM a$r JOIN a${r - 1} USING (vec_id)
@@ -1340,7 +1406,7 @@ object Sim {
       s"(CASE WHEN $r <= (SELECT k FROM kk) AND a$r.cell <> a${r - 1}.cell THEN 1 ELSE 0 END)")
       .mkString("\n     + ")
     val joins = (1 to cap).map(r => s"JOIN a$r USING (vec_id)").mkString(" ")
-    s"""WITH x AS MATERIALIZED (
+    val ctes = s"""x AS MATERIALIZED (
        |  SELECT vec_id, label,
        |    list_transform(CAST(embedding AS DOUBLE[]), t -> round(t * 1048576.0)) AS x
        |  FROM embeddings),
@@ -1364,14 +1430,22 @@ object Sim {
        |  (SELECT COUNT(*) FROM a0) AS n),
        |kk AS MATERIALIZED (SELECT CASE $kCase ELSE $cap END AS k FROM mv),
        |fin AS MATERIALIZED (
-       |  $finSel)
+       |  $finSel)""".stripMargin
+    val full = s"""WITH $ctes
        |SELECT a0.vec_id, a0.cell AS cell_first, fin.cell AS cell_final,
        |  CAST($moveSum AS BIGINT) AS n_moves,
        |  round(fin.ccos, 6) AS cos_final,
        |  CAST((SELECT k FROM kk) AS BIGINT) AS stop_round
        |FROM a0 JOIN fin USING (vec_id) $joins
        |ORDER BY a0.vec_id""".stripMargin
+    (ctes, full)
   }
+
+  /** The kmeans-converge CTE block up to `fin` (vec_id, cell, ccos at
+    * the stop round) — shared with Dedup's `dedup_semantic` oracle,
+    * which reuses the converged cells as its semantic blocks.
+    */
+  private[graft] def kmeansOracleCtes: String = oKmeansCtes
 
   val oracles: Map[String, String] = Map(
     // HUGEINT Gramian sums → 64×64 covariance numerators exact, then 3
@@ -1763,6 +1837,36 @@ object Sim {
     "sim_cosine_topk_ivf" ->
       s"""WITH $oIvfCte
          |SELECT q_id, rk, cand_id, cos_sim FROM ir ORDER BY q_id, rk""".stripMargin,
+    // history/batch parity split, HISTORY-only midrange centroids (the
+    // frozen index), nprobe=3 probe, exact scoring against history
+    // vectors in probed cells — the full incremental pipeline replayed
+    "sim_ivf_incremental" ->
+      """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+        |  sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+        |  FROM embeddings),
+        |hv AS (SELECT * FROM v
+        |  WHERE NOT substr(md5('incrv|' || CAST(vec_id AS VARCHAR)), 1, 2) < '40'),
+        |bq AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM v
+        |  WHERE substr(md5('incrv|' || CAST(vec_id AS VARCHAR)), 1, 2) < '40'),
+        |cd AS (SELECT label, i, (MIN(hv.v[i]) + MAX(hv.v[i])) / 2 AS cx
+        |       FROM hv, range(1, 65) t(i) GROUP BY label, i),
+        |cen AS (SELECT cell, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS cn FROM (
+        |  SELECT label AS cell, list(cx ORDER BY i) AS cv FROM cd GROUP BY label)),
+        |qc AS (SELECT q_id, qv, qn, cell, crk FROM (
+        |  SELECT q.q_id, q.qv, q.qn, c.cell,
+        |    row_number() OVER (PARTITION BY q.q_id ORDER BY
+        |      list_sum(list_transform(range(64), i -> q.qv[i+1] * c.cv[i+1])) / (q.qn * c.cn) DESC,
+        |      c.cell) AS crk
+        |  FROM bq q CROSS JOIN cen c) WHERE crk <= 3),
+        |qa AS (SELECT q_id, cell AS cell_assigned FROM qc WHERE crk = 1),
+        |sc AS (SELECT qc.q_id, w.vec_id AS cand_id,
+        |  round(list_sum(list_transform(range(64), i -> qc.qv[i+1] * w.v[i+1])) / (qc.qn * w.nrm), 6) AS cos_sim
+        |  FROM qc JOIN hv w ON qc.cell = w.label),
+        |tp AS (SELECT q_id, cand_id, cos_sim,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id) AS rk FROM sc)
+        |SELECT tp.q_id, qa.cell_assigned, CAST(tp.rk AS BIGINT) AS rk,
+        |  tp.cand_id, tp.cos_sim
+        |FROM tp JOIN qa USING (q_id) WHERE tp.rk <= 3 ORDER BY tp.q_id, tp.rk""".stripMargin,
     "sim_ivf_recall" ->
       s"""WITH $oIvfCte,
          |s AS (SELECT q.q_id, w.vec_id AS cand_id,

@@ -175,6 +175,52 @@ object Train {
       .orderBy("doc_id")
   }
 
+  /** CCNet-style perplexity filter (Wenzek et al. 2020) with the nightly
+    * train/apply split — the LM quality gate every crawl pipeline runs:
+    * a language model is trained ONCE on a frozen reference corpus and
+    * each new batch is scored against it, NOT against itself (scoring a
+    * batch with a batch-trained LM lets boilerplate floods score
+    * themselves fluent). Here the md5-parity split shared with
+    * `dedup_incremental` makes ~75% of documents the HISTORY the
+    * unigram LM (add-one smoothing over history vocab; OOV falls to the
+    * same smoothed floor) is trained on and ~25% the scored BATCH. Each
+    * batch doc gets exact-integer token counts, a DECIMAL(28,18)-routed
+    * cross-entropy sum (orderless, so hash-stable), perplexity, and the
+    * CCNet head/middle/tail bucket by xent thirds — bucket edges come
+    * from the distributed globalRank discipline (range partition +
+    * boundary offsets, Flow.globalRank), never a global window. The LM
+    * join carries NO broadcast hint: a 100 TB corpus vocabulary is not
+    * a driver table, and token→token is a plain shuffle equi-join. At
+    * scale: LM build is one map-side-combining count over history;
+    * scoring is batch-linear.
+    */
+  private val lmPplFilter: Q = (s, dir) => {
+    val tk = Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(expr(toksExpr)).as("token"))
+    val isBatch = expr("substr(md5(concat('incr|', cast(doc_id as string))), 1, 2) < '40'")
+    val lm = tk.filter(!isBatch).groupBy("token").agg(count(lit(1)).as("cw"))
+    val nv = lm.agg(sum(col("cw")).as("n"), count(lit(1)).as("v"))
+    val bt = tk.filter(isBatch)
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+    val scored = bt.join(lm, Seq("token"), "left")
+      .na.fill(0L, Seq("cw"))
+      .crossJoin(broadcast(nv))
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).as("n_tok"),
+        sum(expr("cast(-cnt * ln(cast(cw + 1 as double) / (n + v)) as decimal(28,18))"))
+          .as("sx"))
+      .withColumn("xent", col("sx").cast("double") / col("n_tok"))
+    val nd = scored.agg(count(lit(1)).as("nd"))
+    Flow.globalRank(scored, "rr", col("xent"), col("doc_id"))
+      .crossJoin(broadcast(nd))
+      .select(col("doc_id"), col("n_tok"),
+        round(exp(col("xent")), 6).as("ppl"),
+        when(col("rr") * 3 <= col("nd"), lit("head"))
+          .when(col("rr") * 3 <= col("nd") * 2, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+      .orderBy("doc_id")
+  }
+
   /** URL canonicalization dedup: synthesized crawl URLs with www./query/
     * fragment/trailing-slash variants collapse to a canonical form
     * (lowercase, strip www., strip ?query and #fragment, strip trailing
@@ -439,6 +485,7 @@ object Train {
     "sample_split_stratified" -> splitStratified,
     "text_entropy" -> textEntropy,
     "text_unigram_xent" -> unigramXent,
+    "text_lm_ppl_filter" -> lmPplFilter,
     "text_bigram_xent" -> bigramXent,
     "dedup_url" -> dedupUrl,
     "text_domain_stats" -> domainStats,
@@ -588,6 +635,30 @@ object Train {
         |SELECT doc_id, n_bigrams,
         |  round(CAST(sx AS DOUBLE) / n_bigrams, 6) AS xent2
         |FROM x ORDER BY doc_id""".stripMargin,
+    // history-trained add-one unigram LM scores the batch split; bucket
+    // edges are xent thirds over the scored set (rank, doc_id tiebreak)
+    "text_lm_ppl_filter" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS token
+        |  FROM documents),
+        |lm AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cw FROM tok
+        |  WHERE NOT substr(md5('incr|' || CAST(doc_id AS VARCHAR)), 1, 2) < '40'
+        |  GROUP BY 1),
+        |nv AS (SELECT CAST(SUM(cw) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v FROM lm),
+        |bt AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok
+        |  WHERE substr(md5('incr|' || CAST(doc_id AS VARCHAR)), 1, 2) < '40'
+        |  GROUP BY 1, 2),
+        |sc AS (SELECT bt.doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tok,
+        |    SUM(CAST(-cnt * ln(CAST(COALESCE(lm.cw, 0) + 1 AS DOUBLE) / (nv.n + nv.v))
+        |      AS DECIMAL(28,18))) AS sx
+        |  FROM bt LEFT JOIN lm USING (token), nv GROUP BY 1),
+        |x AS (SELECT doc_id, n_tok, CAST(sx AS DOUBLE) / n_tok AS xent FROM sc),
+        |r AS (SELECT *, row_number() OVER (ORDER BY xent, doc_id) AS rr,
+        |  COUNT(*) OVER () AS nd FROM x)
+        |SELECT doc_id, n_tok, round(exp(xent), 6) AS ppl,
+        |  CASE WHEN rr * 3 <= nd THEN 'head'
+        |       WHEN rr * 3 <= nd * 2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM r ORDER BY doc_id""".stripMargin,
     "text_unigram_xent" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS token

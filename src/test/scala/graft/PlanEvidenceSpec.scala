@@ -334,6 +334,35 @@ class PlanEvidenceSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       s"incremental dedup must stay candidate-bound:\n$p")
   }
 
+  test("sim_ivf_incremental: no cartesian pair generation; candidates come from the cell equi-join") {
+    val p = planString(operators.Sim.queries("sim_ivf_incremental")(s, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"batch-vs-history scoring must stay cell-bound:\n$p")
+  }
+
+  test("dedup_semantic: within-cell pairing is an equi-join on the cell — no cartesian") {
+    val p = planString(operators.Dedup.queries("dedup_semantic")(s, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"SemDeDup pairing must stay cluster-blocked:\n$p")
+  }
+
+  test("graph_betweenness_sample: no windows at all — both passes are joins + hash aggs") {
+    val p = planString(operators.Graph.queries("graph_betweenness_sample")(s, dir))
+    assert(!p.contains("Window"), s"Brandes passes must stay window-free:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("text_lm_ppl_filter: bucket edges via per-partition ranks + broadcast offsets, no global window") {
+    val df = operators.Train.queries("text_lm_ppl_filter")(s, dir)
+    val p = planString(df).split("== Initial Plan ==").head
+    // the only row_number window must be partitioned by _pid (the
+    // globalRank discipline); an unpartitioned rank over the scored
+    // batch would be the single-task sort CCNet bucketing must avoid
+    assert(!p.linesIterator.exists(l =>
+        l.contains("Window") && l.contains("row_number") && !l.contains("_pid")),
+      s"global rank window crept into the scored batch:\n$p")
+  }
+
   test("sim_ivfpq_residual_recall broadcasts the ADC lookup tables") {
     // the 100 TB economics: codebook/LUT broadcast, the corpus side
     // streams — a shuffled LUT join would move the corpus codes instead

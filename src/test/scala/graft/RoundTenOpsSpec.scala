@@ -121,4 +121,196 @@ class RoundTenOpsSpec extends AnyFunSuite {
       .select("vec_id", "cell_final").collect().map(_.toString).toSeq
     assert(a == b)
   }
+
+  // --------------------------------------------- round-10 continuation batch
+
+  private def md5p(sv: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5").digest(sv.getBytes("UTF-8"))
+    f"${md(0)}%02x"
+  }
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def dot64(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0; var i = 0; while (i < 64) { acc += a(i) * b(i); i += 1 }; acc
+  }
+  private def nrm64(a: Array[Double]): Double = math.sqrt(dot64(a, a))
+  private def loadVecs(d: String): Array[(Long, Array[Double], Int)] =
+    s.read.parquet(d + "/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v", "cast(label as int) as label")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getInt(2)))
+
+  test("sim_ivf_incremental matches an in-memory replay of the frozen-index probe") {
+    val vecs = loadVecs(dir)
+    val isBatch = (id: Long) => md5p(s"incrv|$id") < "40"
+    val hist = vecs.filter(t => !isBatch(t._1))
+    val batch = vecs.filter(t => isBatch(t._1))
+    val cents = hist.groupBy(_._3).map { case (lbl, vs) =>
+      val cv = Array.tabulate(64)(i => (vs.map(_._2(i)).min + vs.map(_._2(i)).max) / 2)
+      (lbl, cv, nrm64(cv))
+    }.toArray
+    val expected = batch.flatMap { case (qid, qv, _) =>
+      val qn = nrm64(qv)
+      val ranked = cents.map { case (c, cv, cn) => (c, dot64(qv, cv) / (qn * cn)) }
+        .sortBy { case (c, cc) => (-cc, c) }
+      val probed = ranked.take(3).map(_._1).toSet
+      val assigned = ranked.head._1
+      hist.filter(h => probed.contains(h._3))
+        .map { case (hid, hv, _) => (hid, r6(dot64(qv, hv) / (qn * nrm64(hv)))) }
+        .sortBy { case (hid, cs) => (-cs, hid) }
+        .take(3).zipWithIndex
+        .map { case ((hid, cs), i) => (qid, assigned, i + 1, hid, cs) }
+    }.toSet
+    val got = SparkEntry.queries("sim_ivf_incremental")(s, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    assert(expected.nonEmpty, "vacuous: no batch vectors at this sf")
+  }
+
+  test("sim_ivf_incremental: neighbors come from history only, queries from the batch only") {
+    val rows = SparkEntry.queries("sim_ivf_incremental")(s, dir).collect()
+    rows.foreach { r =>
+      assert(md5p(s"incrv|${r.getLong(0)}") < "40", s"q_id ${r.getLong(0)} not a batch vector")
+      assert(md5p(s"incrv|${r.getLong(3)}") >= "40", s"cand ${r.getLong(3)} not a history vector")
+    }
+  }
+
+  test("text_lm_ppl_filter matches an in-memory replay (history LM, exact thirds)") {
+    val docs = s.read.parquet(dir + "/documents.parquet")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    val isBatch = (id: Long) => md5p(s"incr|$id") < "40"
+    def toks(t: String) = t.split(' ').filter(_.nonEmpty)
+    val histToks = docs.filter(d => !isBatch(d._1)).flatMap(d => toks(d._2))
+    val cw = histToks.groupBy(identity).map { case (k, g) => k -> g.length.toLong }
+    val n = histToks.length.toLong
+    val v = cw.size.toLong
+    val scored = docs.filter(d => isBatch(d._1)).map { case (id, t) =>
+      val tf = toks(t).groupBy(identity).map { case (k, g) => k -> g.length.toLong }
+      val ntok = tf.values.sum
+      val sx = tf.map { case (tok, cnt) =>
+        BigDecimal(-cnt * math.log((cw.getOrElse(tok, 0L) + 1).toDouble / (n + v)))
+          .setScale(18, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      (id, ntok, sx.toDouble / ntok)
+    }.sortBy { case (id, _, x) => (x, id) }
+    val nd = scored.length
+    val expected = scored.zipWithIndex.map { case ((id, ntok, x), i) =>
+      val rr = i + 1L
+      val bucket = if (rr * 3 <= nd) "head" else if (rr * 3 <= nd * 2L) "middle" else "tail"
+      (id, ntok, r6(math.exp(x)), bucket)
+    }.toSet
+    val got = SparkEntry.queries("text_lm_ppl_filter")(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3))).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    val counts = got.toSeq.groupBy(_._4).map { case (k, g) => k -> g.size }
+    Seq("head", "middle", "tail").foreach { b =>
+      assert(math.abs(counts.getOrElse(b, 0) - nd / 3.0) <= 1.0,
+        s"bucket $b drifted from a third: $counts of $nd")
+    }
+  }
+
+  test("dedup_semantic matches the SemDeDup keep-order EXISTS rule (in-memory replay)") {
+    val cells = SparkEntry.queries("emb_kmeans_converge")(s, dir)
+      .selectExpr("vec_id", "cast(cell_final as int) as cell", "cos_final").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val vmap = loadVecs(dir).map(t => t._1 -> t._2).toMap
+    val groups = cells.groupBy { case (id, cell, _) => (cell, vmap(id).toSeq) }
+      .map { case ((cell, vseq), members) =>
+        (cell, vseq.toArray, members.map(_._1).min, members.head._3, members.map(_._1))
+      }.toArray
+    val byCell = groups.groupBy(_._1)
+    val expected = groups.flatMap { case (cell, va, rep, cc, mems) =>
+      val nBefore = byCell(cell).count { case (_, vb, repB, ccB, _) =>
+        repB != rep && (ccB < cc || (ccB == cc && repB < rep)) &&
+          r6(dot64(va, vb) / (nrm64(va) * nrm64(vb))) >= 0.4
+      }.toLong
+      mems.map { id =>
+        if (id == rep) (id, cell, cc, nBefore, nBefore > 0)
+        else (id, cell, cc, nBefore + 1, true)
+      }
+    }.toSet
+    val got = SparkEntry.queries("dedup_semantic")(s, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3), r.getBoolean(4)))
+      .toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    assert(got.exists(_._5) && got.exists(!_._5),
+      "vacuous: the corpus must yield both pruned and kept vectors")
+  }
+
+  test("dedup_semantic prunes identical-vector twins through the collapse path (synthetic corpus)") {
+    val tmp = java.nio.file.Files.createTempDirectory("semdup").toString
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 12).map { i =>
+      (i.toLong, Seq.fill(64)((rnd.nextDouble() - 0.5).toFloat), i % 2)
+    }
+    val twins = base.take(5).map { case (id, vv, l) => (id + 100L, vv, l) }
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.{Row, types => T}
+    val schema = T.StructType(Seq(
+      T.StructField("vec_id", T.LongType),
+      T.StructField("embedding", T.ArrayType(T.FloatType)),
+      T.StructField("label", T.IntegerType)))
+    val df = s.createDataFrame(
+      (base ++ twins).map(t => Row(t._1, t._2, t._3)).asJava, schema)
+    df.write.mode("overwrite").parquet(tmp + "/embeddings.parquet")
+    val out = SparkEntry.queries("dedup_semantic")(s, tmp).collect()
+      .map(r => (r.getLong(0), r.getBoolean(4))).toMap
+    assert(out.size == 17)
+    (0 until 5).foreach { i =>
+      assert(out(i + 100L), s"identical twin of vector $i was not pruned")
+    }
+  }
+
+  test("graph_betweenness_sample equals exact radius-3 Brandes (in-memory replay)") {
+    val li = s.read.parquet(dir + "/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val adj = (edges.toSeq ++ edges.toSeq.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (k, g) => k -> g.map(_._2).toArray }
+    val srcs = adj.keySet.filter(_ % 97 == 0).toSeq.sorted.take(4)
+    val bc = collection.mutable.Map[Long, BigDecimal]().withDefaultValue(BigDecimal(0))
+    for (src <- srcs) {
+      val dist = collection.mutable.Map[Long, Int](src -> 0)
+      val sigma = collection.mutable.Map[Long, Long](src -> 1L)
+      var frontier = Seq(src)
+      for (h <- 1 to 3) {
+        val cand = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+        frontier.foreach { u =>
+          adj(u).foreach { w => if (!dist.contains(w)) cand(w) += sigma(u) }
+        }
+        cand.foreach { case (w, sg) => dist(w) = h; sigma(w) = sg }
+        frontier = cand.keys.toSeq
+      }
+      val delta = collection.mutable.Map[Long, BigDecimal]().withDefaultValue(BigDecimal(0))
+      for (h <- 2 to 1 by -1) {
+        dist.filter(_._2 == h).keys.foreach { v0 =>
+          var acc = BigDecimal(0)
+          adj(v0).foreach { w =>
+            if (dist.get(w).contains(h + 1)) {
+              val term = (sigma(v0).toDouble / sigma(w)) * (1 + delta(w).toDouble)
+              acc += BigDecimal(term).setScale(18, BigDecimal.RoundingMode.HALF_UP)
+            }
+          }
+          delta(v0) = acc
+        }
+      }
+      dist.foreach { case (v0, d0) => if (d0 >= 1 && d0 <= 2) bc(v0) += delta(v0) }
+    }
+    val expected = bc.toMap.filter(_._2 > 0)
+      .map { case (v0, b) => (v0, r6(b.toDouble)) }
+    val got = SparkEntry.queries("graph_betweenness_sample")(s, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got == expected,
+      s"missing=${(expected.keySet -- got.keySet).take(3)} " +
+        s"extra=${(got.keySet -- expected.keySet).take(3)} " +
+        s"diff=${expected.collect { case (k, e) if got.get(k).exists(_ != e) => (k, e, got(k)) }.take(3)}")
+    assert(got.nonEmpty, "vacuous: no positive betweenness at this sf")
+  }
 }
