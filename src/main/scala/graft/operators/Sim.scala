@@ -200,25 +200,58 @@ object Sim {
     */
   private val ivfIncremental: Q = (s, dir) => {
     val e = vectors(s, dir)
-    val hist = e.filter(not(expr(isBatchVecExpr)))
+    val isB = expr(isBatchVecExpr)
+    val hist = e.filter(not(isB))
+    // the frozen index, content-collapsed (the r2 dedup discipline, the
+    // dedup_embedding shape): a crawl-scale batch is FULL of exact
+    // duplicate embeddings, and scoring must run once per distinct
+    // (cell, vector) rep, never once per copy — the 64×-copies probe
+    // ran 288 s rep-free and 2.7 s collapsed (4096× fewer candidate
+    // pairs). Members re-enter by rep id at output time only.
+    val hreps = graft.Cached.of(s, dir, "sim.incr.hreps") {
+      hist.groupBy(col("label"), col("v"))
+        .agg(min(col("vec_id")).as("rep"), first(col("nrm")).as("hnrm"))
+    }
+    val hmem = graft.Cached.of(s, dir, "sim.incr.hmem") {
+      hist.join(hreps.select(col("label"), col("v"), col("rep")), Seq("label", "v"))
+        .select(col("rep").as("mrep"), col("vec_id").as("cand_id"))
+    }
     val cent = graft.Cached.of(s, dir, "sim.incr.cent")(midrangeCents(hist))
-    val batch = e.filter(expr(isBatchVecExpr))
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val probed = batch.crossJoin(broadcast(cent))
+    val breps = e.filter(isB).groupBy(col("v"))
+      .agg(min(col("vec_id")).as("qrep"), first(col("nrm")).as("qn"))
+      .select(col("qrep"), col("v").as("qv"), col("qn"))
+    val bmem = e.filter(isB)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .join(breps.select(col("qrep"), col("qv")), Seq("qv"))
+      .select(col("q_id"), col("qrep"))
+    val probed = breps.crossJoin(broadcast(cent))
       .withColumn("ccos", vec_dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("crk", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("ccos").desc, col("cell"))))
+        Window.partitionBy("qrep").orderBy(col("ccos").desc, col("cell"))))
       .filter(col("crk") <= 3)
       .withColumn("cell_assigned",
-        max(when(col("crk") === 1, col("cell"))).over(Window.partitionBy("q_id")))
-      .select(col("q_id"), col("qv"), col("qn"), col("cell"), col("cell_assigned"))
-    val scored = probed.join(hist, col("cell") === col("label"))
-      .withColumn("cos_sim", cosine(col("qv"), col("qn"), col("v"), col("nrm")))
-    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
-    scored.withColumn("rk", row_number().over(w))
+        max(when(col("crk") === 1, col("cell"))).over(Window.partitionBy("qrep")))
+      .select(col("qrep"), col("qv"), col("qn"), col("cell"), col("cell_assigned"))
+    val scoredReps = probed.join(hreps.as("h"), col("cell") === col("h.label"))
+      .withColumn("cos_sim", cosine(col("qv"), col("qn"), col("h.v"), col("h.hnrm")))
+      .select(col("qrep"), col("cell_assigned"), col("h.rep").as("rep"), col("cos_sim"))
+    // the top-3 MEMBERS span at most 3 reps, and any rep holding a
+    // top-3 member ranks ≤ 3 under (cos DESC, min-member-id ASC): a rep
+    // ranked above it contributes at least one member that outranks the
+    // held member. So cut to 3 reps, then explode only their members.
+    val mns = hmem.groupBy("mrep").agg(min(col("cand_id")).as("mn"))
+    val topCands = scoredReps
+      .join(mns, col("rep") === col("mrep"))
+      .withColumn("rrk", row_number().over(
+        Window.partitionBy("qrep").orderBy(col("cos_sim").desc, col("mn"))))
+      .filter(col("rrk") <= 3)
+      .join(hmem, Seq("mrep"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qrep").orderBy(col("cos_sim").desc, col("cand_id"))))
       .filter(col("rk") <= 3)
-      .select(col("q_id"), col("cell_assigned"), col("rk"),
-        col("vec_id").as("cand_id"), col("cos_sim"))
+      .select(col("qrep"), col("cell_assigned"), col("rk"), col("cand_id"), col("cos_sim"))
+    bmem.join(topCands, Seq("qrep"))
+      .select(col("q_id"), col("cell_assigned"), col("rk"), col("cand_id"), col("cos_sim"))
       .orderBy("q_id", "rk")
   }
 
