@@ -379,7 +379,61 @@ object Analytic {
       .orderBy("r_name", "n_name")
   }
 
+  /** Holt double-exponential smoothing (level + trend), one-step-ahead
+    * backtest on the daily event-count series — the trend-aware
+    * counterpart of `ts_forecast_snaive` and the next rung of the
+    * forecasting-baseline ladder every pipeline must beat. The
+    * recursion is inherently sequential, so exactness does the work
+    * floats cannot: α = 1/2 and β = 1/4 are dyadic, state is BIGINT in
+    * 64ths (l ← tdiv2(64·y + l + b); b ← tdiv4(l′ − l + 3b); forecast
+    * f = l + b BEFORE observing the day), and division is a SIGN-SAFE
+    * truncation written out explicitly in both engines because Spark's
+    * `div` truncates toward zero while DuckDB's `//` floors — they
+    * disagree exactly when the trend goes negative. The fold runs over
+    * the array_sort-collected day series in ONE `aggregate` expression
+    * (the day-grain bounded-series discipline: a few thousand struct
+    * rows, same class as ts_stl/ts_autocorr); the oracle replays it as
+    * a linear recursive CTE. Output per scored day: exact integers
+    * only. At 100 TB the daily rollup is the distributed part; the
+    * recursion state is 16 bytes however long the history.
+    */
+  private val tsHoltLinear: Q = (s, dir) => {
+    val daily = Tables(s, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("d"))
+      .agg(count(lit(1)).as("y"))
+    daily.agg(expr("array_sort(collect_list(struct(d, y)))").as("sr"))
+      .select(expr(
+        """explode(aggregate(
+          |  sr,
+          |  struct(CAST(NULL AS BIGINT) AS l, CAST(0 AS BIGINT) AS b,
+          |    CAST(array() AS ARRAY<STRUCT<d: DATE, y: BIGINT, f: BIGINT, e: BIGINT>>) AS out),
+          |  (acc, x) -> CASE WHEN acc.l IS NULL
+          |    THEN struct(x.y * 64L AS l, CAST(0 AS BIGINT) AS b, acc.out AS out)
+          |    ELSE struct(
+          |      CASE WHEN (x.y * 64L + acc.l + acc.b) >= 0
+          |        THEN (x.y * 64L + acc.l + acc.b) div 2
+          |        ELSE -((-(x.y * 64L + acc.l + acc.b)) div 2) END AS l,
+          |      CASE WHEN ((CASE WHEN (x.y * 64L + acc.l + acc.b) >= 0
+          |            THEN (x.y * 64L + acc.l + acc.b) div 2
+          |            ELSE -((-(x.y * 64L + acc.l + acc.b)) div 2) END) - acc.l + 3L * acc.b) >= 0
+          |        THEN ((CASE WHEN (x.y * 64L + acc.l + acc.b) >= 0
+          |            THEN (x.y * 64L + acc.l + acc.b) div 2
+          |            ELSE -((-(x.y * 64L + acc.l + acc.b)) div 2) END) - acc.l + 3L * acc.b) div 4
+          |        ELSE -((-((CASE WHEN (x.y * 64L + acc.l + acc.b) >= 0
+          |            THEN (x.y * 64L + acc.l + acc.b) div 2
+          |            ELSE -((-(x.y * 64L + acc.l + acc.b)) div 2) END) - acc.l + 3L * acc.b)) div 4) END AS b,
+          |      concat(acc.out, array(struct(x.d AS d, x.y AS y,
+          |        (acc.l + acc.b) AS f,
+          |        abs(x.y * 64L - (acc.l + acc.b)) AS e))) AS out)
+          |  END,
+          |  acc -> acc.out)) AS r""".stripMargin))
+      .select(col("r.d").as("d"), col("r.y").as("y"),
+        col("r.f").as("forecast64"), col("r.e").as("abs_err64"))
+      .orderBy("d")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ts_holt_linear" -> tsHoltLinear,
     "win_share_of_parent" -> winShareOfParent,
     "win_rolling_regr" -> winRollingRegr,
     "win_clamped_cumsum" -> winClampedCumsum,
@@ -399,6 +453,31 @@ object Analytic {
   )
 
   val oracles: Map[String, String] = Map(
+    // linear recursive CTE replaying the dyadic Holt fold step by step;
+    // the sign-safe truncating division is written out because DuckDB's
+    // // floors where Spark's div truncates
+    "ts_holt_linear" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |idx AS (SELECT d, y, row_number() OVER (ORDER BY d) AS rn FROM daily),
+        |hw(rn, l, b, d, y, f, e) AS (
+        |  SELECT rn, y * 64, CAST(0 AS BIGINT), d, y,
+        |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM idx WHERE rn = 1
+        |  UNION ALL
+        |  SELECT rn, lp,
+        |    CASE WHEN (lp - l0 + 3 * b0) >= 0 THEN (lp - l0 + 3 * b0) // 4
+        |         ELSE -((-(lp - l0 + 3 * b0)) // 4) END,
+        |    d, y, f, e
+        |  FROM (
+        |    SELECT i.rn,
+        |      CASE WHEN (i.y * 64 + hw.l + hw.b) >= 0 THEN (i.y * 64 + hw.l + hw.b) // 2
+        |           ELSE -((-(i.y * 64 + hw.l + hw.b)) // 2) END AS lp,
+        |      hw.l AS l0, hw.b AS b0, i.d, i.y,
+        |      hw.l + hw.b AS f, abs(i.y * 64 - (hw.l + hw.b)) AS e
+        |    FROM hw JOIN idx i ON i.rn = hw.rn + 1))
+        |SELECT d, y, CAST(f AS BIGINT) AS forecast64, CAST(e AS BIGINT) AS abs_err64
+        |FROM hw WHERE rn >= 2 ORDER BY d""".stripMargin,
     "win_share_of_parent" ->
       """WITH b AS (
         |  SELECT r_name, n_name,

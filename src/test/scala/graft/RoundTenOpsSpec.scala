@@ -313,4 +313,63 @@ class RoundTenOpsSpec extends AnyFunSuite {
         s"diff=${expected.collect { case (k, e) if got.get(k).exists(_ != e) => (k, e, got(k)) }.take(3)}")
     assert(got.nonEmpty, "vacuous: no positive betweenness at this sf")
   }
+
+  private def holtReplay(rows: Seq[(java.sql.Date, Long)])
+      : (Seq[(java.sql.Date, Long, Long, Long)], Boolean) = {
+    def tdiv(x: Long, d: Long): Long = if (x >= 0) x / d else -((-x) / d)
+    val sorted = rows.sortBy(_._1.getTime)
+    var l = 0L; var b = 0L; var init = false; var sawNeg = false
+    val out = collection.mutable.ArrayBuffer[(java.sql.Date, Long, Long, Long)]()
+    sorted.foreach { case (d, y) =>
+      if (!init) { l = y * 64; b = 0; init = true }
+      else {
+        val f = l + b
+        out += ((d, y, f, math.abs(y * 64 - f)))
+        val t1 = y * 64 + l + b
+        val lp = tdiv(t1, 2)
+        val t2 = lp - l + 3 * b
+        if (t1 < 0 || t2 < 0) sawNeg = true
+        l = lp; b = tdiv(t2, 4)
+      }
+    }
+    (out.toSeq, sawNeg)
+  }
+
+  test("ts_holt_linear matches the in-memory dyadic fold on the real series") {
+    val daily = Tables(s, dir, "events")
+      .selectExpr("cast(date_trunc('day', ts) as date) as d").groupBy("d").count()
+      .collect().map(r => (r.getDate(0), r.getLong(1))).toSeq
+    val (expected, _) = holtReplay(daily)
+    val got = SparkEntry.queries("ts_holt_linear")(s, dir).collect()
+      .map(r => (r.getDate(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("ts_holt_linear: the sign-safe division branch is exercised and exact on a crashing series") {
+    // Spark's div truncates toward zero, DuckDB's // floors — the
+    // engines disagree exactly when the trend state goes negative, so
+    // this corpus forces it: a cliff from 400 events/day to 1/day
+    val tmp = java.nio.file.Files.createTempDirectory("holt").toString
+    val counts = Seq(400L, 300L, 200L, 100L) ++ Seq.fill(12)(1L)
+    val rows = counts.zipWithIndex.flatMap { case (c, day) =>
+      (0L until c).map { k =>
+        (day * 1000L + k,
+          java.sql.Timestamp.valueOf(f"2024-03-${day + 1}%02d 12:00:00"),
+          k % 7, "view", 1.0, "{}")
+      }
+    }
+    import s.implicits._
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(tmp + "/events.parquet")
+    val daily = counts.zipWithIndex.map { case (c, day) =>
+      (java.sql.Date.valueOf(f"2024-03-${day + 1}%02d"), c)
+    }
+    val (expected, sawNeg) = holtReplay(daily)
+    assert(sawNeg, "the series never drove the smoothing state negative — weak fixture")
+    val got = SparkEntry.queries("ts_holt_linear")(s, tmp).collect()
+      .map(r => (r.getDate(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected,
+      s"divergence on the negative-trend path: got=${got.take(4)} expected=${expected.take(4)}")
+  }
 }
