@@ -432,8 +432,61 @@ object Analytic {
       .orderBy("d")
   }
 
+  /** Holt–Winters additive seasonal smoothing (level + trend + 7-day
+    * seasonality), one-step-ahead backtest — the top rung of the
+    * forecasting-baseline ladder ([[tsHoltLinear]] without seasonality,
+    * ts_forecast_snaive without smoothing). Same exactness scheme:
+    * dyadic α = 1/2, β = 1/4, γ = 1/2 on BIGINT state in 64ths with the
+    * sign-safe truncating division (see [[tsHoltLinear]] for the
+    * div-vs-floor engine trap), seasonal index = epoch-day mod 7 (both
+    * engines compute calendar-free integer day numbers — dayofweek()
+    * bases differ between engines). The fold carries a 7-slot BIGINT
+    * seasonal array updated in place per step; seasonal terms start at
+    * 0 and LEARN from the series (no initialization heuristic to
+    * replicate). Oracle: the same recursion as a linear recursive CTE
+    * carrying a LIST<BIGINT> column. Forecast f = l + b + s_dow BEFORE
+    * observing the day; output is exact integers only.
+    */
+  private val tsHoltWinters: Q = (s, dir) => {
+    def td(e: String, n: Int) =
+      s"(CASE WHEN $e >= 0 THEN $e div $n ELSE -((-($e)) div $n) END)"
+    val idx = "(datediff(x.d, DATE '1970-01-01') % 7)"
+    val si = s"element_at(acc.s, $idx + 1)"
+    val t1 = s"(x.y * 64L - $si + acc.l + acc.b)"
+    val lp = td(t1, 2)
+    val t2 = s"($lp - acc.l + 3L * acc.b)"
+    val bp = td(t2, 4)
+    val t3 = s"(x.y * 64L - $lp + $si)"
+    val sp = td(t3, 2)
+    val f = s"(acc.l + acc.b + $si)"
+    val daily = Tables(s, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("d"))
+      .agg(count(lit(1)).as("y"))
+    daily.agg(expr("array_sort(collect_list(struct(d, y)))").as("sr"))
+      .select(expr(
+        s"""explode(aggregate(
+           |  sr,
+           |  struct(CAST(NULL AS BIGINT) AS l, CAST(0 AS BIGINT) AS b,
+           |    array_repeat(CAST(0 AS BIGINT), 7) AS s,
+           |    CAST(array() AS ARRAY<STRUCT<d: DATE, y: BIGINT, f: BIGINT, e: BIGINT>>) AS out),
+           |  (acc, x) -> CASE WHEN acc.l IS NULL
+           |    THEN struct(x.y * 64L AS l, CAST(0 AS BIGINT) AS b, acc.s AS s, acc.out AS out)
+           |    ELSE struct(
+           |      $lp AS l,
+           |      $bp AS b,
+           |      transform(acc.s, (e, i) -> IF(i = $idx, $sp, e)) AS s,
+           |      concat(acc.out, array(struct(x.d AS d, x.y AS y,
+           |        $f AS f, abs(x.y * 64L - $f) AS e))) AS out)
+           |  END,
+           |  acc -> acc.out)) AS r""".stripMargin))
+      .select(col("r.d").as("d"), col("r.y").as("y"),
+        col("r.f").as("forecast64"), col("r.e").as("abs_err64"))
+      .orderBy("d")
+  }
+
   val queries: Map[String, Q] = Map(
     "ts_holt_linear" -> tsHoltLinear,
+    "ts_holt_winters" -> tsHoltWinters,
     "win_share_of_parent" -> winShareOfParent,
     "win_rolling_regr" -> winRollingRegr,
     "win_clamped_cumsum" -> winClampedCumsum,
@@ -478,6 +531,40 @@ object Analytic {
         |    FROM hw JOIN idx i ON i.rn = hw.rn + 1))
         |SELECT d, y, CAST(f AS BIGINT) AS forecast64, CAST(e AS BIGINT) AS abs_err64
         |FROM hw WHERE rn >= 2 ORDER BY d""".stripMargin,
+    // the Holt–Winters fold as a linear recursive CTE carrying the
+    // 7-slot seasonal LIST; nested subqueries stage si/f, then lp, then
+    // the bp/seasonal updates (SQL aliases cannot reference siblings)
+    "ts_holt_winters" -> {
+      def fd(e: String, n: Int) =
+        s"(CASE WHEN $e >= 0 THEN ($e) // $n ELSE -((-($e)) // $n) END)"
+      s"""WITH RECURSIVE daily AS (
+         |  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS y
+         |  FROM events GROUP BY 1),
+         |idx AS (SELECT d, y, row_number() OVER (ORDER BY d) AS rn FROM daily),
+         |hw(rn, l, b, sarr, d, y, f, e) AS (
+         |  SELECT rn, y * 64, CAST(0 AS BIGINT),
+         |    list_transform(range(7), i -> CAST(0 AS BIGINT)), d, y,
+         |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+         |  FROM idx WHERE rn = 1
+         |  UNION ALL
+         |  SELECT rn, lp, ${fd("lp - l0 + 3 * b0", 4)},
+         |    list_transform(range(7), i ->
+         |      CASE WHEN i = di THEN ${fd("y * 64 - lp + si", 2)} ELSE sarr0[i + 1] END),
+         |    d, y, f, e
+         |  FROM (
+         |    SELECT rn, d, y, di, si, l0, b0, sarr0, f, e,
+         |      ${fd("y * 64 - si + l0 + b0", 2)} AS lp
+         |    FROM (
+         |      SELECT i.rn, i.d, i.y,
+         |        ((i.d - DATE '1970-01-01') % 7) AS di,
+         |        hw.sarr[((i.d - DATE '1970-01-01') % 7) + 1] AS si,
+         |        hw.l AS l0, hw.b AS b0, hw.sarr AS sarr0,
+         |        hw.l + hw.b + hw.sarr[((i.d - DATE '1970-01-01') % 7) + 1] AS f,
+         |        abs(i.y * 64 - (hw.l + hw.b + hw.sarr[((i.d - DATE '1970-01-01') % 7) + 1])) AS e
+         |      FROM hw JOIN idx i ON i.rn = hw.rn + 1)))
+         |SELECT d, y, CAST(f AS BIGINT) AS forecast64, CAST(e AS BIGINT) AS abs_err64
+         |FROM hw WHERE rn >= 2 ORDER BY d""".stripMargin
+    },
     "win_share_of_parent" ->
       """WITH b AS (
         |  SELECT r_name, n_name,

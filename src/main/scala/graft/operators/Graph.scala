@@ -655,7 +655,12 @@ object Graph {
     * support level with its edge count — bounded by the max support,
     * never by m.
     */
-  private val trussSupport: Q = (s, dir) => {
+  /** One row per triangle (a, b, c), found exactly once on its oriented
+    * base edge — the degree-oriented edge-iterator substrate shared by
+    * [[trussSupport]] and [[localClustering]] (see [[triangles]] for
+    * why orientation caps the per-edge intersection work).
+    */
+  private def triangleRows(s: SparkSession, dir: String): DataFrame = {
     val e = edges(s, dir)
     val deg = degrees(s, dir).select(col("src").as("x"), col("d"))
     val key = deg.select(col("x"), (col("d") * lit(1073741824L) + col("x")).as("ok"))
@@ -667,11 +672,42 @@ object Graph {
         when(col("ku") < col("kv"), col("v")).otherwise(col("u")).as("t"))
     val adjOut = oriented.groupBy(col("s"))
       .agg(collect_list(col("t")).as("nbrs"))
-    val triRows = oriented
+    oriented
       .join(adjOut.select(col("s").as("ja"), col("nbrs").as("na")), col("s") === col("ja"))
       .join(adjOut.select(col("s").as("jb"), col("nbrs").as("nb")), col("t") === col("jb"))
       .select(col("s").as("a"), col("t").as("b"),
         explode(expr("array_intersect(na, nb)")).as("c"))
+  }
+
+  /** Per-node triangle count and local clustering coefficient
+    * (Watts–Strogatz): c(v) = 2·tri(v) / (d(v)·(d(v)−1)) — the
+    * node-grain refinement of [[triangles]]' global coefficient and the
+    * classic ego-density feature (spam/fraud nodes sit in sparse
+    * neighborhoods, community cores in dense ones). Rides the SAME
+    * oriented triangle substrate as [[trussSupport]]: each triangle row
+    * explodes to its 3 member nodes (output-bounded), one hash-agg
+    * counts per node, and one node-linear left join brings in
+    * triangle-free nodes. The only float is the final 2t/d(d−1)
+    * division, guarded for d = 1 (ANSI would throw on the zero
+    * denominator, §8a#2 discipline).
+    */
+  private val localClustering: Q = (s, dir) => {
+    val nodeTri = triangleRows(s, dir)
+      .select(explode(array(col("a"), col("b"), col("c"))).as("x"))
+      .groupBy("x").agg(count(lit(1)).as("n_tri"))
+    degrees(s, dir).select(col("src").as("x"), col("d"))
+      .join(nodeTri, Seq("x"), "left")
+      .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
+      .select(col("x").as("part"), col("d").as("degree"), col("n_tri"),
+        when(col("d") >= 2,
+          round((col("n_tri") * 2).cast("double") / (col("d") * (col("d") - 1)), 6))
+          .otherwise(lit(0.0)).as("local_cc"))
+      .orderBy("part")
+  }
+
+  private val trussSupport: Q = (s, dir) => {
+    val e = edges(s, dir)
+    val triRows = triangleRows(s, dir)
     val edgeSup = triRows
       .select(explode(array(
         struct(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v")),
@@ -688,6 +724,7 @@ object Graph {
 
   val queries: Map[String, Q] = Map(
     "graph_truss_support" -> trussSupport,
+    "graph_local_clustering" -> localClustering,
     "graph_assortativity" -> assortativity,
     "graph_connected_components" -> connectedComponents,
     "graph_cc_pointer_doubling" -> ccPointerDoubling,
@@ -910,6 +947,24 @@ object Graph {
     // naive id-ordered triangle enumeration (the triangles-oracle
     // discipline): same triangle set as the oriented edge-iterator, so
     // identical per-edge supports
+    // naive triangle enumeration per node (the triangles-oracle
+    // discipline), degrees from the symmetric edge union
+    "graph_local_clustering" ->
+      """WITH pl AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p),
+        |tri AS MATERIALIZED (SELECT e1.u AS a, e1.v AS b, e2.v AS c FROM e e1
+        |  JOIN e e2 ON e2.u = e1.v JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |nt AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+        |    SELECT a AS x FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+        |  GROUP BY x),
+        |deg AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        |    SELECT u AS x FROM e UNION ALL SELECT v FROM e) GROUP BY x)
+        |SELECT deg.x AS part, deg.d AS degree,
+        |  CAST(COALESCE(nt.n_tri, 0) AS BIGINT) AS n_tri,
+        |  CASE WHEN deg.d >= 2
+        |    THEN round(CAST(2 * COALESCE(nt.n_tri, 0) AS DOUBLE) / (deg.d * (deg.d - 1)), 6)
+        |    ELSE 0.0 END AS local_cc
+        |FROM deg LEFT JOIN nt ON nt.x = deg.x ORDER BY part""".stripMargin,
     "graph_truss_support" ->
       """WITH pl AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |e AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p),

@@ -346,6 +346,70 @@ class RoundTenOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  private def hwReplay(rows: Seq[(java.sql.Date, Long)])
+      : (Seq[(java.sql.Date, Long, Long, Long)], Boolean) = {
+    def tdiv(x: Long, d: Long): Long = if (x >= 0) x / d else -((-x) / d)
+    val sorted = rows.sortBy(_._1.getTime)
+    val sArr = Array.fill(7)(0L)
+    var l = 0L; var b = 0L; var init = false; var sawNeg = false
+    val out = collection.mutable.ArrayBuffer[(java.sql.Date, Long, Long, Long)]()
+    sorted.foreach { case (d, y) =>
+      val di = ((d.toLocalDate.toEpochDay % 7) + 7) % 7
+      if (!init) { l = y * 64; b = 0; init = true }
+      else {
+        val si = sArr(di.toInt)
+        val f = l + b + si
+        out += ((d, y, f, math.abs(y * 64 - f)))
+        val t1 = y * 64 - si + l + b
+        val lp = tdiv(t1, 2)
+        val t2 = lp - l + 3 * b
+        val t3 = y * 64 - lp + si
+        if (t1 < 0 || t2 < 0 || t3 < 0) sawNeg = true
+        sArr(di.toInt) = tdiv(t3, 2)
+        l = lp; b = tdiv(t2, 4)
+      }
+    }
+    (out.toSeq, sawNeg)
+  }
+
+  test("ts_holt_winters matches the in-memory seasonal fold on the real series") {
+    val daily = Tables(s, dir, "events")
+      .selectExpr("cast(date_trunc('day', ts) as date) as d").groupBy("d").count()
+      .collect().map(r => (r.getDate(0), r.getLong(1))).toSeq
+    val (expected, _) = hwReplay(daily)
+    val got = SparkEntry.queries("ts_holt_winters")(s, dir).collect()
+      .map(r => (r.getDate(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("graph_local_clustering matches an in-memory per-node replay; node triangles total 3T") {
+    val li = s.read.parquet(dir + "/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val adj = (edges.toSeq ++ edges.toSeq.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (k, g) => k -> g.map(_._2).toSet }
+    val expected = adj.map { case (v0, nb) =>
+      val d = nb.size.toLong
+      val tri = nb.toSeq.map(w => (adj(w) & nb).size).sum / 2
+      val cc = if (d >= 2)
+        BigDecimal(2.0 * tri / (d * (d - 1)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      else 0.0
+      (v0, (d, tri.toLong, cc))
+    }
+    val got = SparkEntry.queries("graph_local_clustering")(s, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == expected)
+    val totalTri = SparkEntry.queries("graph_triangles")(s, dir).head().getLong(2)
+    assert(got.values.map(_._2).sum == 3 * totalTri,
+      "per-node triangle counts must total 3 per triangle")
+  }
+
   test("ts_holt_linear: the sign-safe division branch is exercised and exact on a crashing series") {
     // Spark's div truncates toward zero, DuckDB's // floors — the
     // engines disagree exactly when the trend state goes negative, so
@@ -371,5 +435,12 @@ class RoundTenOpsSpec extends AnyFunSuite {
       .map(r => (r.getDate(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(got == expected,
       s"divergence on the negative-trend path: got=${got.take(4)} expected=${expected.take(4)}")
+    // the seasonal variant shares the division trap — drive it too
+    val (expectedHw, sawNegHw) = hwReplay(daily)
+    assert(sawNegHw, "the series never drove the Holt-Winters state negative — weak fixture")
+    val gotHw = SparkEntry.queries("ts_holt_winters")(s, tmp).collect()
+      .map(r => (r.getDate(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(gotHw == expectedHw,
+      s"HW divergence on the negative path: got=${gotHw.take(4)} expected=${expectedHw.take(4)}")
   }
 }
