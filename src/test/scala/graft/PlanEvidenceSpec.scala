@@ -346,6 +346,12 @@ class PlanEvidenceSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       s"SemDeDup pairing must stay cluster-blocked:\n$p")
   }
 
+  test("graph_local_clustering: window-free, no cartesian — explode + hash-agg + one left join") {
+    val p = planString(operators.Graph.queries("graph_local_clustering")(s, dir))
+    assert(!p.contains("Window"), s"per-node triangle counting must stay window-free:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("graph_betweenness_sample: no windows at all — both passes are joins + hash aggs") {
     val p = planString(operators.Graph.queries("graph_betweenness_sample")(s, dir))
     assert(!p.contains("Window"), s"Brandes passes must stay window-free:\n$p")
