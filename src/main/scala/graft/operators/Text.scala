@@ -36,6 +36,40 @@ object Text {
        |  i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2)))
        |END""".stripMargin
 
+  /** Lexical novelty of tonight's batch against the frozen corpus — the
+    * third leg of the nightly admission gate (dedup_incremental finds
+    * near-copies, text_lm_ppl_filter scores fluency, this scores what
+    * fraction of a new doc's token 3-grams the history corpus has NEVER
+    * seen): a data-mixing signal — all-novel batches are new domains or
+    * garbage, zero-novel batches are redundant spend. Same md5-parity
+    * split as the other incremental queries. Unlike
+    * [[decontaminate]] — whose reference set is a SMALL benchmark and
+    * therefore broadcast — the reference here is the corpus-scale
+    * distinct-gram vocabulary, so the membership join is a plain gram
+    * shuffle equi-join with NO broadcast hint (the ADVICE-r9 rule), and
+    * novelty counts arrive from one map-side-combining (doc, gram)
+    * aggregate. Docs under 3 tokens have no grams and no row (both
+    * engines). At 100 TB: two gram scans + one shuffle; in production
+    * the history vocabulary is a persisted bloom/exact gram table.
+    */
+  private val ngramNovelty: Q = (s, dir) => {
+    val isBatch = expr("substr(md5(concat('incr|', cast(doc_id as string))), 1, 2) < '40'")
+    val grams = Tables.docsSpread(s, dir)
+      .withColumn("tk", expr(toksExpr))
+      .select(col("doc_id"), explode(expr(gramsExpr)).as("gram"))
+    val hist = grams.filter(!isBatch).select("gram").distinct()
+      .withColumn("seen", lit(1L))
+    grams.filter(isBatch)
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+      .join(hist, Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).as("n_grams"),
+        sum(when(col("seen").isNull, col("cnt")).otherwise(lit(0L))).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_grams"), 6))
+      .orderBy("doc_id")
+  }
+
   /** Tokenize + corpus term stats: term frequency and document frequency. */
   private val tokenizeStats: Q = (s, dir) => {
     Tables(s, dir, "documents")
@@ -729,6 +763,7 @@ object Text {
     "pipeline_clean_corpus" -> pipelineCleanCorpus,
     "text_tfidf" -> tfidf,
     "text_decontaminate" -> decontaminate,
+    "text_ngram_novelty" -> ngramNovelty,
     "text_pii_redact" -> piiRedact,
     "text_repetition" -> repetition,
     "text_tokenize_stats" -> tokenizeStats,
@@ -991,6 +1026,25 @@ object Text {
         |  md5(red) AS red_md5,
         |  CAST(length(aug) - length(red) AS BIGINT) AS chars_removed
         |FROM r ORDER BY doc_id""".stripMargin,
+    // batch 3-grams left-join the history-distinct gram vocabulary;
+    // novelty = unseen-gram occurrence share per batch doc
+    "text_ngram_novelty" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, unnest(list_transform(
+         |    range(1, greatest(len(tk) - 1, 1)),
+         |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS gram
+         |  FROM (SELECT doc_id, $oToks AS tk FROM documents)),
+         |hist AS (SELECT DISTINCT gram FROM g
+         |  WHERE NOT substr(md5('incr|' || CAST(doc_id AS VARCHAR)), 1, 2) < '40'),
+         |bg AS (SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS cnt FROM g
+         |  WHERE substr(md5('incr|' || CAST(doc_id AS VARCHAR)), 1, 2) < '40'
+         |  GROUP BY 1, 2),
+         |x AS (SELECT bg.doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
+         |    CAST(SUM(CASE WHEN h.gram IS NULL THEN cnt ELSE 0 END) AS BIGINT) AS n_novel
+         |  FROM bg LEFT JOIN hist h ON bg.gram = h.gram GROUP BY 1)
+         |SELECT doc_id, n_grams, n_novel,
+         |  round(CAST(n_novel AS DOUBLE) / n_grams, 6) AS novelty
+         |FROM x ORDER BY doc_id""".stripMargin,
     "text_decontaminate" ->
       s"""WITH g AS (
          |  SELECT doc_id, unnest(list_transform(

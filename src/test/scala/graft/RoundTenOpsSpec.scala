@@ -346,6 +346,32 @@ class RoundTenOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("text_ngram_novelty matches an in-memory replay of the frozen-vocabulary join") {
+    val docs = s.read.parquet(dir + "/documents.parquet")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    val isBatch = (id: Long) => md5p(s"incr|$id") < "40"
+    def grams(t: String): Seq[String] = {
+      val tk = t.split(' ').filter(_.nonEmpty)
+      if (tk.length < 3) Seq.empty
+      else (0 until tk.length - 2).map(i => s"${tk(i)} ${tk(i + 1)} ${tk(i + 2)}")
+    }
+    val hist = docs.filter(d => !isBatch(d._1)).flatMap(d => grams(d._2)).toSet
+    val expected = docs.filter(d => isBatch(d._1)).flatMap { case (id, t) =>
+      val gs = grams(t)
+      if (gs.isEmpty) None
+      else {
+        val novel = gs.count(g => !hist.contains(g)).toLong
+        Some((id, gs.length.toLong, novel,
+          r6(novel.toDouble / gs.length)))
+      }
+    }.toSet
+    val got = SparkEntry.queries("text_ngram_novelty")(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    assert(got.exists(_._3 > 0), "vacuous: no novel grams in the batch at this sf")
+  }
+
   private def hwReplay(rows: Seq[(java.sql.Date, Long)])
       : (Seq[(java.sql.Date, Long, Long, Long)], Boolean) = {
     def tdiv(x: Long, d: Long): Long = if (x >= 0) x / d else -((-x) / d)
