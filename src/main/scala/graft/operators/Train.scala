@@ -486,12 +486,72 @@ object Train {
     "text_entropy" -> textEntropy,
     "text_unigram_xent" -> unigramXent,
     "text_lm_ppl_filter" -> lmPplFilter,
+    "pipeline_admission" -> pipelineAdmission,
     "text_bigram_xent" -> bigramXent,
     "dedup_url" -> dedupUrl,
     "text_domain_stats" -> domainStats,
     "text_length_clip" -> lengthClip,
     "emb_quantize" -> embQuantize,
   )
+
+  /** The nightly admission gate END-TO-END — the composition the three
+    * incremental legs exist for: per batch document, join the CCNet
+    * perplexity bucket ([[lmPplFilter]]), the frozen-index near-dup
+    * verdict (Dedup.dedup_incremental), and the lexical novelty score
+    * (Text.text_ngram_novelty) into one admit/reject decision table
+    * (admit = not a near-dup AND not in the perplexity tail; novelty
+    * rides along as the data-mixing signal, reason names the first
+    * failing check). All three legs share the md5-parity split and
+    * their session-cached history artifacts, so the composition costs
+    * three batch-sized joins on doc_id — the production shape where the
+    * gate is one job reading three persisted-index joins, not three
+    * pipelines. Docs with no 3-grams carry novelty 0.
+    */
+  private def pipelineAdmission: Q = (s, dir) => {
+    val ppl = lmPplFilter(s, dir).select(col("doc_id"), col("ppl"), col("bucket"))
+    val dups = Dedup.queries("dedup_incremental")(s, dir)
+      .select(col("batch_doc").as("doc_id")).distinct()
+      .withColumn("nd", lit(true))
+    val nov = Text.queries("text_ngram_novelty")(s, dir)
+      .select(col("doc_id"), col("novelty"))
+    ppl.join(dups, Seq("doc_id"), "left")
+      .join(nov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("ppl"), col("bucket"),
+        coalesce(col("novelty"), lit(0.0)).as("novelty"),
+        coalesce(col("nd"), lit(false)).as("near_dup"))
+      .withColumn("admit", !col("near_dup") && col("bucket") =!= "tail")
+      .withColumn("reason",
+        when(col("near_dup"), lit("near_dup"))
+          .when(col("bucket") === "tail", lit("tail_ppl"))
+          .otherwise(lit("ok")))
+      .orderBy("doc_id")
+  }
+
+  /** text_lm_ppl_filter's DuckDB replay — factored so the
+    * pipeline_admission composition can embed it as a subquery.
+    */
+  private val oLmPpl: String =
+    """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS token
+        |  FROM documents),
+        |lm AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cw FROM tok
+        |  WHERE NOT substr(md5('incr|' || CAST(doc_id AS VARCHAR)), 1, 2) < '40'
+        |  GROUP BY 1),
+        |nv AS (SELECT CAST(SUM(cw) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v FROM lm),
+        |bt AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok
+        |  WHERE substr(md5('incr|' || CAST(doc_id AS VARCHAR)), 1, 2) < '40'
+        |  GROUP BY 1, 2),
+        |sc AS (SELECT bt.doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tok,
+        |    SUM(CAST(-cnt * ln(CAST(COALESCE(lm.cw, 0) + 1 AS DOUBLE) / (nv.n + nv.v))
+        |      AS DECIMAL(28,18))) AS sx
+        |  FROM bt LEFT JOIN lm USING (token), nv GROUP BY 1),
+        |x AS (SELECT doc_id, n_tok, CAST(sx AS DOUBLE) / n_tok AS xent FROM sc),
+        |r AS (SELECT *, row_number() OVER (ORDER BY xent, doc_id) AS rr,
+        |  COUNT(*) OVER () AS nd FROM x)
+        |SELECT doc_id, n_tok, round(exp(xent), 6) AS ppl,
+        |  CASE WHEN rr * 3 <= nd THEN 'head'
+        |       WHEN rr * 3 <= nd * 2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM r ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "train_curriculum" ->
@@ -637,28 +697,23 @@ object Train {
         |FROM x ORDER BY doc_id""".stripMargin,
     // history-trained add-one unigram LM scores the batch split; bucket
     // edges are xent thirds over the scored set (rank, doc_id tiebreak)
-    "text_lm_ppl_filter" ->
-      """WITH tok AS (
-        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS token
-        |  FROM documents),
-        |lm AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cw FROM tok
-        |  WHERE NOT substr(md5('incr|' || CAST(doc_id AS VARCHAR)), 1, 2) < '40'
-        |  GROUP BY 1),
-        |nv AS (SELECT CAST(SUM(cw) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v FROM lm),
-        |bt AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok
-        |  WHERE substr(md5('incr|' || CAST(doc_id AS VARCHAR)), 1, 2) < '40'
-        |  GROUP BY 1, 2),
-        |sc AS (SELECT bt.doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tok,
-        |    SUM(CAST(-cnt * ln(CAST(COALESCE(lm.cw, 0) + 1 AS DOUBLE) / (nv.n + nv.v))
-        |      AS DECIMAL(28,18))) AS sx
-        |  FROM bt LEFT JOIN lm USING (token), nv GROUP BY 1),
-        |x AS (SELECT doc_id, n_tok, CAST(sx AS DOUBLE) / n_tok AS xent FROM sc),
-        |r AS (SELECT *, row_number() OVER (ORDER BY xent, doc_id) AS rr,
-        |  COUNT(*) OVER () AS nd FROM x)
-        |SELECT doc_id, n_tok, round(exp(xent), 6) AS ppl,
-        |  CASE WHEN rr * 3 <= nd THEN 'head'
-        |       WHEN rr * 3 <= nd * 2 THEN 'middle' ELSE 'tail' END AS bucket
-        |FROM r ORDER BY doc_id""".stripMargin,
+    "text_lm_ppl_filter" -> oLmPpl,
+    // the three incremental-leg oracles embedded as subqueries (DuckDB
+    // scopes each subquery's CTEs locally), joined on doc_id
+    "pipeline_admission" ->
+      s"""SELECT p.doc_id, p.ppl, p.bucket,
+         |  COALESCE(n.novelty, 0.0) AS novelty,
+         |  (d.doc_id IS NOT NULL) AS near_dup,
+         |  (d.doc_id IS NULL AND p.bucket <> 'tail') AS admit,
+         |  CASE WHEN d.doc_id IS NOT NULL THEN 'near_dup'
+         |       WHEN p.bucket = 'tail' THEN 'tail_ppl' ELSE 'ok' END AS reason
+         |FROM ($oLmPpl) p
+         |LEFT JOIN (SELECT DISTINCT batch_doc AS doc_id
+         |           FROM (${Dedup.oracles("dedup_incremental")})) d
+         |  ON d.doc_id = p.doc_id
+         |LEFT JOIN (${Text.oracles("text_ngram_novelty")}) n
+         |  ON n.doc_id = p.doc_id
+         |ORDER BY p.doc_id""".stripMargin,
     "text_unigram_xent" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS token

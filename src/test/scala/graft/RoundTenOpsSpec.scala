@@ -372,6 +372,30 @@ class RoundTenOpsSpec extends AnyFunSuite {
     assert(got.exists(_._3 > 0), "vacuous: no novel grams in the batch at this sf")
   }
 
+  test("pipeline_admission is exactly the three-leg composition, with both verdicts present") {
+    val ppl = SparkEntry.queries("text_lm_ppl_filter")(s, dir).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getString(3))).toMap
+    val dups = SparkEntry.queries("dedup_incremental")(s, dir).collect()
+      .map(_.getLong(0)).toSet
+    val nov = SparkEntry.queries("text_ngram_novelty")(s, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val rows = SparkEntry.queries("pipeline_admission")(s, dir).collect()
+    assert(rows.map(_.getLong(0)).toSet == ppl.keySet,
+      "the admission table must cover exactly the scored batch docs")
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert((r.getDouble(1), r.getString(2)) == ppl(id), s"ppl leg drifted for $id")
+      assert(r.getDouble(3) == nov.getOrElse(id, 0.0), s"novelty leg drifted for $id")
+      val nd = dups.contains(id)
+      assert(r.getBoolean(4) == nd, s"near-dup leg drifted for $id")
+      assert(r.getBoolean(5) == (!nd && r.getString(2) != "tail"), s"admit rule broke for $id")
+      val reason = if (nd) "near_dup" else if (r.getString(2) == "tail") "tail_ppl" else "ok"
+      assert(r.getString(6) == reason, s"reason drifted for $id")
+    }
+    assert(rows.exists(_.getBoolean(5)) && rows.exists(!_.getBoolean(5)),
+      "vacuous: the gate must both admit and reject at this sf")
+  }
+
   private def hwReplay(rows: Seq[(java.sql.Date, Long)])
       : (Seq[(java.sql.Date, Long, Long, Long)], Boolean) = {
     def tdiv(x: Long, d: Long): Long = if (x >= 0) x / d else -((-x) / d)
