@@ -570,23 +570,75 @@ object Dedup {
   private val isBatchExpr =
     "substr(md5(concat('incr|', cast(doc_id as string))), 1, 2) < '40'"
 
-  /** The frozen history index: content collapse + 16×2 minhash bands
-    * over HISTORY documents only, session-cached exactly like the
-    * whole-corpus band table ([[minhashBands]]) — in production this is
-    * the table a nightly job reads, not rebuilds.
+  /** Frozen-index ARTIFACT builders (what [[graft.IndexBuild]] writes and
+    * the accessors below load back — see [[graft.IndexStore]]): the
+    * history content groups (one shingle set per distinct history
+    * content), the 16×2 minhash band index over those groups, and the
+    * ckey→doc membership of history. Together they are everything the
+    * nightly scoring session needs from history — candidate band keys,
+    * the shingle sets for the exact-Jaccard verify, and the doc ids to
+    * report — so a cold session never touches history TEXT at all.
+    */
+  private[graft] def buildHistGroups(s: SparkSession, dir: String): DataFrame =
+    shingles(s, dir).filter(not(expr(isBatchExpr)))
+      .groupBy("ckey").agg(first(col("sh64")).as("sh64"))
+
+  private[graft] def buildHistBands(s: SparkSession, dir: String): DataFrame =
+    bandsOf(incrHistGroups(s, dir).withColumn("sig", minhash_sig(col("sh64"), 32)))
+
+  private[graft] def buildHistDocs(s: SparkSession, dir: String): DataFrame =
+    shingles(s, dir).filter(not(expr(isBatchExpr))).select(col("ckey"), col("doc_id"))
+
+  /** (bidx, bh) band rows + the size prefilter's shingle count from a
+    * (ckey, sh64, sig) frame — shared by the history index build and
+    * the batch side of [[incremental]].
+    */
+  private def bandsOf(g: DataFrame): DataFrame =
+    g.select(col("ckey"), expr("cast(size(sh64) as bigint)").as("nsh"),
+        explode(expr(
+          "transform(sequence(0, 15), b -> struct(b AS bidx, xxhash64(element_at(sig, 2*b+1), element_at(sig, 2*b+2)) AS bh))"))
+          .as("band"))
+      .select(col("ckey"), col("nsh"),
+        col("band.bidx").as("bidx"), col("band.bh").as("bh"))
+
+  /** The frozen history index, session-cached exactly like the
+    * whole-corpus band table — read from the persisted parquet artifact
+    * when an index root is active ([[graft.IndexStore]]), built
+    * in-session otherwise (the driver's default path).
     */
   private def incrHistBands(s: SparkSession, dir: String): DataFrame =
-    graft.Cached.of(s, dir, "dedup.incr.hist") {
-      val g = shingles(s, dir).filter(not(expr(isBatchExpr)))
-        .groupBy("ckey").agg(first(col("sh64")).as("sh64"))
-        .withColumn("sig", minhash_sig(col("sh64"), 32))
-      g.select(col("ckey"), expr("cast(size(sh64) as bigint)").as("nsh"),
-          explode(expr(
-            "transform(sequence(0, 15), b -> struct(b AS bidx, xxhash64(element_at(sig, 2*b+1), element_at(sig, 2*b+2)) AS bh))"))
-            .as("band"))
-        .select(col("ckey"), col("nsh"),
-          col("band.bidx").as("bidx"), col("band.bh").as("bh"))
+    graft.Cached.of(s, dir, "dedup.incr.hist" + graft.IndexStore.tag) {
+      graft.IndexStore.loadOrBuild(s, "dedup_hist_bands")(buildHistBands(s, dir))
     }
+
+  private def incrHistGroups(s: SparkSession, dir: String): DataFrame =
+    graft.Cached.of(s, dir, "dedup.incr.histg" + graft.IndexStore.tag) {
+      graft.IndexStore.loadOrBuild(s, "dedup_hist_groups")(buildHistGroups(s, dir))
+    }
+
+  private def incrHistDocs(s: SparkSession, dir: String): DataFrame =
+    graft.Cached.of(s, dir, "dedup.incr.histd" + graft.IndexStore.tag) {
+      graft.IndexStore.loadOrBuild(s, "dedup_hist_docs")(buildHistDocs(s, dir))
+    }
+
+  /** Tonight's BATCH shingle table. With a persisted index active the
+    * raw documents are filtered to the batch split BEFORE shingling —
+    * the cold scoring session's only text work is batch-sized; without
+    * one it reuses the whole-corpus session cache (shingling is
+    * per-row, so filter-then-shingle ≡ shingle-then-filter exactly).
+    */
+  private def batchShingles(s: SparkSession, dir: String): DataFrame =
+    if (graft.IndexStore.active.isDefined)
+      graft.Cached.of(s, dir, "dedup.incr.batchsh" + graft.IndexStore.tag) {
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+          .filter(expr(isBatchExpr))
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .select(col("doc_id"), md5(col("text")).as("ckey"), expr(shingleExpr).as("sh"))
+          .select(col("doc_id"), col("ckey"),
+            expr("transform(sh, s0 -> xxhash64(s0))").as("sh64"))
+      }
+    else shingles(s, dir).filter(expr(isBatchExpr))
 
   /** Incremental near-dup detection of a NEW batch against a FROZEN
     * history index — the production nightly dedup shape the round-9
@@ -608,17 +660,12 @@ object Dedup {
     * Output: (batch_doc, match_doc, jaccard, match_src∈{batch,history}).
     */
   private val incremental: Q = (s, dir) => {
-    val sh = shingles(s, dir)
+    val bsh = batchShingles(s, dir)
     val hist = incrHistBands(s, dir)
-    val bg = sh.filter(expr(isBatchExpr))
+    val bg = bsh
       .groupBy("ckey").agg(first(col("sh64")).as("sh64"))
       .withColumn("sig", minhash_sig(col("sh64"), 32))
-    val bb = bg.select(col("ckey"), expr("cast(size(sh64) as bigint)").as("nsh"),
-        explode(expr(
-          "transform(sequence(0, 15), b -> struct(b AS bidx, xxhash64(element_at(sig, 2*b+1), element_at(sig, 2*b+2)) AS bh))"))
-          .as("band"))
-      .select(col("ckey"), col("nsh"),
-        col("band.bidx").as("bidx"), col("band.bh").as("bh"))
+    val bb = bandsOf(bg)
     // size prefilter at candidate-row cost (J ≥ 0.8 ⇒ 4·max ≤ 5·min,
     // exactly [[minhashPairs]]' bound); sizes ride the band tables so
     // no extra join is needed, and no broadcast hint is given
@@ -633,27 +680,31 @@ object Dedup {
           greatest(col("a.nsh"), col("b.nsh")) * 4 <=
             least(col("a.nsh"), col("b.nsh")) * 5)
       .select(col("a.ckey").as("ka"), col("b.ckey").as("kb")).distinct()
-    // exact Jaccard verify once per candidate CONTENT pair (shingle
-    // sets are content-determined, shared with the whole-corpus cache)
-    val g = contentGroups(s, dir).select(col("ckey"), col("sh64"))
-    def verify(cand: DataFrame): DataFrame = cand
-      .join(g.select(col("ckey").as("ka"), col("sh64").as("sh_a")), "ka")
-      .join(g.select(col("ckey").as("kb"), col("sh64").as("sh_b")), "kb")
+    // exact Jaccard verify once per candidate CONTENT pair. The ka side
+    // is always a batch content; the kb side comes from either the
+    // history GROUPS artifact (candX) or the batch groups (candB) —
+    // shingle sets are content-determined, so these equal the former
+    // whole-corpus group rows exactly.
+    val gBatch = bg.select(col("ckey"), col("sh64"))
+    val gHist = incrHistGroups(s, dir)
+    def verify(cand: DataFrame, gb: DataFrame): DataFrame = cand
+      .join(gBatch.select(col("ckey").as("ka"), col("sh64").as("sh_a")), "ka")
+      .join(gb.select(col("ckey").as("kb"), col("sh64").as("sh_b")), "kb")
       .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", col("shared").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("shared")))
       .filter(col("jaccard") >= 0.8)
       .select("ka", "kb", "jaccard")
-    val bDocs = sh.filter(expr(isBatchExpr)).select(col("ckey"), col("doc_id"))
-    val hDocs = sh.filter(not(expr(isBatchExpr))).select(col("ckey"), col("doc_id"))
+    val bDocs = bsh.select(col("ckey"), col("doc_id"))
+    val hDocs = incrHistDocs(s, dir)
     // batch-vs-history: the batch doc leads regardless of id order
-    val cross = verify(candX)
+    val cross = verify(candX, gHist)
       .join(bDocs.select(col("ckey").as("ka"), col("doc_id").as("id_a")), "ka")
       .join(hDocs.select(col("ckey").as("kb"), col("doc_id").as("id_b")), "kb")
       .select(col("id_a").as("batch_doc"), col("id_b").as("match_doc"),
         col("jaccard"), lit("history").as("match_src"))
     // batch-internal near-dups between distinct contents
-    val inter = verify(candB)
+    val inter = verify(candB, gBatch)
       .join(bDocs.select(col("ckey").as("ka"), col("doc_id").as("id_a")), "ka")
       .join(bDocs.select(col("ckey").as("kb"), col("doc_id").as("id_b")), "kb")
       .select(least(col("id_a"), col("id_b")).as("batch_doc"),
@@ -852,7 +903,16 @@ object Dedup {
       .agg(min(col("vec_id")).as("rep"), count(lit(1)).as("cnt"),
         first(col("ccos")).as("ccos"), first(col("nrm")).as("nrm"))
       .localCheckpoint(true)
-    val wit = grp.as("a").join(grp.as("b"),
+    // the b-side is its own checkpointed lineage: a DIRECT self-join of
+    // one checkpointed frame is the exact shape the Spark 4.1.2
+    // relation-dedup constraint bug trips on once a Union sits above it
+    // (SURVEY §8a#3) — it happens to pass bare, but any later
+    // composition that unions this output would crash analysis. The
+    // frame is content-collapsed (cell, vector) reps, so the second
+    // checkpoint is cheap. (ADVICE r10 #2.)
+    val grpB = grp.select(col("cell"), col("v"), col("rep"), col("ccos"),
+      col("nrm")).localCheckpoint(true)
+    val wit = grp.as("a").join(grpB.as("b"),
         col("a.cell") === col("b.cell") &&
           (col("b.ccos") < col("a.ccos") ||
             (col("b.ccos") === col("a.ccos") && col("b.rep") < col("a.rep"))) &&

@@ -71,42 +71,38 @@ object Graph {
     adjacency(s, dir).count()
     degrees(s, dir).count()
     lpaLabels(s, dir).count()
+    triangleRows(s, dir).count()
+  }
+
+  /** Degree-ordered orientation of [[edges]] — the shared substrate of
+    * every triangle-based query ([[triangles]], [[trussSupport]],
+    * [[localClustering]], [[ktruss]]). Each undirected edge points at
+    * the endpoint with the higher (degree, id) key; the order is taken
+    * by lexicographic STRUCT comparison, not the former d·2^30+id packed
+    * long, which silently collides once node ids reach 2^30 (TPC-H
+    * partkey passes that around SF 5400 — real id spaces at 100 TB do) —
+    * a collision breaks the total order and drops cyclically-oriented
+    * triangles with no error. Orientation caps outdeg at O(sqrt(m)), so
+    * no out-neighbor list is ever celebrity-sized.
+    */
+  private def orientedEdges(s: SparkSession, dir: String): DataFrame = {
+    val e = edges(s, dir)
+    val deg = degrees(s, dir).select(col("src").as("x"), col("d"))
+    val key = deg.select(col("x"), struct(col("d"), col("x")).as("ok"))
+    e.join(key.select(col("x").as("u"), col("ok").as("ku")), "u")
+      .join(key.select(col("x").as("v"), col("ok").as("kv")), "v")
+      .select(
+        when(col("ku") < col("kv"), col("u")).otherwise(col("v")).as("s"),
+        when(col("ku") < col("kv"), col("v")).otherwise(col("u")).as("t"))
   }
 
   private val triangles: Q = (s, dir) => {
     val e = edges(s, dir)
     val deg = degrees(s, dir).select(col("src").as("x"), col("d"))
-    // total order key (degree, id) packed into one long: degree < 2^30 and
-    // partkey < 2^30 in any realistic corpus, so d * 2^30 + id never
-    // collides and never overflows
-    val key = deg.select(col("x"), (col("d") * lit(1073741824L) + col("x")).as("ok"))
-    // orient each edge toward the higher key; carry the target's key so
-    // the wedge join below can order the two out-neighbors without
-    // another lookup
-    val oriented = e
-      .join(key.select(col("x").as("u"), col("ok").as("ku")), "u")
-      .join(key.select(col("x").as("v"), col("ok").as("kv")), "v")
-      .select(
-        when(col("ku") < col("kv"), col("u")).otherwise(col("v")).as("s"),
-        when(col("ku") < col("kv"), col("v")).otherwise(col("u")).as("t"),
-        when(col("ku") < col("kv"), col("kv")).otherwise(col("ku")).as("kt"))
-    // Edge-iterator: a triangle {a,b,c} (a < b < c in key order) orients
-    // to a->b, a->c, b->c and is found exactly once, on edge (a,b), as a
-    // common out-neighbor of a and b. Intersecting out-neighbor LISTS per
-    // edge avoids materializing the wedge set as rows — the node-iterator
-    // wedge join shuffles sum(outdeg^2)/2 rows (~20M at sf0.1, and it is
-    // what made the first version the slowest query in the bench); here
-    // the per-edge intersection work is the same O(deg) but stays inside
-    // codegen, and the only movement is the out-adjacency table (nodes
-    // rows, outdeg-bounded arrays). Orientation caps outdeg at O(sqrt(m)),
-    // so no list is ever celebrity-sized.
-    val adjOut = oriented.groupBy(col("s"))
-      .agg(collect_list(col("t")).as("nbrs"))
-    val tri = oriented
-      .join(adjOut.select(col("s").as("ja"), col("nbrs").as("na")), col("s") === col("ja"))
-      .join(adjOut.select(col("s").as("jb"), col("nbrs").as("nb")), col("t") === col("jb"))
-      .select(expr("cast(size(array_intersect(na, nb)) as bigint)").as("common"))
-      .agg(sum(col("common")).as("t"))
+    // count over the shared cached triangle substrate — one row per
+    // triangle, built once per (session, sf) and reused by truss/
+    // local-clustering/k-truss (see [[triangleRows]])
+    val tri = triangleRows(s, dir).agg(count(lit(1)).as("t"))
     val stats = e.agg(count(lit(1)).as("n_edges"))
       .crossJoin(deg.agg(count(lit(1)).as("n_nodes"),
         sum(expr("(d * (d - 1)) div 2")).as("n_wedges")))
@@ -656,28 +652,31 @@ object Graph {
     * never by m.
     */
   /** One row per triangle (a, b, c), found exactly once on its oriented
-    * base edge — the degree-oriented edge-iterator substrate shared by
-    * [[trussSupport]] and [[localClustering]] (see [[triangles]] for
-    * why orientation caps the per-edge intersection work).
+    * base edge — the degree-oriented edge-iterator over [[orientedEdges]].
+    * Edge-iterator: a triangle {a,b,c} (a < b < c in key order) orients
+    * to a->b, a->c, b->c and is found exactly once, on edge (a,b), as a
+    * common out-neighbor of a and b. Intersecting out-neighbor LISTS per
+    * edge avoids materializing the wedge set as rows (sum(outdeg^2)/2
+    * rows — ~20M at sf0.1); the per-edge intersection stays inside
+    * codegen and the only movement is the node-sized out-adjacency
+    * table. SESSION-CACHED like edges/adjacency/degrees: [[triangles]],
+    * [[trussSupport]], [[localClustering]] and [[ktruss]] all consume
+    * it, and rebuilding the O(m^1.5) intersection per query was the
+    * bench's graph tail (r10 verdict #3). Rows are output-bounded
+    * (exactly T triangles), so the cache is triangle-sized, not
+    * wedge-sized.
     */
-  private def triangleRows(s: SparkSession, dir: String): DataFrame = {
-    val e = edges(s, dir)
-    val deg = degrees(s, dir).select(col("src").as("x"), col("d"))
-    val key = deg.select(col("x"), (col("d") * lit(1073741824L) + col("x")).as("ok"))
-    val oriented = e
-      .join(key.select(col("x").as("u"), col("ok").as("ku")), "u")
-      .join(key.select(col("x").as("v"), col("ok").as("kv")), "v")
-      .select(
-        when(col("ku") < col("kv"), col("u")).otherwise(col("v")).as("s"),
-        when(col("ku") < col("kv"), col("v")).otherwise(col("u")).as("t"))
-    val adjOut = oriented.groupBy(col("s"))
-      .agg(collect_list(col("t")).as("nbrs"))
-    oriented
-      .join(adjOut.select(col("s").as("ja"), col("nbrs").as("na")), col("s") === col("ja"))
-      .join(adjOut.select(col("s").as("jb"), col("nbrs").as("nb")), col("t") === col("jb"))
-      .select(col("s").as("a"), col("t").as("b"),
-        explode(expr("array_intersect(na, nb)")).as("c"))
-  }
+  private[graft] def triangleRows(s: SparkSession, dir: String): DataFrame =
+    graft.Cached.of(s, dir, "graph.tri") {
+      val oriented = orientedEdges(s, dir)
+      val adjOut = oriented.groupBy(col("s"))
+        .agg(collect_list(col("t")).as("nbrs"))
+      oriented
+        .join(adjOut.select(col("s").as("ja"), col("nbrs").as("na")), col("s") === col("ja"))
+        .join(adjOut.select(col("s").as("jb"), col("nbrs").as("nb")), col("t") === col("jb"))
+        .select(col("s").as("a"), col("t").as("b"),
+          explode(expr("array_intersect(na, nb)")).as("c"))
+    }
 
   /** Per-node triangle count and local clustering coefficient
     * (Watts–Strogatz): c(v) = 2·tri(v) / (d(v)·(d(v)−1)) — the

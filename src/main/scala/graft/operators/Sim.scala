@@ -198,29 +198,71 @@ object Sim {
     * tracks the batch — each batch vector touches nprobe/ncells of
     * history, and ncells grows with the corpus (10 label cells here).
     */
+  /** Frozen IVF-index ARTIFACT builders (written by [[graft.IndexBuild]],
+    * loaded back by the accessors below — see [[graft.IndexStore]]):
+    * content-collapsed history reps (the r2 dedup discipline — a
+    * crawl-scale corpus is FULL of exact duplicate embeddings, and
+    * scoring must run once per distinct (cell, vector) rep, never once
+    * per copy: the 64×-copies probe ran 288 s rep-free and 2.7 s
+    * collapsed), rep→member expansion rows, and the midrange cell
+    * centroids. Together they are everything the nightly scoring
+    * session needs from history — a cold session never touches raw
+    * history vectors.
+    */
+  private[graft] def buildIvfHistReps(s: SparkSession, dir: String): DataFrame =
+    vectors(s, dir).filter(not(expr(isBatchVecExpr)))
+      .groupBy(col("label"), col("v"))
+      .agg(min(col("vec_id")).as("rep"), first(col("nrm")).as("hnrm"))
+
+  private[graft] def buildIvfHistMembers(s: SparkSession, dir: String): DataFrame =
+    vectors(s, dir).filter(not(expr(isBatchVecExpr)))
+      .join(ivfHistReps(s, dir).select(col("label"), col("v"), col("rep")),
+        Seq("label", "v"))
+      .select(col("rep").as("mrep"), col("vec_id").as("cand_id"))
+
+  private[graft] def buildIvfHistCentroids(s: SparkSession, dir: String): DataFrame =
+    midrangeCents(vectors(s, dir).filter(not(expr(isBatchVecExpr))))
+
+  private def ivfHistReps(s: SparkSession, dir: String): DataFrame =
+    graft.Cached.of(s, dir, "sim.incr.hreps" + graft.IndexStore.tag) {
+      graft.IndexStore.loadOrBuild(s, "ivf_hist_reps")(buildIvfHistReps(s, dir))
+    }
+
+  private def ivfHistMembers(s: SparkSession, dir: String): DataFrame =
+    graft.Cached.of(s, dir, "sim.incr.hmem" + graft.IndexStore.tag) {
+      graft.IndexStore.loadOrBuild(s, "ivf_hist_members")(buildIvfHistMembers(s, dir))
+    }
+
+  private def ivfHistCentroids(s: SparkSession, dir: String): DataFrame =
+    graft.Cached.of(s, dir, "sim.incr.cent" + graft.IndexStore.tag) {
+      graft.IndexStore.loadOrBuild(s, "ivf_hist_centroids")(buildIvfHistCentroids(s, dir))
+    }
+
+  /** Tonight's BATCH vectors. With a persisted index active the raw
+    * embeddings are filtered to the batch split BEFORE the cast+norm
+    * build — the cold scoring session's only vector work is
+    * batch-sized; without one it reuses the whole-corpus session cache
+    * (cast+norm is per-row, so the two orders are exactly equal).
+    */
+  private def batchVectors(s: SparkSession, dir: String): DataFrame =
+    if (graft.IndexStore.active.isDefined)
+      graft.Cached.of(s, dir, "sim.incr.batchv" + graft.IndexStore.tag) {
+        Tables(s, dir, "embeddings")
+          .filter(expr(isBatchVecExpr))
+          .select(col("vec_id"), col("label"), expr("cast(embedding AS array<double>)").as("v"))
+          .withColumn("nrm", sqrt(vec_dot(col("v"), col("v"))))
+      }
+    else vectors(s, dir).filter(expr(isBatchVecExpr))
+
   private val ivfIncremental: Q = (s, dir) => {
-    val e = vectors(s, dir)
-    val isB = expr(isBatchVecExpr)
-    val hist = e.filter(not(isB))
-    // the frozen index, content-collapsed (the r2 dedup discipline, the
-    // dedup_embedding shape): a crawl-scale batch is FULL of exact
-    // duplicate embeddings, and scoring must run once per distinct
-    // (cell, vector) rep, never once per copy — the 64×-copies probe
-    // ran 288 s rep-free and 2.7 s collapsed (4096× fewer candidate
-    // pairs). Members re-enter by rep id at output time only.
-    val hreps = graft.Cached.of(s, dir, "sim.incr.hreps") {
-      hist.groupBy(col("label"), col("v"))
-        .agg(min(col("vec_id")).as("rep"), first(col("nrm")).as("hnrm"))
-    }
-    val hmem = graft.Cached.of(s, dir, "sim.incr.hmem") {
-      hist.join(hreps.select(col("label"), col("v"), col("rep")), Seq("label", "v"))
-        .select(col("rep").as("mrep"), col("vec_id").as("cand_id"))
-    }
-    val cent = graft.Cached.of(s, dir, "sim.incr.cent")(midrangeCents(hist))
-    val breps = e.filter(isB).groupBy(col("v"))
+    val hreps = ivfHistReps(s, dir)
+    val hmem = ivfHistMembers(s, dir)
+    val cent = ivfHistCentroids(s, dir)
+    val bv = batchVectors(s, dir)
+    val breps = bv.groupBy(col("v"))
       .agg(min(col("vec_id")).as("qrep"), first(col("nrm")).as("qn"))
       .select(col("qrep"), col("v").as("qv"), col("qn"))
-    val bmem = e.filter(isB)
+    val bmem = bv
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
       .join(breps.select(col("qrep"), col("qv")), Seq("qv"))
       .select(col("q_id"), col("qrep"))

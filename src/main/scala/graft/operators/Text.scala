@@ -52,14 +52,42 @@ object Text {
     * engines). At 100 TB: two gram scans + one shuffle; in production
     * the history vocabulary is a persisted bloom/exact gram table.
     */
-  private val ngramNovelty: Q = (s, dir) => {
-    val isBatch = expr("substr(md5(concat('incr|', cast(doc_id as string))), 1, 2) < '40'")
-    val grams = Tables.docsSpread(s, dir)
-      .withColumn("tk", expr(toksExpr))
+  private val isBatchDocExpr =
+    "substr(md5(concat('incr|', cast(doc_id as string))), 1, 2) < '40'"
+
+  /** (doc_id, gram) rows over a documents frame — shared by the history
+    * vocabulary build and the batch side of [[ngramNovelty]].
+    */
+  private def gramsOf(docs: DataFrame): DataFrame =
+    docs.withColumn("tk", expr(toksExpr))
       .select(col("doc_id"), explode(expr(gramsExpr)).as("gram"))
-    val hist = grams.filter(!isBatch).select("gram").distinct()
-      .withColumn("seen", lit(1L))
-    grams.filter(isBatch)
+
+  /** The frozen history gram vocabulary — the artifact
+    * [[graft.IndexBuild]] writes (`gram_hist_vocab`) and a cold scoring
+    * session reads back instead of re-shingling history text (see
+    * [[graft.IndexStore]]).
+    */
+  private[graft] def buildGramHistVocab(s: SparkSession, dir: String): DataFrame =
+    gramsOf(Tables.docsSpread(s, dir).filter(not(expr(isBatchDocExpr))))
+      .select("gram").distinct()
+
+  private def gramHistVocab(s: SparkSession, dir: String): DataFrame =
+    graft.Cached.of(s, dir, "text.gram.hist" + graft.IndexStore.tag) {
+      graft.IndexStore.loadOrBuild(s, "gram_hist_vocab")(buildGramHistVocab(s, dir))
+    }
+
+  private val ngramNovelty: Q = (s, dir) => {
+    // the batch side grams ONLY batch documents (per-row gramming
+    // commutes with the doc filter); with a persisted index active the
+    // filter runs on the raw table so a cold session never spreads or
+    // grams history text
+    val batchDocs =
+      if (graft.IndexStore.active.isDefined)
+        Tables(s, dir, "documents").filter(expr(isBatchDocExpr))
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      else Tables.docsSpread(s, dir).filter(expr(isBatchDocExpr))
+    val hist = gramHistVocab(s, dir).withColumn("seen", lit(1L))
+    gramsOf(batchDocs)
       .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
       .join(hist, Seq("gram"), "left")
       .groupBy("doc_id")

@@ -194,13 +194,34 @@ object Train {
     * scale: LM build is one map-side-combining count over history;
     * scoring is batch-linear.
     */
-  private val lmPplFilter: Q = (s, dir) => {
-    val tk = Tables(s, dir, "documents")
+  /** The frozen history LM — token counts over the history split, the
+    * artifact [[graft.IndexBuild]] writes (`lm_hist_counts`) and a cold
+    * scoring session reads back instead of re-tokenizing history text
+    * (see [[graft.IndexStore]]). Session-cached either way: the LM is
+    * consumed by both `text_lm_ppl_filter` and `pipeline_admission`.
+    */
+  private[graft] def buildLmHistCounts(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .filter(not(expr(isBatchDocExpr)))
       .select(col("doc_id"), explode(expr(toksExpr)).as("token"))
-    val isBatch = expr("substr(md5(concat('incr|', cast(doc_id as string))), 1, 2) < '40'")
-    val lm = tk.filter(!isBatch).groupBy("token").agg(count(lit(1)).as("cw"))
+      .groupBy("token").agg(count(lit(1)).as("cw"))
+
+  private def lmHistCounts(s: SparkSession, dir: String): DataFrame =
+    graft.Cached.of(s, dir, "train.lm.hist" + graft.IndexStore.tag) {
+      graft.IndexStore.loadOrBuild(s, "lm_hist_counts")(buildLmHistCounts(s, dir))
+    }
+
+  private val isBatchDocExpr =
+    "substr(md5(concat('incr|', cast(doc_id as string))), 1, 2) < '40'"
+
+  private val lmPplFilter: Q = (s, dir) => {
+    val lm = lmHistCounts(s, dir)
     val nv = lm.agg(sum(col("cw")).as("n"), count(lit(1)).as("v"))
-    val bt = tk.filter(isBatch)
+    // the batch side tokenizes ONLY batch documents (filter before the
+    // explode — per-row tokenization commutes with the doc filter)
+    val bt = Tables(s, dir, "documents")
+      .filter(expr(isBatchDocExpr))
+      .select(col("doc_id"), explode(expr(toksExpr)).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
     val scored = bt.join(lm, Seq("token"), "left")
       .na.fill(0L, Seq("cw"))

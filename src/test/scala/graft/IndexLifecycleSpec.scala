@@ -1,0 +1,88 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The persisted-index lifecycle contract (the r10 verdict's top ask):
+  * the frozen history artifacts the incremental family consumes
+  * (minhash band index + content groups + doc membership, IVF
+  * reps/members/centroids, the history LM, the gram vocabulary) can be
+  * WRITTEN by one job (`graft.IndexBuild`) and READ BACK by a later
+  * scoring session, with every consumer query row-identical to the
+  * in-session build path. A tamper test proves the persisted path is
+  * genuinely READ (not silently rebuilt): replacing one artifact with a
+  * truncated copy must change the consumer's output.
+  */
+class IndexLifecycleSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  private val dir = TestSpark.sf
+  private val consumers = Seq("dedup_incremental", "sim_ivf_incremental",
+    "text_lm_ppl_filter", "text_ngram_novelty", "pipeline_admission")
+
+  private def rows(q: String): Seq[String] =
+    SparkEntry.queries(q)(s, dir).collect().map(_.toString).sorted.toSeq
+
+  test("persisted-index read-back path is row-identical to the in-session build path") {
+    val root = java.nio.file.Files.createTempDirectory("graft-index").toString
+    val inline = consumers.map(q => q -> rows(q)).toMap
+    try {
+      IndexStore.writeAll(s, dir, root)
+      IndexStore.artifacts.foreach { case (name, _) =>
+        assert(new java.io.File(s"$root/$name/_SUCCESS").exists(),
+          s"artifact $name was not committed under $root")
+      }
+      IndexStore.use(Some(root))
+      consumers.foreach { q =>
+        assert(rows(q) == inline(q),
+          s"$q drifted between the in-session and persisted-index paths")
+      }
+    } finally IndexStore.use(None)
+  }
+
+  test("hermetic: scoring runs on a corpus with history rows PHYSICALLY ABSENT") {
+    // the production claim, falsifiably: a cold scoring session touches
+    // only the persisted index and tonight's batch. Stage a corpus dir
+    // holding ONLY batch documents/embeddings (history rows deleted, not
+    // filtered), point the consumers at artifacts built from the full
+    // corpus, and require output identical to the full-corpus run — any
+    // code path that still reads raw history data would crash or drift.
+    import org.apache.spark.sql.functions.expr
+    val isBatchDoc = "substr(md5(concat('incr|', cast(doc_id as string))), 1, 2) < '40'"
+    val isBatchVec = "substr(md5(concat('incrv|', cast(vec_id as string))), 1, 2) < '40'"
+    val root = java.nio.file.Files.createTempDirectory("graft-index-hermetic").toString
+    val scratch = java.nio.file.Files.createTempDirectory("graft-batch-only").toString
+    val inline = consumers.map(q => q -> rows(q)).toMap
+    try {
+      IndexStore.writeAll(s, dir, root)
+      Tables(s, dir, "documents").filter(expr(isBatchDoc))
+        .write.parquet(s"$scratch/documents.parquet")
+      Tables(s, dir, "embeddings").filter(expr(isBatchVec))
+        .write.parquet(s"$scratch/embeddings.parquet")
+      IndexStore.use(Some(root))
+      consumers.foreach { q =>
+        val got = SparkEntry.queries(q)(s, scratch).collect().map(_.toString).sorted.toSeq
+        assert(got == inline(q),
+          s"$q on the batch-only corpus + persisted index drifted from the full-corpus run")
+      }
+    } finally IndexStore.use(None)
+  }
+
+  test("a tampered artifact changes the output — the persisted path is read, not rebuilt") {
+    val root = java.nio.file.Files.createTempDirectory("graft-index-tamper").toString
+    val inline = rows("text_lm_ppl_filter")
+    try {
+      IndexStore.writeAll(s, dir, root)
+      // halve the history LM: every xent shifts, so ppl values (and very
+      // likely buckets) must differ if — and only if — the artifact is
+      // what the query actually consumes
+      val lm = s.read.parquet(s"$root/lm_hist_counts")
+      lm.filter(org.apache.spark.sql.functions.col("cw") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$root/lm_tampered")
+      s.read.parquet(s"$root/lm_tampered").write.mode("overwrite")
+        .parquet(s"$root/lm_hist_counts")
+      IndexStore.use(Some(root))
+      assert(rows("text_lm_ppl_filter") != inline,
+        "tampering lm_hist_counts did not change text_lm_ppl_filter — " +
+          "the persisted artifact is not being read")
+    } finally IndexStore.use(None)
+  }
+}
