@@ -101,6 +101,26 @@ object AnnProbe {
       probed.toDouble / (8.0 * na)
     }
 
+    // corpus-scaled IVF (ncells = ⌊√n⌋, hash-seeded 2-round Lloyd cells):
+    // the family whose probed fraction SHRINKS as the corpus grows —
+    // sweep two corpus sizes to see nprobe/ncells fall at held recall
+    def scaledProbedFraction(nprobe: Int): Double = {
+      val cent = operators.Sim.scaledCents(spark, dir)
+      val sizes = operators.Sim.scaledAssign(spark, dir)
+        .groupBy("cell").agg(count(lit(1)).as("cn_rows"))
+      val q = operators.Sim.scaledX(spark, dir).filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("x").as("qx"), col("xn").as("qxn"))
+      val probed = q.crossJoin(broadcast(cent))
+        .withColumn("ccos", vec_dot(col("qx"), col("cv")) / (col("qxn") * col("cn")))
+        .withColumn("crk", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("ccos").desc, col("cell"))))
+        .filter(col("crk") <= nprobe)
+        .join(sizes, "cell")
+        .agg(sum(col("cn_rows"))).head().getLong(0)
+      probed.toDouble / (8.0 * n)
+    }
+    println(s"[annprobe] scaled ncells=${operators.Sim.scaledNcells(spark, dir)}")
+
     // ---- the sweep ------------------------------------------------------
     for (np <- sweep) {
       val rIvf = recall(operators.Sim.ivfTopkAt(spark, dir, np), cosTruth)
@@ -113,7 +133,9 @@ object AnnProbe {
       val fCos = cosProbedFraction(np)
       val rMips = recall(operators.Sim.mipsIvfAt(spark, dir, np), mipsTruth)
       val fMips = mipsProbedFraction(np)
-      println(f"[annprobe] nprobe=$np%2d  ivf_recall=$rIvf%.3f ivfpq_recall=$rPq%.3f ivfpq_res_recall=$rPqRes%.3f probed=$fCos%.3f | mips_recall=$rMips%.3f mips_probed=$fMips%.3f")
+      val rScaled = recall(operators.Sim.scaledIvfAt(spark, dir, np), cosTruth)
+      val fScaled = scaledProbedFraction(np)
+      println(f"[annprobe] nprobe=$np%2d  ivf_recall=$rIvf%.3f ivfpq_recall=$rPq%.3f ivfpq_res_recall=$rPqRes%.3f probed=$fCos%.3f | mips_recall=$rMips%.3f mips_probed=$fMips%.3f | scaled_recall=$rScaled%.3f scaled_probed=$fScaled%.4f")
     }
     spark.stop()
   }

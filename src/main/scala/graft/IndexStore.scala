@@ -31,6 +31,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `graft.IndexProbe` measures the cold-session read-back (a scoring
   * session that builds nothing vs one that rebuilds history).
   */
+/** The md5-parity history/batch split shared by the whole incremental
+  * family. The shipped queries and their oracles pin the '40' prefix
+  * (≈ 25% batch share); `GRAFT_BATCH_THRESH` overrides it for SCALE
+  * PROBES ONLY (e.g. '08' ≈ 3% — the production nightly share), so the
+  * candidate-volume-∝-batch claim can be measured at two shares on one
+  * corpus (BASELINE.md round-11). Verify runs never set it: the DuckDB
+  * oracles embed '40' literally.
+  */
+object Incr {
+  val batchThresh: String = sys.env.getOrElse("GRAFT_BATCH_THRESH", "40")
+  val isBatchDoc: String =
+    s"substr(md5(concat('incr|', cast(doc_id as string))), 1, 2) < '$batchThresh'"
+  val isBatchVec: String =
+    s"substr(md5(concat('incrv|', cast(vec_id as string))), 1, 2) < '$batchThresh'"
+}
+
 object IndexStore {
   @volatile private var rootOverride: Option[String] = None
 

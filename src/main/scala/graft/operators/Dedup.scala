@@ -567,8 +567,7 @@ object Dedup {
     * sample_hash_bernoulli discipline, so both engines split
     * identically).
     */
-  private val isBatchExpr =
-    "substr(md5(concat('incr|', cast(doc_id as string))), 1, 2) < '40'"
+  private val isBatchExpr = graft.Incr.isBatchDoc
 
   /** Frozen-index ARTIFACT builders (what [[graft.IndexBuild]] writes and
     * the accessors below load back — see [[graft.IndexStore]]): the

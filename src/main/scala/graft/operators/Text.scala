@@ -52,8 +52,7 @@ object Text {
     * engines). At 100 TB: two gram scans + one shuffle; in production
     * the history vocabulary is a persisted bloom/exact gram table.
     */
-  private val isBatchDocExpr =
-    "substr(md5(concat('incr|', cast(doc_id as string))), 1, 2) < '40'"
+  private val isBatchDocExpr = graft.Incr.isBatchDoc
 
   /** (doc_id, gram) rows over a documents frame — shared by the history
     * vocabulary build and the batch side of [[ngramNovelty]].

@@ -211,8 +211,7 @@ object Train {
       graft.IndexStore.loadOrBuild(s, "lm_hist_counts")(buildLmHistCounts(s, dir))
     }
 
-  private val isBatchDocExpr =
-    "substr(md5(concat('incr|', cast(doc_id as string))), 1, 2) < '40'"
+  private val isBatchDocExpr = graft.Incr.isBatchDoc
 
   private val lmPplFilter: Q = (s, dir) => {
     val lm = lmHistCounts(s, dir)
