@@ -340,6 +340,20 @@ class PlanEvidenceSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       s"batch-vs-history scoring must stay cell-bound:\n$p")
   }
 
+  test("sim_ivf_scaled: scoring is a cell equi-join — no cartesian beyond the bounded centroid broadcast") {
+    // the ONLY nested-loop allowed is the ⌊√n⌋-row centroid broadcast
+    // into the probe; candidate scoring must join on the assigned cell
+    val p = planString(operators.Sim.queries("sim_ivf_scaled")(s, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"scaled-IVF scoring must stay cell-bound:\n$p")
+  }
+
+  test("graph_ktruss: the final output join is windows- and cartesian-free") {
+    val p = planString(operators.Graph.queries("graph_ktruss")(s, dir))
+    assert(!p.contains("Window"), s"the peel output must stay window-free:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("dedup_semantic: within-cell pairing is an equi-join on the cell — no cartesian") {
     val p = planString(operators.Dedup.queries("dedup_semantic")(s, dir))
     assert(!p.contains("CartesianProduct"),
