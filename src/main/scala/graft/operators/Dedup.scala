@@ -661,9 +661,13 @@ object Dedup {
   private val incremental: Q = (s, dir) => {
     val bsh = batchShingles(s, dir)
     val hist = incrHistBands(s, dir)
-    val bg = bsh
-      .groupBy("ckey").agg(first(col("sh64")).as("sh64"))
-      .withColumn("sig", minhash_sig(col("sh64"), 32))
+    // session-cached: the band build AND the verify's batch side both
+    // read it (it replaced the one whole-corpus group cache when the
+    // verify sides split for the persisted-index path)
+    val bg = graft.Cached.of(s, dir, "dedup.incr.batchg" + graft.IndexStore.tag) {
+      bsh.groupBy("ckey").agg(first(col("sh64")).as("sh64"))
+        .withColumn("sig", minhash_sig(col("sh64"), 32))
+    }
     val bb = bandsOf(bg)
     // size prefilter at candidate-row cost (J ≥ 0.8 ⇒ 4·max ≤ 5·min,
     // exactly [[minhashPairs]]' bound); sizes ride the band tables so
