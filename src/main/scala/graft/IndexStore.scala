@@ -105,6 +105,48 @@ object IndexStore {
     artifacts.foreach { case (name, build) =>
       build(s, sfDir).write.mode("overwrite").parquet(s"$root/$name")
     }
+
+  /** The nightly index UPDATE: fold tonight's batch into the artifacts
+    * under `histRoot` and write the updated index under `outRoot` —
+    * raw history text/vectors are never read (every merge is set
+    * algebra over the artifacts plus batch-derived increments; the
+    * centroid artifact carries the per-dimension extremes precisely so
+    * its midranges stay mergeable). IndexMergeSpec pins every merged
+    * artifact row-identical to a from-scratch full-corpus build.
+    */
+  def mergeAll(s: SparkSession, sfDir: String, histRoot: String, outRoot: String): Unit = {
+    val merged = operators.Dedup.mergedArtifacts(s, sfDir, histRoot) ++
+      operators.Sim.mergedArtifacts(s, sfDir, histRoot) ++
+      operators.Train.mergedArtifacts(s, sfDir, histRoot) ++
+      operators.Text.mergedArtifacts(s, sfDir, histRoot)
+    artifacts.foreach { case (name, _) =>
+      merged(name).write.mode("overwrite").parquet(s"$outRoot/$name")
+    }
+  }
+}
+
+/** The nightly index-update job: `IndexUpdate <sfDir> <histRoot>
+  * <outRoot>` folds the corpus' batch split into the persisted index at
+  * `histRoot` and writes the updated artifacts to `outRoot` — tonight's
+  * admitted batch becomes tomorrow's history without a full rebuild.
+  */
+object IndexUpdate {
+  def main(args: Array[String]): Unit = {
+    val (sfDir, histRoot, outRoot) = (args(0), args(1), args(2))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t0 = System.nanoTime()
+    IndexStore.mergeAll(spark, sfDir, histRoot, outRoot)
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"""{"metric":"index_update","value":$sec%.2f,"unit":"sec","artifacts":${IndexStore.artifacts.size},"hist":"$histRoot","out":"$outRoot","sf":"$sfDir"}""")
+    spark.stop()
+  }
 }
 
 /** The nightly index-build job: `IndexBuild <sfDir> <indexRoot>` writes

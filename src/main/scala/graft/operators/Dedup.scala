@@ -579,14 +579,49 @@ object Dedup {
     * report — so a cold session never touches history TEXT at all.
     */
   private[graft] def buildHistGroups(s: SparkSession, dir: String): DataFrame =
-    shingles(s, dir).filter(not(expr(isBatchExpr)))
+    groupsFor(s, dir, not(expr(isBatchExpr)))
+
+  /** [[buildHistGroups]] over an arbitrary doc slice — `lit(true)` is the
+    * full-corpus build the index-merge spec compares against.
+    */
+  private[graft] def groupsFor(s: SparkSession, dir: String, pred: Column): DataFrame =
+    shingles(s, dir).filter(pred)
       .groupBy("ckey").agg(first(col("sh64")).as("sh64"))
 
   private[graft] def buildHistBands(s: SparkSession, dir: String): DataFrame =
     bandsOf(incrHistGroups(s, dir).withColumn("sig", minhash_sig(col("sh64"), 32)))
 
+  private[graft] def bandsForGroups(g: DataFrame): DataFrame =
+    bandsOf(g.withColumn("sig", minhash_sig(col("sh64"), 32)))
+
   private[graft] def buildHistDocs(s: SparkSession, dir: String): DataFrame =
-    shingles(s, dir).filter(not(expr(isBatchExpr))).select(col("ckey"), col("doc_id"))
+    docsFor(s, dir, not(expr(isBatchExpr)))
+
+  private[graft] def docsFor(s: SparkSession, dir: String, pred: Column): DataFrame =
+    shingles(s, dir).filter(pred).select(col("ckey"), col("doc_id"))
+
+  /** Nightly index UPDATE for the dedup artifacts: tonight's batch
+    * becomes tomorrow's history WITHOUT touching raw history text.
+    * Signatures are content-determined, so the merge is exact set
+    * algebra on the artifacts: groups gain the batch contents unseen in
+    * history (same content on both sides of the split already has its
+    * row), bands gain exactly the new groups' bands, and the doc
+    * membership unions (doc ids are disjoint across the split).
+    * IndexMergeSpec pins merge == full-corpus rebuild per artifact.
+    */
+  private[graft] def mergedArtifacts(
+      s: SparkSession, dir: String, histRoot: String): Map[String, DataFrame] = {
+    val histG = s.read.parquet(s"$histRoot/dedup_hist_groups")
+    val histB = s.read.parquet(s"$histRoot/dedup_hist_bands")
+    val histD = s.read.parquet(s"$histRoot/dedup_hist_docs")
+    val bsh = shingles(s, dir).filter(expr(isBatchExpr))
+    val bg = bsh.groupBy("ckey").agg(first(col("sh64")).as("sh64"))
+    val newG = bg.join(histG.select("ckey"), Seq("ckey"), "left_anti")
+    Map(
+      "dedup_hist_groups" -> histG.unionByName(newG),
+      "dedup_hist_bands" -> histB.unionByName(bandsForGroups(newG)),
+      "dedup_hist_docs" -> histD.unionByName(bsh.select(col("ckey"), col("doc_id"))))
+  }
 
   /** (bidx, bh) band rows + the size prefilter's shingle count from a
     * (ckey, sh64, sig) frame — shared by the history index build and

@@ -209,18 +209,90 @@ object Sim {
     * history vectors.
     */
   private[graft] def buildIvfHistReps(s: SparkSession, dir: String): DataFrame =
-    vectors(s, dir).filter(not(expr(isBatchVecExpr)))
-      .groupBy(col("label"), col("v"))
+    repsForVectors(vectors(s, dir).filter(not(expr(isBatchVecExpr))))
+
+  private[graft] def repsForVectors(e: DataFrame): DataFrame =
+    e.groupBy(col("label"), col("v"))
       .agg(min(col("vec_id")).as("rep"), first(col("nrm")).as("hnrm"))
 
   private[graft] def buildIvfHistMembers(s: SparkSession, dir: String): DataFrame =
-    vectors(s, dir).filter(not(expr(isBatchVecExpr)))
-      .join(ivfHistReps(s, dir).select(col("label"), col("v"), col("rep")),
-        Seq("label", "v"))
+    membersForVectors(vectors(s, dir).filter(not(expr(isBatchVecExpr))),
+      ivfHistReps(s, dir))
+
+  private[graft] def membersForVectors(e: DataFrame, reps: DataFrame): DataFrame =
+    e.join(reps.select(col("label"), col("v"), col("rep")), Seq("label", "v"))
       .select(col("rep").as("mrep"), col("vec_id").as("cand_id"))
 
+  /** The centroid ARTIFACT carries the per-dimension extremes besides
+    * the midrange (cv stays bit-identical to [[midrangeCents]]' value —
+    * the oracle's (MIN+MAX)/2): extremes are what make the artifact
+    * MERGEABLE when tonight's batch is folded into the index
+    * ([[mergedArtifacts]]) — a midrange alone cannot absorb new
+    * minima/maxima.
+    */
   private[graft] def buildIvfHistCentroids(s: SparkSession, dir: String): DataFrame =
-    midrangeCents(vectors(s, dir).filter(not(expr(isBatchVecExpr))))
+    centroidsForVectors(vectors(s, dir).filter(not(expr(isBatchVecExpr))))
+
+  private[graft] def centroidsForVectors(e: DataFrame): DataFrame =
+    e.select(col("label"), posexplode(col("v")))
+      .groupBy("label", "pos")
+      .agg(min(col("col")).as("mn"), max(col("col")).as("mx"))
+      .groupBy("label")
+      .agg(
+        expr("transform(array_sort(collect_list(struct(pos, mn, mx))), p -> (p.mn + p.mx) / 2)").as("cv"),
+        expr("transform(array_sort(collect_list(struct(pos, mn, mx))), p -> p.mn)").as("cvmin"),
+        expr("transform(array_sort(collect_list(struct(pos, mn, mx))), p -> p.mx)").as("cvmax"))
+      .select(col("label").as("cell"), col("cv"),
+        sqrt(vec_dot(col("cv"), col("cv"))).as("cn"), col("cvmin"), col("cvmax"))
+
+  /** Nightly index UPDATE for the IVF artifacts — batch vectors fold
+    * into the frozen index WITHOUT touching raw history vectors: reps
+    * merge on the exact (label, vector) key (the new rep id is the min
+    * across both sides, so rep identity stays the deterministic
+    * min-member rule), history members re-point through the old→new rep
+    * map, batch members enter through their (label, vector) group, and
+    * centroids merge elementwise through the stored extremes.
+    * IndexMergeSpec pins merge == full-corpus rebuild per artifact.
+    */
+  private[graft] def mergedArtifacts(
+      s: SparkSession, dir: String, histRoot: String): Map[String, DataFrame] = {
+    val histR = s.read.parquet(s"$histRoot/ivf_hist_reps")
+    val histM = s.read.parquet(s"$histRoot/ivf_hist_members")
+    val histC = s.read.parquet(s"$histRoot/ivf_hist_centroids")
+    val bv = vectors(s, dir).filter(expr(isBatchVecExpr))
+    val bReps = bv.groupBy(col("label"), col("v"))
+      .agg(min(col("vec_id")).as("brep"), first(col("nrm")).as("bnrm"))
+    val joined = histR.join(bReps, Seq("label", "v"), "full_outer")
+      .select(col("label"), col("v"),
+        least(col("rep"), col("brep")).as("nrep"),
+        coalesce(col("hnrm"), col("bnrm")).as("nnrm"),
+        col("rep").as("oldrep"))
+    val repsM = joined.select(col("label"), col("v"),
+      col("nrep").as("rep"), col("nnrm").as("hnrm"))
+    val remap = joined.filter(col("oldrep").isNotNull)
+      .select(col("oldrep").as("mrep"), col("nrep"))
+    val membersM = histM.join(remap, Seq("mrep"))
+      .select(col("nrep").as("mrep"), col("cand_id"))
+      .unionByName(
+        bv.join(joined.select(col("label"), col("v"), col("nrep")), Seq("label", "v"))
+          .select(col("nrep").as("mrep"), col("vec_id").as("cand_id")))
+    val bC = centroidsForVectors(bv)
+      .select(col("cell"), col("cvmin").as("bmin"), col("cvmax").as("bmax"))
+    val centsM = histC.select(col("cell"), col("cvmin"), col("cvmax"))
+      .join(bC, Seq("cell"), "full_outer")
+      .select(col("cell"),
+        when(col("cvmin").isNull, col("bmin"))
+          .when(col("bmin").isNull, col("cvmin"))
+          .otherwise(expr("zip_with(cvmin, bmin, (a, b) -> least(a, b))")).as("cvmin"),
+        when(col("cvmax").isNull, col("bmax"))
+          .when(col("bmax").isNull, col("cvmax"))
+          .otherwise(expr("zip_with(cvmax, bmax, (a, b) -> greatest(a, b))")).as("cvmax"))
+      .withColumn("cv", expr("zip_with(cvmin, cvmax, (a, b) -> (a + b) / 2)"))
+      .select(col("cell"), col("cv"),
+        sqrt(vec_dot(col("cv"), col("cv"))).as("cn"), col("cvmin"), col("cvmax"))
+    Map("ivf_hist_reps" -> repsM, "ivf_hist_members" -> membersM,
+      "ivf_hist_centroids" -> centsM)
+  }
 
   private def ivfHistReps(s: SparkSession, dir: String): DataFrame =
     graft.Cached.of(s, dir, "sim.incr.hreps" + graft.IndexStore.tag) {

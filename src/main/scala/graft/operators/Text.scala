@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis pack for LLM-training-data pipelines over the `documents`
@@ -67,8 +67,25 @@ object Text {
     * [[graft.IndexStore]]).
     */
   private[graft] def buildGramHistVocab(s: SparkSession, dir: String): DataFrame =
-    gramsOf(Tables.docsSpread(s, dir).filter(not(expr(isBatchDocExpr))))
+    gramVocabFor(s, dir, not(expr(isBatchDocExpr)))
+
+  /** [[buildGramHistVocab]] over an arbitrary doc slice — `lit(true)` is
+    * the full-corpus build the index-merge spec compares against.
+    */
+  private[graft] def gramVocabFor(s: SparkSession, dir: String, pred: Column): DataFrame =
+    gramsOf(Tables.docsSpread(s, dir).filter(pred))
       .select("gram").distinct()
+
+  /** Nightly index UPDATE for the vocabulary artifact: the gram set is a
+    * union, so the merge adds only the batch grams history never saw.
+    */
+  private[graft] def mergedArtifacts(
+      s: SparkSession, dir: String, histRoot: String): Map[String, DataFrame] = {
+    val hist = s.read.parquet(s"$histRoot/gram_hist_vocab")
+    val batch = gramVocabFor(s, dir, expr(isBatchDocExpr))
+    Map("gram_hist_vocab" ->
+      hist.unionByName(batch.join(hist, Seq("gram"), "left_anti")))
+  }
 
   private def gramHistVocab(s: SparkSession, dir: String): DataFrame =
     graft.Cached.of(s, dir, "text.gram.hist" + graft.IndexStore.tag) {

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -201,10 +201,31 @@ object Train {
     * consumed by both `text_lm_ppl_filter` and `pipeline_admission`.
     */
   private[graft] def buildLmHistCounts(s: SparkSession, dir: String): DataFrame =
+    lmCountsFor(s, dir, not(expr(isBatchDocExpr)))
+
+  /** [[buildLmHistCounts]] over an arbitrary doc slice — `lit(true)` is
+    * the full-corpus build the index-merge spec compares against.
+    */
+  private[graft] def lmCountsFor(s: SparkSession, dir: String, pred: Column): DataFrame =
     Tables(s, dir, "documents")
-      .filter(not(expr(isBatchDocExpr)))
+      .filter(pred)
       .select(col("doc_id"), explode(expr(toksExpr)).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cw"))
+
+  /** Nightly index UPDATE for the LM artifact: token counts are
+    * additive, so the merge is one outer join of the persisted history
+    * counts with tonight's batch counts — raw history text untouched.
+    */
+  private[graft] def mergedArtifacts(
+      s: SparkSession, dir: String, histRoot: String): Map[String, DataFrame] = {
+    val hist = s.read.parquet(s"$histRoot/lm_hist_counts")
+      .select(col("token"), col("cw").as("hw"))
+    val batch = lmCountsFor(s, dir, expr(isBatchDocExpr))
+      .select(col("token"), col("cw").as("bw"))
+    Map("lm_hist_counts" -> hist.join(batch, Seq("token"), "full_outer")
+      .select(col("token"),
+        (coalesce(col("hw"), lit(0L)) + coalesce(col("bw"), lit(0L))).as("cw")))
+  }
 
   private def lmHistCounts(s: SparkSession, dir: String): DataFrame =
     graft.Cached.of(s, dir, "train.lm.hist" + graft.IndexStore.tag) {
