@@ -483,6 +483,21 @@ object Sim {
 
   private val ivfScaled: Q = (s, dir) => scaledIvfAt(s, dir, 4)
 
+  /** Recall@5 of the scaled-IVF path against brute force — the family's
+    * quantitative gate, exact in both engines like [[ivfRecall]].
+    */
+  private val ivfScaledRecall: Q = (s, dir) => {
+    val brute = bruteTopk(s, dir).select(col("q_id"), col("cand_id"))
+    val approx = scaledIvfAt(s, dir, 4)
+      .select(col("q_id").as("aq"), col("cand_id").as("ac"))
+    brute.join(approx,
+        col("q_id") === col("aq") && col("cand_id") === col("ac"), "left")
+      .groupBy("q_id")
+      .agg(expr("cast(count(ac) as bigint)").as("n_hit"))
+      .withColumn("recall_at_5", col("n_hit").cast("double") / 5)
+      .orderBy("q_id")
+  }
+
   /** Recall@5 of the LSH path against the brute-force truth, per query —
     * the quantitative ANN gate as data. Both top-5 sets are recomputed
     * here (they are cheap at probe scale) and intersected; the DuckDB
@@ -1485,6 +1500,7 @@ object Sim {
     "sim_ivf_recall" -> ivfRecall,
     "sim_ivf_incremental" -> ivfIncremental,
     "sim_ivf_scaled" -> ivfScaled,
+    "sim_ivf_scaled_recall" -> ivfScaledRecall,
   )
 
   /** DuckDB replay of the corpus-scaled IVF: ncells = ⌊√n⌋, the md5 seed
@@ -1493,8 +1509,8 @@ object Sim {
     * emb_kmeans_iter shapes), the nprobe=4 coarse probe against those
     * final centroids, and exact scoring inside probed cells.
     */
-  private val oIvfScaled: String =
-    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+  private val oIvfScaledCte: String =
+    """v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
       |  sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), t -> t * t))) AS nrm
       |  FROM embeddings),
       |nn AS (SELECT GREATEST(2, CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT)) AS nc FROM v),
@@ -1540,9 +1556,33 @@ object Sim {
       |  FROM pc JOIN qv USING (q_id)
       |  JOIN a2 ON a2.cell = pc.cell JOIN v w ON w.vec_id = a2.vec_id
       |  WHERE w.vec_id <> pc.q_id),
-      |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id) AS rk FROM sc)
-      |SELECT q_id, rk, cand_id, cos_sim, nn.nc AS ncells
-      |FROM r, nn WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+      |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id) AS rk FROM sc),
+      |sir AS (SELECT q_id, rk, cand_id, cos_sim FROM r WHERE rk <= 5)""".stripMargin
+
+  private val oIvfScaled: String =
+    s"""WITH $oIvfScaledCte
+       |SELECT q_id, rk, cand_id, cos_sim, nn.nc AS ncells
+       |FROM sir, nn ORDER BY q_id, rk""".stripMargin
+
+  /** Recall@5 of the scaled-IVF path vs brute force — the same exact
+    * cross-engine recall gate every other ANN family carries (the
+    * AnnProbe two-corpus sweep quantifies the scaling; this pins the
+    * sf-gate numbers in the oracle).
+    */
+  private val oIvfScaledRecall: String =
+    s"""WITH $oIvfScaledCte,
+       |bs AS (SELECT qv.q_id, w.vec_id AS cand_id,
+       |  round(list_sum(list_transform(range(64), i -> qv.qv[i+1] * w.v[i+1])) / (qv.qn * w.nrm), 6) AS cos_sim
+       |  FROM qv JOIN v w ON qv.q_id <> w.vec_id),
+       |br AS (SELECT q_id, cand_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id) AS rk FROM bs)
+       |  WHERE rk <= 5),
+       |j AS (SELECT br.q_id, COUNT(sir.cand_id) AS n_hit FROM br
+       |  LEFT JOIN sir ON br.q_id = sir.q_id AND br.cand_id = sir.cand_id
+       |  GROUP BY br.q_id)
+       |SELECT q_id, CAST(n_hit AS BIGINT) AS n_hit,
+       |  CAST(n_hit AS DOUBLE) / 5 AS recall_at_5
+       |FROM j ORDER BY q_id""".stripMargin
 
   /** DuckDB replay of the full IVF pipeline: midrange centroids per cell,
     * nprobe=3 coarse probe, exact scoring inside probed cells, top-5.
@@ -2162,6 +2202,7 @@ object Sim {
     // frozen index), nprobe=3 probe, exact scoring against history
     // vectors in probed cells — the full incremental pipeline replayed
     "sim_ivf_scaled" -> oIvfScaled,
+    "sim_ivf_scaled_recall" -> oIvfScaledRecall,
     "sim_ivf_incremental" ->
       """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
         |  sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
