@@ -133,6 +133,28 @@ object Tables {
     }
 }
 
+/** Run `body` with AQE disabled, restoring the previous setting after.
+  *
+  * AQE's per-stage materialization adds a measured ~0.3-0.7 s of fixed
+  * latency to every TINY stage (micro probe, warm: a 51 k-row
+  * filter+localCheckpoint 0.74 → 0.18 s; a broadcast join over a
+  * 5.65 M-row cached table 2.1 → 0.7 s — BASELINE.md round-11). A
+  * synchronous fixpoint loop runs several tiny checkpoint jobs per
+  * round, so the adaptive re-planning dominates the loop's wall clock
+  * while having nothing to re-plan: loop join sides are either
+  * checkpointed LogicalRDDs (no stats for AQE to act on) or
+  * driver-measured broadcast decisions. One-shot queries keep AQE —
+  * this wrapper is for the iterative operators only. Session-conf at
+  * plan-build time follows the [[Tables.events]] precedent.
+  */
+object NoAqe {
+  def during[T](s: SparkSession)(body: => T): T = {
+    val was = s.conf.get("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try body finally s.conf.set("spark.sql.adaptive.enabled", was)
+  }
+}
+
 /** Session-scoped cache of persisted intermediate frames. Pair-generating
   * dedup/similarity queries reference their shingle/signature/vector
   * tables several times per plan AND across queries; persisting each call

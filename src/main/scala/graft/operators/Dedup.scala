@@ -980,7 +980,7 @@ object Dedup {
     * clusters is tiny. Every round materializes via persist+count so
     * lineage never re-executes the loop from scratch.
     */
-  private val clusters: Q = (s, dir) => {
+  private val clusters: Q = (s, dir) => graft.NoAqe.during(s) {
     val pairs = minhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
     // the pair graph is tiny relative to the corpus (near-dup pairs only):
     // collapse it to a few partitions so each propagation round schedules

@@ -430,7 +430,7 @@ object Graph {
     * list with the round that removed it (0 = genuine 3-core member)
     * and its final degree (0 if peeled, ≥ k if it survived).
     */
-  private val kcore: Q = (s, dir) => {
+  private val kcore: Q = (s, dir) => graft.NoAqe.during(s) {
     val k = 3
     val maxRounds = 12
     var e = edges(s, dir).select(col("u"), col("v")).localCheckpoint(true)
@@ -826,16 +826,9 @@ object Graph {
     val e0 = edges1995(s, dir)
     val triE = triE1995(s, dir)
     val baseSup = edgeSup1995(s, dir)
-    // AQE is disabled for the LOOP ONLY (restored below): its per-stage
-    // materialization adds a measured ~0.3-0.7 s of fixed latency to
-    // every tiny stage, which at ~4 stages/round × 8 rounds dominated
-    // the whole peel (19 s → ~7 s on the sf0.1 probe). The loop's join
-    // sides are already driver-measured (the broadcast decisions), so
-    // adaptivity has nothing left to add inside it. Same session-conf-
-    // at-plan-time precedent as Tables.events' nanos flag.
-    val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
-    s.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
+    // AQE disabled for the LOOP ONLY — see graft.NoAqe (its per-stage
+    // materialization latency dominated the peel: 19 → 14 s measured)
+    graft.NoAqe.during(s) {
     // Per-round state is FRONTIER-sized, never edge-sized: the removed
     // sets (output-bounded) and the cumulative per-edge decrement table
     // (only edges that lost a triangle — supports never rise, so an
@@ -929,7 +922,7 @@ object Graph {
         .select(col("u"), col("v"),
           coalesce(col("removed_round"), lit(0L)).as("removed_round"))
     }
-    } finally s.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    }
   }
 
   private val ktruss: Q = (s, dir) => ktrussPeel(s, dir, 4).orderBy("u", "v")
