@@ -67,21 +67,78 @@ object IndexStore {
     */
   def tag: String = active.fold("")(r => s"@$r")
 
-  /** Read artifact `name` from the active root when it exists there,
-    * else run the in-session build.
+  /** Read artifact `name` from the active root; with no root configured
+    * run the in-session build. With a root ACTIVE, a missing artifact is
+    * an ERROR, not a silent in-session rebuild (ADVICE r11: a typo'd or
+    * non-local root would otherwise void the hermetic cold-read contract
+    * with no signal) — except while [[writeAll]] is building that very
+    * root, where not-yet-written artifacts legitimately fall back to
+    * their builders. Which path a read took is logged either way, so a
+    * cold session's index consumption is observable.
     */
   def loadOrBuild(s: SparkSession, name: String)(build: => DataFrame): DataFrame =
     active match {
-      case Some(r) if written(r, name) => s.read.parquet(s"$r/$name")
-      case _ => build
+      case Some(r) if written(s, r, name) =>
+        checkMeta(s, r)
+        log.info(s"index artifact '$name': READ from $r")
+        s.read.parquet(s"$r/$name")
+      case Some(r) if building.get() =>
+        log.info(s"index artifact '$name': building in-session for $r")
+        build
+      case Some(r) =>
+        throw new IllegalStateException(
+          s"index root $r is active but artifact '$name' is absent " +
+            "(no _SUCCESS) — refusing to silently rebuild history; " +
+            "run graft.IndexBuild or unset GRAFT_INDEX_DIR")
+      case None => build
     }
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** True while [[writeAll]] is populating the active root, so builders
+    * may still fall back for artifacts not yet written.
+    */
+  private val building = new java.lang.ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = false
+  }
 
   /** An artifact is readable once its job committed (_SUCCESS marker —
     * the standard Hadoop commit protocol signal, so a crashed build is
-    * never half-read).
+    * never half-read). Probed through the Hadoop FileSystem API resolved
+    * from the path, so a cluster root (hdfs://, s3a://) answers
+    * truthfully instead of java.io.File silently reporting absent.
     */
-  private def written(r: String, name: String): Boolean =
-    new java.io.File(s"$r/$name/_SUCCESS").exists()
+  private def written(s: SparkSession, r: String, name: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$r/$name/_SUCCESS")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** The `_meta` sidecar: the history/batch split threshold active when
+    * the index was built. [[Incr.batchThresh]] is baked into every
+    * artifact's row set, so scoring with a DIFFERENT threshold would
+    * silently drop the id range between the two prefixes from both
+    * history and batch (ADVICE r11). Written by [[writeAll]]/[[mergeAll]];
+    * validated on every artifact read.
+    */
+  private def writeMeta(s: SparkSession, root: String): Unit = {
+    import s.implicits._
+    Seq(("batch_thresh", Incr.batchThresh)).toDF("key", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/_meta")
+  }
+
+  private def checkMeta(s: SparkSession, root: String): Unit = {
+    if (!written(s, root, "_meta"))
+      throw new IllegalStateException(
+        s"index root $root has no _meta sidecar — cannot verify its " +
+          "history/batch split threshold; rebuild with graft.IndexBuild")
+    val built = s.read.parquet(s"$root/_meta")
+      .where("key = 'batch_thresh'").head().getString(1)
+    if (built != Incr.batchThresh)
+      throw new IllegalStateException(
+        s"index root $root was built at GRAFT_BATCH_THRESH='$built' but " +
+          s"this session scores at '${Incr.batchThresh}' — the artifacts' " +
+          "history split would silently diverge from the batch split")
+  }
 
   /** Registered artifact builders in WRITE ORDER (later artifacts may
     * derive from earlier ones — e.g. the band index from the content
@@ -99,12 +156,27 @@ object IndexStore {
   )
 
   /** Build every artifact from `sfDir` and write it under `root` —
-    * shared by the [[IndexBuild]] main and the lifecycle spec.
+    * shared by the [[IndexBuild]] main and the lifecycle spec. The root
+    * being built is PINNED as the active root for the duration (restored
+    * after): derived artifacts build through accessors that honor the
+    * active root, so with a stale root configured in the environment a
+    * derived build would otherwise mix the OLD root's upstream artifacts
+    * into the new index (ADVICE r11). Pinning makes every self-read
+    * resolve to the just-written upstream artifact of THIS build, and
+    * the `building` flag lets not-yet-written ones fall back to their
+    * builders.
     */
-  def writeAll(s: SparkSession, sfDir: String, root: String): Unit =
-    artifacts.foreach { case (name, build) =>
-      build(s, sfDir).write.mode("overwrite").parquet(s"$root/$name")
-    }
+  def writeAll(s: SparkSession, sfDir: String, root: String): Unit = {
+    val prev = rootOverride
+    rootOverride = Some(root)
+    building.set(true)
+    try {
+      writeMeta(s, root)
+      artifacts.foreach { case (name, build) =>
+        build(s, sfDir).write.mode("overwrite").parquet(s"$root/$name")
+      }
+    } finally { building.set(false); rootOverride = prev }
+  }
 
   /** The nightly index UPDATE: fold tonight's batch into the artifacts
     * under `histRoot` and write the updated index under `outRoot` —
@@ -115,6 +187,14 @@ object IndexStore {
     * artifact row-identical to a from-scratch full-corpus build.
     */
   def mergeAll(s: SparkSession, sfDir: String, histRoot: String, outRoot: String): Unit = {
+    // the merged plans read histRoot's parquet LAZILY at write time — an
+    // in-place merge would overwrite its own inputs mid-read and destroy
+    // the index (ADVICE r11); nightly jobs write a fresh dated root
+    require(histRoot != outRoot,
+      s"mergeAll: outRoot must differ from histRoot ($histRoot) — " +
+        "an in-place merge overwrites parquet its own plans still read")
+    checkMeta(s, histRoot)
+    writeMeta(s, outRoot)
     val merged = operators.Dedup.mergedArtifacts(s, sfDir, histRoot) ++
       operators.Sim.mergedArtifacts(s, sfDir, histRoot) ++
       operators.Train.mergedArtifacts(s, sfDir, histRoot) ++

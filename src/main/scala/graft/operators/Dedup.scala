@@ -880,7 +880,15 @@ object Dedup {
       .localCheckpoint(true)
     val mem = e.join(grp.select(col("label"), col("v"), col("rep")), Seq("label", "v"))
       .select(col("label"), col("rep"), col("vec_id"))
-    val rp = grp.as("a").join(grp.as("b"),
+    // the b-side is its own checkpointed lineage: a DIRECT self-join of
+    // one checkpointed frame is the Spark 4.1.2 relation-dedup crash
+    // shape (SURVEY §8a#3) — it passes bare, but any composition that
+    // unions this output would fail analysis. Cheap: the frame is
+    // content-collapsed (label, vector) reps. (Same template as
+    // dedup_semantic's grpB; r11 verdict What's-wrong #2.)
+    val grpB = grp.select(col("label"), col("v"), col("rep"), col("cnt"),
+      col("nrm")).localCheckpoint(true)
+    val rp = grp.as("a").join(grpB.as("b"),
         col("a.label") === col("b.label") && col("a.rep") < col("b.rep"))
       .withColumn("cos_sim",
         round(vec_dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6))

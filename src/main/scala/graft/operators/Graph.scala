@@ -842,6 +842,14 @@ object Graph {
     // LogicalRDDs carry no stats), with a shuffle-join fallback for a
     // graph whose peel frontier outgrows the driver.
     var removedParts: List[DataFrame] = Nil
+    // CUMULATIVE removed-edge count, tracked driver-side like nLow: the
+    // removed set is the sum of every frontier so far, so on a deep peel
+    // it outgrows the per-round frontier — it needs the same >1e6
+    // shuffle-join fallback as lowE/decNew or a large peel OOMs the
+    // driver (ADVICE r11 #1)
+    var nRemovedCum = 0L
+    def maybeBcast(df: DataFrame): DataFrame =
+      if (nRemovedCum <= 1000000L) broadcast(df) else df
     var decCum: Option[DataFrame] = None
     var r = 1
     var converged = false
@@ -858,7 +866,7 @@ object Graph {
             .filter(coalesce(col("support"), lit(0L)) < k - 2)
         else {
           val d = decCum.get.filter(col("s0") - col("d") < k - 2)
-          removedBefore.fold(d)(b => d.join(broadcast(b), Seq("u", "v"), "left_anti"))
+          removedBefore.fold(d)(b => d.join(maybeBcast(b), Seq("u", "v"), "left_anti"))
         })
         .select(col("u"), col("v"), lit(r.toLong).as("removed_round"))
         .localCheckpoint(true)
@@ -883,7 +891,7 @@ object Graph {
                   struct(col("y").as("u"), col("z").as("v")))).as("ed"))
               .select(col("x"), col("y"), col("z"),
                 col("ed.u").as("u"), col("ed.v").as("v"))
-              .join(broadcast(b), Seq("u", "v"), "left_semi")
+              .join(maybeBcast(b), Seq("u", "v"), "left_semi")
               .select("x", "y", "z").distinct()
             cand.join(rbT, Seq("x", "y", "z"), "left_anti")
         }
@@ -913,6 +921,7 @@ object Graph {
                 coalesce(col("s0"), col("s0n")).as("s0"))
           }.localCheckpoint(true))
         removedParts ::= low
+        nRemovedCum += nLow
         r += 1
       }
     }

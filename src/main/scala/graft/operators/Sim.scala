@@ -187,111 +187,204 @@ object Sim {
     * index-update write: nearest history centroid) and (b) its top-3
     * nearest HISTORY vectors from its nprobe=3 probed cells (the
     * retrieval read that backs semantic dedup / RAG admission of new
-    * documents). History centroids are the session-cached frozen index
-    * (midranges, so the build is bit-reproducible — see [[centroids]]);
-    * history vectors ship only from probed cells, batch×batch is never
-    * scored, and the cell join carries NO broadcast hint: the batch
-    * side is a corpus slice, not a query handful, so the optimizer
-    * must stay free to shuffle both sides by cell id (the ADVICE-r9
-    * lesson from dedup_ngram_minhash's prefilter). At 100 TB: cost
-    * tracks the batch — each batch vector touches nprobe/ncells of
-    * history, and ncells grows with the corpus (10 label cells here).
+    * documents). History centroids are the frozen ⌊√n_hist⌋-cell
+    * quantizer trained on history by the hash-seeded integer-exact
+    * Lloyd ([[histAssign]] — bit-reproducible, so the whole pipeline
+    * hash-verifies); history vectors ship only from probed cells,
+    * batch×batch is never scored, and the cell join carries NO
+    * broadcast hint: the batch side is a corpus slice, not a query
+    * handful, so the optimizer must stay free to shuffle both sides by
+    * cell id (the ADVICE-r9 lesson from dedup_ngram_minhash's
+    * prefilter). At 100 TB: cost tracks the batch AND stays sub-linear
+    * in history — each batch vector touches nprobe·√n_hist history
+    * candidates (nprobe/ncells of history with ncells = ⌊√n_hist⌋,
+    * the r11-demonstrated scaling law, now the production path; the
+    * measured `ncells` rides the hash-verified output).
     */
   /** Frozen IVF-index ARTIFACT builders (written by [[graft.IndexBuild]],
-    * loaded back by the accessors below — see [[graft.IndexStore]]):
-    * content-collapsed history reps (the r2 dedup discipline — a
-    * crawl-scale corpus is FULL of exact duplicate embeddings, and
-    * scoring must run once per distinct (cell, vector) rep, never once
-    * per copy: the 64×-copies probe ran 288 s rep-free and 2.7 s
-    * collapsed), rep→member expansion rows, and the midrange cell
-    * centroids. Together they are everything the nightly scoring
-    * session needs from history — a cold session never touches raw
-    * history vectors.
+    * loaded back by the accessors below — see [[graft.IndexStore]]),
+    * since round 12 built on the CORPUS-SCALED ⌊√n_hist⌋ k-means cells
+    * (the [[scaledNcells]] sizing rule, trained on history by the same
+    * hash-seeded integer-exact 2-round Lloyd as [[scaledAssign]]) — the
+    * r11 verdict's top ask: the nightly production query now pays
+    * nprobe·√n_hist history candidates per batch vector instead of
+    * nprobe/10 of all history. Artifacts:
+    *  - content-collapsed history reps per (cell, vector) — the r2
+    *    dedup discipline; a crawl-scale corpus is FULL of exact
+    *    duplicate embeddings, and scoring must run once per distinct
+    *    rep, never once per copy (64×-copies probe: 288 s rep-free,
+    *    2.7 s collapsed);
+    *  - rep→member expansion rows;
+    *  - the per-cell integer component SUMS as centroids ([[scaledCellsOf]])
+    *    with the frozen cell budget `nc` on every row. Sums are what
+    *    make the artifact MERGEABLE: tonight's batch folds in by pure
+    *    addition ([[mergedArtifacts]]), and a cold session recovers nc
+    *    without counting raw history.
+    * Together they are everything the nightly scoring session needs —
+    * a cold session never touches raw history vectors
+    * (IndexLifecycleSpec's hermetic test deletes them).
     */
-  private[graft] def buildIvfHistReps(s: SparkSession, dir: String): DataFrame =
-    repsForVectors(vectors(s, dir).filter(not(expr(isBatchVecExpr))))
+  private[graft] def histNcells(s: SparkSession, dir: String): Long = {
+    val n = vectors(s, dir).filter(not(expr(isBatchVecExpr))).count()
+    math.max(2L, math.floor(math.sqrt(n.toDouble)).toLong)
+  }
 
-  private[graft] def repsForVectors(e: DataFrame): DataFrame =
-    e.groupBy(col("label"), col("v"))
+  /** Quantized HISTORY vectors with their hash-seeded initial cell —
+    * [[scaledX]] restricted to the frozen-history split.
+    */
+  private[graft] def histScaledX(s: SparkSession, dir: String): DataFrame =
+    graft.Cached.of(s, dir, "sim.incr.hx") {
+      val nc = histNcells(s, dir)
+      vectors(s, dir).filter(not(expr(isBatchVecExpr)))
+        .select(col("vec_id"),
+          expr("transform(v, t -> cast(round(t * 1048576.0) as double))").as("x"))
+        .withColumn("xn", sqrt(vec_dot(col("x"), col("x"))))
+        .withColumn("c0", expr(
+          s"cast(conv(substr(md5(concat('ivfs|', cast(vec_id as string))), 1, 15), 16, 10) as bigint) % $nc"))
+    }
+
+  /** The frozen coarse quantizer: final history assignment after two
+    * hash-seeded integer-exact Lloyd rounds over HISTORY ONLY (the
+    * [[scaledAssign]] training replayed on the history split).
+    */
+  private[graft] def histAssign(s: SparkSession, dir: String): DataFrame =
+    graft.Cached.of(s, dir, "sim.incr.hassign")(lloyd2(histScaledX(s, dir)))
+
+  private[graft] def buildIvfHistCentroids(s: SparkSession, dir: String): DataFrame = {
+    val nc = histNcells(s, dir)
+    scaledCellsOf(
+      histAssign(s, dir).join(histScaledX(s, dir), "vec_id")
+        .select(col("cell"), col("x")))
+      .withColumn("nc", lit(nc))
+  }
+
+  private[graft] def buildIvfHistReps(s: SparkSession, dir: String): DataFrame =
+    repsForCells(vectors(s, dir).filter(not(expr(isBatchVecExpr))),
+      histAssign(s, dir))
+
+  private[graft] def repsForCells(vs: DataFrame, asn: DataFrame): DataFrame =
+    vs.join(asn.select(col("vec_id"), col("cell")), "vec_id")
+      .groupBy(col("cell"), col("v"))
       .agg(min(col("vec_id")).as("rep"), first(col("nrm")).as("hnrm"))
 
   private[graft] def buildIvfHistMembers(s: SparkSession, dir: String): DataFrame =
-    membersForVectors(vectors(s, dir).filter(not(expr(isBatchVecExpr))),
-      ivfHistReps(s, dir))
+    membersForCells(vectors(s, dir).filter(not(expr(isBatchVecExpr))),
+      histAssign(s, dir), ivfHistReps(s, dir))
 
-  private[graft] def membersForVectors(e: DataFrame, reps: DataFrame): DataFrame =
-    e.join(reps.select(col("label"), col("v"), col("rep")), Seq("label", "v"))
+  private[graft] def membersForCells(
+      vs: DataFrame, asn: DataFrame, reps: DataFrame): DataFrame =
+    vs.join(asn.select(col("vec_id"), col("cell")), "vec_id")
+      .join(reps.select(col("cell"), col("v"), col("rep")), Seq("cell", "v"))
       .select(col("rep").as("mrep"), col("vec_id").as("cand_id"))
 
-  /** The centroid ARTIFACT carries the per-dimension extremes besides
-    * the midrange (cv stays bit-identical to [[midrangeCents]]' value —
-    * the oracle's (MIN+MAX)/2): extremes are what make the artifact
-    * MERGEABLE when tonight's batch is folded into the index
-    * ([[mergedArtifacts]]) — a midrange alone cannot absorb new
-    * minima/maxima.
-    */
-  private[graft] def buildIvfHistCentroids(s: SparkSession, dir: String): DataFrame =
-    centroidsForVectors(vectors(s, dir).filter(not(expr(isBatchVecExpr))))
-
-  private[graft] def centroidsForVectors(e: DataFrame): DataFrame =
-    e.select(col("label"), posexplode(col("v")))
-      .groupBy("label", "pos")
-      .agg(min(col("col")).as("mn"), max(col("col")).as("mx"))
-      .groupBy("label")
-      .agg(
-        expr("transform(array_sort(collect_list(struct(pos, mn, mx))), p -> (p.mn + p.mx) / 2)").as("cv"),
-        expr("transform(array_sort(collect_list(struct(pos, mn, mx))), p -> p.mn)").as("cvmin"),
-        expr("transform(array_sort(collect_list(struct(pos, mn, mx))), p -> p.mx)").as("cvmax"))
-      .select(col("label").as("cell"), col("cv"),
-        sqrt(vec_dot(col("cv"), col("cv"))).as("cn"), col("cvmin"), col("cvmax"))
-
   /** Nightly index UPDATE for the IVF artifacts — batch vectors fold
-    * into the frozen index WITHOUT touching raw history vectors: reps
-    * merge on the exact (label, vector) key (the new rep id is the min
-    * across both sides, so rep identity stays the deterministic
-    * min-member rule), history members re-point through the old→new rep
-    * map, batch members enter through their (label, vector) group, and
-    * centroids merge elementwise through the stored extremes.
-    * IndexMergeSpec pins merge == full-corpus rebuild per artifact.
+    * into the frozen index WITHOUT touching raw history vectors and
+    * WITHOUT retraining the quantizer (retraining is what a full
+    * rebuild is for): each batch vector is assigned to its nearest
+    * FROZEN centroid — the exact rule the serving query uses for
+    * `cell_assigned`, so a vector admitted tonight lands in the cell it
+    * was served from. Reps merge on the exact (cell, vector) key (the
+    * new rep id is the min across both sides, so rep identity stays the
+    * deterministic min-member rule), history members re-point through
+    * the old→new rep map, batch members enter through their (cell,
+    * vector) group, and the centroid SUMS merge by pure elementwise
+    * addition (exact integer-valued doubles — order-free). `nc` is the
+    * frozen budget, unchanged until a retrain. IndexMergeSpec pins
+    * merge == the reassign-all rebuild [[frozenAssignAll]] defines,
+    * artifact for artifact.
     */
   private[graft] def mergedArtifacts(
       s: SparkSession, dir: String, histRoot: String): Map[String, DataFrame] = {
     val histR = s.read.parquet(s"$histRoot/ivf_hist_reps")
     val histM = s.read.parquet(s"$histRoot/ivf_hist_members")
     val histC = s.read.parquet(s"$histRoot/ivf_hist_centroids")
-    val bv = vectors(s, dir).filter(expr(isBatchVecExpr))
-    val bReps = bv.groupBy(col("label"), col("v"))
+    val bCells = batchAssignedTo(s, dir, histC.select(col("cell"), col("cv"), col("cn")))
+    val bReps = bCells.groupBy(col("cell"), col("v"))
       .agg(min(col("vec_id")).as("brep"), first(col("nrm")).as("bnrm"))
-    val joined = histR.join(bReps, Seq("label", "v"), "full_outer")
-      .select(col("label"), col("v"),
+    val joined = histR.join(bReps, Seq("cell", "v"), "full_outer")
+      .select(col("cell"), col("v"),
         least(col("rep"), col("brep")).as("nrep"),
         coalesce(col("hnrm"), col("bnrm")).as("nnrm"),
         col("rep").as("oldrep"))
-    val repsM = joined.select(col("label"), col("v"),
+    val repsM = joined.select(col("cell"), col("v"),
       col("nrep").as("rep"), col("nnrm").as("hnrm"))
     val remap = joined.filter(col("oldrep").isNotNull)
       .select(col("oldrep").as("mrep"), col("nrep"))
     val membersM = histM.join(remap, Seq("mrep"))
       .select(col("nrep").as("mrep"), col("cand_id"))
       .unionByName(
-        bv.join(joined.select(col("label"), col("v"), col("nrep")), Seq("label", "v"))
+        bCells.join(joined.select(col("cell"), col("v"), col("nrep")), Seq("cell", "v"))
           .select(col("nrep").as("mrep"), col("vec_id").as("cand_id")))
-    val bC = centroidsForVectors(bv)
-      .select(col("cell"), col("cvmin").as("bmin"), col("cvmax").as("bmax"))
-    val centsM = histC.select(col("cell"), col("cvmin"), col("cvmax"))
-      .join(bC, Seq("cell"), "full_outer")
+    val bSums = bCells.select(col("cell"), posexplode(col("x")))
+      .groupBy("cell", "pos").agg(sum(col("col")).as("bx"))
+      .groupBy("cell")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, bx))), p -> p.bx)").as("bcv"))
+    val centsM = histC.select(col("cell"), col("cv"), col("nc"))
+      .join(bSums, Seq("cell"), "left_outer")
       .select(col("cell"),
-        when(col("cvmin").isNull, col("bmin"))
-          .when(col("bmin").isNull, col("cvmin"))
-          .otherwise(expr("zip_with(cvmin, bmin, (a, b) -> least(a, b))")).as("cvmin"),
-        when(col("cvmax").isNull, col("bmax"))
-          .when(col("bmax").isNull, col("cvmax"))
-          .otherwise(expr("zip_with(cvmax, bmax, (a, b) -> greatest(a, b))")).as("cvmax"))
-      .withColumn("cv", expr("zip_with(cvmin, cvmax, (a, b) -> (a + b) / 2)"))
+        when(col("bcv").isNull, col("cv"))
+          .otherwise(expr("zip_with(cv, bcv, (a, b) -> a + b)")).as("cv"),
+        col("nc"))
       .select(col("cell"), col("cv"),
-        sqrt(vec_dot(col("cv"), col("cv"))).as("cn"), col("cvmin"), col("cvmax"))
+        sqrt(vec_dot(col("cv"), col("cv"))).as("cn"), col("nc"))
     Map("ivf_hist_reps" -> repsM, "ivf_hist_members" -> membersM,
       "ivf_hist_centroids" -> centsM)
+  }
+
+  /** Batch vectors quantized and assigned to the given frozen centroid
+    * table (nearest by cosine, ties to the lowest cell) — shared by the
+    * merge and the reference rebuild so both apply the identical rule.
+    * Output: (vec_id, cell, v, nrm, x, xn).
+    */
+  private def batchAssignedTo(
+      s: SparkSession, dir: String, cents: DataFrame): DataFrame = {
+    val bx = vectors(s, dir).filter(expr(isBatchVecExpr))
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .withColumn("x", expr("transform(v, t -> cast(round(t * 1048576.0) as double))"))
+      .withColumn("xn", sqrt(vec_dot(col("x"), col("x"))))
+    scaledAssignTo(cents, bx).join(bx, "vec_id")
+  }
+
+  /** Reference "reassign-all rebuild" defining the merge identity:
+    * every corpus vector keyed by the cell the FROZEN history quantizer
+    * gives it — history rows by their training assignment, batch rows
+    * by nearest final history centroid (the serving rule). A nightly
+    * rebuild-without-retrain computes this from RAW data; [[mergedArtifacts]]
+    * must reach the same rows reading only artifacts + tonight's batch.
+    * (With a corpus-TRAINED quantizer, "merge == retrained-from-scratch
+    * build" is not a meaningful identity: retraining on H∪B changes
+    * ncells and every cell boundary, and reproducing it requires the
+    * raw history the merge exists to avoid. Assign-only update vs
+    * periodic retrain is the standard production IVF split.)
+    */
+  private[graft] def frozenAssignAll(s: SparkSession, dir: String): DataFrame = {
+    val hRows = vectors(s, dir).filter(not(expr(isBatchVecExpr)))
+      .join(histAssign(s, dir).select(col("vec_id"), col("cell")), "vec_id")
+      .select(col("cell"), col("vec_id"), col("v"), col("nrm"))
+    val cents = buildIvfHistCentroids(s, dir)
+      .select(col("cell"), col("cv"), col("cn"))
+    hRows.unionByName(
+      batchAssignedTo(s, dir, cents)
+        .select(col("cell"), col("vec_id"), col("v"), col("nrm")))
+  }
+
+  /** The reference-rebuild artifacts (raw-data side of IndexMergeSpec's
+    * identity): reps/members/centroid-sums over [[frozenAssignAll]].
+    */
+  private[graft] def refMergedArtifacts(
+      s: SparkSession, dir: String): Map[String, DataFrame] = {
+    val all = frozenAssignAll(s, dir)
+    val reps = all.groupBy(col("cell"), col("v"))
+      .agg(min(col("vec_id")).as("rep"), first(col("nrm")).as("hnrm"))
+    val members = all
+      .join(reps.select(col("cell"), col("v"), col("rep")), Seq("cell", "v"))
+      .select(col("rep").as("mrep"), col("vec_id").as("cand_id"))
+    val cents = scaledCellsOf(
+      all.select(col("cell"),
+        expr("transform(v, t -> cast(round(t * 1048576.0) as double))").as("x")))
+      .withColumn("nc", lit(histNcells(s, dir)))
+    Map("ivf_hist_reps" -> reps, "ivf_hist_members" -> members,
+      "ivf_hist_centroids" -> cents)
   }
 
   private def ivfHistReps(s: SparkSession, dir: String): DataFrame =
@@ -330,24 +423,34 @@ object Sim {
     val hmem = ivfHistMembers(s, dir)
     val cent = ivfHistCentroids(s, dir)
     val bv = batchVectors(s, dir)
+    // probing runs in the quantizer's ×2^20 integer space (the space the
+    // cells were trained in); scoring stays in float space
     val breps = bv.groupBy(col("v"))
       .agg(min(col("vec_id")).as("qrep"), first(col("nrm")).as("qn"))
       .select(col("qrep"), col("v").as("qv"), col("qn"))
+      .withColumn("qx", expr("transform(qv, t -> cast(round(t * 1048576.0) as double))"))
+      .withColumn("qxn", sqrt(vec_dot(col("qx"), col("qx"))))
     val bmem = bv
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
       .join(breps.select(col("qrep"), col("qv")), Seq("qv"))
       .select(col("q_id"), col("qrep"))
-    val probed = breps.crossJoin(broadcast(cent))
-      .withColumn("ccos", vec_dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    // the frozen cell budget, recovered from the artifact rows — a cold
+    // session must never count raw history (1-row aggregate crossJoin)
+    val ncDf = cent.groupBy().agg(max(col("nc")).as("ncells"))
+    val probed = breps.crossJoin(broadcast(cent.select(col("cell"), col("cv"), col("cn"))))
+      .withColumn("ccos", vec_dot(col("qx"), col("cv")) / (col("qxn") * col("cn")))
       .withColumn("crk", row_number().over(
         Window.partitionBy("qrep").orderBy(col("ccos").desc, col("cell"))))
       .filter(col("crk") <= 3)
       .withColumn("cell_assigned",
         max(when(col("crk") === 1, col("cell"))).over(Window.partitionBy("qrep")))
       .select(col("qrep"), col("qv"), col("qn"), col("cell"), col("cell_assigned"))
-    val scoredReps = probed.join(hreps.as("h"), col("cell") === col("h.label"))
-      .withColumn("cos_sim", cosine(col("qv"), col("qn"), col("h.v"), col("h.hnrm")))
-      .select(col("qrep"), col("cell_assigned"), col("h.rep").as("rep"), col("cos_sim"))
+    val scoredReps = probed.join(
+        hreps.select(col("cell").as("hcell"), col("v").as("hv"),
+          col("rep"), col("hnrm")),
+        col("cell") === col("hcell"))
+      .withColumn("cos_sim", cosine(col("qv"), col("qn"), col("hv"), col("hnrm")))
+      .select(col("qrep"), col("cell_assigned"), col("rep"), col("cos_sim"))
     // the top-3 MEMBERS span at most 3 reps, and any rep holding a
     // top-3 member ranks ≤ 3 under (cos DESC, min-member-id ASC): a rep
     // ranked above it contributes at least one member that outranks the
@@ -364,7 +467,9 @@ object Sim {
       .filter(col("rk") <= 3)
       .select(col("qrep"), col("cell_assigned"), col("rk"), col("cand_id"), col("cos_sim"))
     bmem.join(topCands, Seq("qrep"))
-      .select(col("q_id"), col("cell_assigned"), col("rk"), col("cand_id"), col("cos_sim"))
+      .crossJoin(broadcast(ncDf))
+      .select(col("q_id"), col("cell_assigned"), col("rk"), col("cand_id"),
+        col("cos_sim"), col("ncells"))
       .orderBy("q_id", "rk")
   }
 
@@ -429,17 +534,20 @@ object Sim {
     * onto the data's cluster structure, few enough that the DuckDB
     * oracle unrolls them verbatim. Session-cached: the index build is a
     * corpus artifact, exactly like the fixed-cell family's tables.
+    * Shared with [[histAssign]], which trains the same way on the
+    * history split.
     */
+  private def lloyd2(xq: DataFrame): DataFrame = {
+    val a1 = scaledAssignTo(
+      scaledCellsOf(xq.select(col("c0").as("cell"), col("x"))), xq)
+      .localCheckpoint(true)
+    val c2 = scaledCellsOf(
+      a1.join(xq, "vec_id").select(col("cell"), col("x")))
+    scaledAssignTo(c2, xq)
+  }
+
   private[graft] def scaledAssign(s: SparkSession, dir: String): DataFrame =
-    graft.Cached.of(s, dir, "sim.scaled.assign") {
-      val xq = scaledX(s, dir)
-      val a1 = scaledAssignTo(
-        scaledCellsOf(xq.select(col("c0").as("cell"), col("x"))), xq)
-        .localCheckpoint(true)
-      val c2 = scaledCellsOf(
-        a1.join(xq, "vec_id").select(col("cell"), col("x")))
-      scaledAssignTo(c2, xq)
-    }
+    graft.Cached.of(s, dir, "sim.scaled.assign")(lloyd2(scaledX(s, dir)))
 
   private[graft] def scaledCents(s: SparkSession, dir: String): DataFrame =
     graft.Cached.of(s, dir, "sim.scaled.cents") {
@@ -2198,38 +2306,69 @@ object Sim {
     "sim_cosine_topk_ivf" ->
       s"""WITH $oIvfCte
          |SELECT q_id, rk, cand_id, cos_sim FROM ir ORDER BY q_id, rk""".stripMargin,
-    // history/batch parity split, HISTORY-only midrange centroids (the
-    // frozen index), nprobe=3 probe, exact scoring against history
-    // vectors in probed cells — the full incremental pipeline replayed
     "sim_ivf_scaled" -> oIvfScaled,
     "sim_ivf_scaled_recall" -> oIvfScaledRecall,
+    // history/batch parity split, then the FULL frozen-quantizer replay
+    // on history only: nc = ⌊√n_hist⌋, the md5 seed cells, both unrolled
+    // integer-exact Lloyd rounds, the final-centroid sums (c3 — the
+    // artifact the cold session reads), the batch-side nprobe=3 probe in
+    // quantized space, exact float scoring against history vectors in
+    // probed cells — the production nightly pipeline replayed end to end
     "sim_ivf_incremental" ->
-      """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
-        |  sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |  sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), t -> t * t))) AS nrm
         |  FROM embeddings),
         |hv AS (SELECT * FROM v
         |  WHERE NOT substr(md5('incrv|' || CAST(vec_id AS VARCHAR)), 1, 2) < '40'),
-        |bq AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM v
-        |  WHERE substr(md5('incrv|' || CAST(vec_id AS VARCHAR)), 1, 2) < '40'),
-        |cd AS (SELECT label, i, (MIN(hv.v[i]) + MAX(hv.v[i])) / 2 AS cx
-        |       FROM hv, range(1, 65) t(i) GROUP BY label, i),
-        |cen AS (SELECT cell, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS cn FROM (
-        |  SELECT label AS cell, list(cx ORDER BY i) AS cv FROM cd GROUP BY label)),
-        |qc AS (SELECT q_id, qv, qn, cell, crk FROM (
-        |  SELECT q.q_id, q.qv, q.qn, c.cell,
-        |    row_number() OVER (PARTITION BY q.q_id ORDER BY
-        |      list_sum(list_transform(range(64), i -> q.qv[i+1] * c.cv[i+1])) / (q.qn * c.cn) DESC,
-        |      c.cell) AS crk
-        |  FROM bq q CROSS JOIN cen c) WHERE crk <= 3),
-        |qa AS (SELECT q_id, cell AS cell_assigned FROM qc WHERE crk = 1),
-        |sc AS (SELECT qc.q_id, w.vec_id AS cand_id,
-        |  round(list_sum(list_transform(range(64), i -> qc.qv[i+1] * w.v[i+1])) / (qc.qn * w.nrm), 6) AS cos_sim
-        |  FROM qc JOIN hv w ON qc.cell = w.label),
+        |nn AS (SELECT GREATEST(2, CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT)) AS nc FROM hv),
+        |x0 AS (SELECT vec_id,
+        |    list_transform(v, t -> round(t * 1048576.0)) AS x,
+        |    sqrt(list_sum(list_transform(list_transform(v, t -> round(t * 1048576.0)), t -> t * t))) AS xn,
+        |    CAST(('0x' || substr(md5('ivfs|' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % nn.nc AS c0
+        |  FROM hv, nn),
+        |c1d AS (SELECT c0 AS cell, i, SUM(x[i]) AS cx FROM x0, range(1, 65) t(i) GROUP BY 1, 2),
+        |c1 AS (SELECT cell, cv, sqrt(list_sum(list_transform(cv, t -> t * t))) AS cn
+        |  FROM (SELECT cell, list(cx ORDER BY i) AS cv FROM c1d GROUP BY 1)
+        |  WHERE sqrt(list_sum(list_transform(cv, t -> t * t))) > 0),
+        |a1 AS (SELECT vec_id, cell, x FROM (
+        |  SELECT x0.vec_id, c1.cell, x0.x,
+        |    row_number() OVER (PARTITION BY x0.vec_id ORDER BY
+        |      list_sum(list_transform(range(64), i -> x0.x[i+1] * c1.cv[i+1])) / (x0.xn * c1.cn) DESC,
+        |      c1.cell) AS rk
+        |  FROM x0 CROSS JOIN c1) WHERE rk = 1),
+        |c2d AS (SELECT cell, i, SUM(x[i]) AS cx FROM a1, range(1, 65) t(i) GROUP BY 1, 2),
+        |c2 AS (SELECT cell, cv, sqrt(list_sum(list_transform(cv, t -> t * t))) AS cn
+        |  FROM (SELECT cell, list(cx ORDER BY i) AS cv FROM c2d GROUP BY 1)
+        |  WHERE sqrt(list_sum(list_transform(cv, t -> t * t))) > 0),
+        |a2 AS (SELECT vec_id, cell, x FROM (
+        |  SELECT x0.vec_id, c2.cell, x0.x,
+        |    row_number() OVER (PARTITION BY x0.vec_id ORDER BY
+        |      list_sum(list_transform(range(64), i -> x0.x[i+1] * c2.cv[i+1])) / (x0.xn * c2.cn) DESC,
+        |      c2.cell) AS rk
+        |  FROM x0 CROSS JOIN c2) WHERE rk = 1),
+        |c3d AS (SELECT cell, i, SUM(x[i]) AS cx FROM a2, range(1, 65) t(i) GROUP BY 1, 2),
+        |c3 AS (SELECT cell, cv, sqrt(list_sum(list_transform(cv, t -> t * t))) AS cn
+        |  FROM (SELECT cell, list(cx ORDER BY i) AS cv FROM c3d GROUP BY 1)
+        |  WHERE sqrt(list_sum(list_transform(cv, t -> t * t))) > 0),
+        |bq AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn,
+        |    list_transform(v, t -> round(t * 1048576.0)) AS qx,
+        |    sqrt(list_sum(list_transform(list_transform(v, t -> round(t * 1048576.0)), t -> t * t))) AS qxn
+        |  FROM v WHERE substr(md5('incrv|' || CAST(vec_id AS VARCHAR)), 1, 2) < '40'),
+        |pc AS (SELECT q_id, qv, qn, cell, crk FROM (
+        |  SELECT b.q_id, b.qv, b.qn, c3.cell,
+        |    row_number() OVER (PARTITION BY b.q_id ORDER BY
+        |      list_sum(list_transform(range(64), i -> b.qx[i+1] * c3.cv[i+1])) / (b.qxn * c3.cn) DESC,
+        |      c3.cell) AS crk
+        |  FROM bq b CROSS JOIN c3) WHERE crk <= 3),
+        |qa AS (SELECT q_id, cell AS cell_assigned FROM pc WHERE crk = 1),
+        |sc AS (SELECT pc.q_id, w.vec_id AS cand_id,
+        |  round(list_sum(list_transform(range(64), i -> pc.qv[i+1] * w.v[i+1])) / (pc.qn * w.nrm), 6) AS cos_sim
+        |  FROM pc JOIN a2 ON a2.cell = pc.cell JOIN hv w ON w.vec_id = a2.vec_id),
         |tp AS (SELECT q_id, cand_id, cos_sim,
         |  row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id) AS rk FROM sc)
         |SELECT tp.q_id, qa.cell_assigned, CAST(tp.rk AS BIGINT) AS rk,
-        |  tp.cand_id, tp.cos_sim
-        |FROM tp JOIN qa USING (q_id) WHERE tp.rk <= 3 ORDER BY tp.q_id, tp.rk""".stripMargin,
+        |  tp.cand_id, tp.cos_sim, nn.nc AS ncells
+        |FROM tp JOIN qa USING (q_id), nn WHERE tp.rk <= 3 ORDER BY tp.q_id, tp.rk""".stripMargin,
     "sim_ivf_recall" ->
       s"""WITH $oIvfCte,
          |s AS (SELECT q.q_id, w.vec_id AS cand_id,

@@ -7,9 +7,20 @@ import org.scalatest.funsuite.AnyFunSuite
 /** The nightly index UPDATE contract: folding tonight's batch into the
   * persisted history artifacts (`IndexStore.mergeAll` — set algebra
   * over artifacts + batch increments, raw history never read) must
-  * produce, artifact for artifact, EXACTLY what a from-scratch build
-  * over the full corpus produces. This is the property that lets the
-  * admitted batch become tomorrow's history without a rebuild.
+  * produce, artifact for artifact, EXACTLY what a from-scratch rebuild
+  * over the full corpus produces. For the corpus-independent artifacts
+  * (content groups, bands, docs, LM counts, gram vocabulary) that
+  * rebuild treats the whole corpus as history; for the IVF artifacts —
+  * whose ⌊√n_hist⌋-cell quantizer is TRAINED on history — the rebuild
+  * is the reassign-all form (`Sim.refMergedArtifacts`): the frozen
+  * history quantizer recomputed from raw data, every corpus vector
+  * assigned under it (history by its training assignment, batch by the
+  * serving rule), centroid sums recomputed globally. Retraining on
+  * H∪B is a different operation (it changes ncells and every cell
+  * boundary) and requires exactly the raw history the merge exists to
+  * avoid — assign-only update vs periodic retrain is the standard
+  * production IVF split. Either way the property is the same: the
+  * admitted batch becomes tomorrow's history without a rebuild.
   */
 class IndexMergeSpec extends AnyFunSuite {
   private lazy val s = TestSpark.spark
@@ -24,15 +35,14 @@ class IndexMergeSpec extends AnyFunSuite {
     IndexStore.writeAll(s, dir, rootA)
     IndexStore.mergeAll(s, dir, rootA, rootB)
     val fullGroups = operators.Dedup.groupsFor(s, dir, lit(true))
-    val allVecs = operators.Sim.vectors(s, dir)
-    val fullReps = operators.Sim.repsForVectors(allVecs)
+    val simRef = operators.Sim.refMergedArtifacts(s, dir)
     val full: Map[String, DataFrame] = Map(
       "dedup_hist_groups" -> fullGroups,
       "dedup_hist_bands" -> operators.Dedup.bandsForGroups(fullGroups),
       "dedup_hist_docs" -> operators.Dedup.docsFor(s, dir, lit(true)),
-      "ivf_hist_reps" -> fullReps,
-      "ivf_hist_members" -> operators.Sim.membersForVectors(allVecs, fullReps),
-      "ivf_hist_centroids" -> operators.Sim.centroidsForVectors(allVecs),
+      "ivf_hist_reps" -> simRef("ivf_hist_reps"),
+      "ivf_hist_members" -> simRef("ivf_hist_members"),
+      "ivf_hist_centroids" -> simRef("ivf_hist_centroids"),
       "lm_hist_counts" -> operators.Train.lmCountsFor(s, dir, lit(true)),
       "gram_hist_vocab" -> operators.Text.gramVocabFor(s, dir, lit(true)),
     )
