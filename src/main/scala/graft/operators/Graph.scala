@@ -873,53 +873,8 @@ object Graph {
       val nLow = low.count()
       if (nLow == 0L) converged = true
       else {
-        val lowE0 = low.select(col("u"), col("v"))
-        val lowE = if (nLow <= 1000000L) broadcast(lowE0) else lowE0
-        // triangles touching this round's frontier (deduped — one may
-        // hold two frontier edges), checkpointed: referenced twice below
-        val cand = triE.join(lowE, Seq("u", "v"))
-          .select("x", "y", "z").distinct().localCheckpoint(true)
-        // candidates already dead: an edge removed in an earlier round
-        val lost = removedBefore match {
-          case None => cand
-          case Some(b) =>
-            val rbT = cand.select(
-                col("x"), col("y"), col("z"),
-                explode(array(
-                  struct(col("x").as("u"), col("y").as("v")),
-                  struct(col("x").as("u"), col("z").as("v")),
-                  struct(col("y").as("u"), col("z").as("v")))).as("ed"))
-              .select(col("x"), col("y"), col("z"),
-                col("ed.u").as("u"), col("ed.v").as("v"))
-              .join(maybeBcast(b), Seq("u", "v"), "left_semi")
-              .select("x", "y", "z").distinct()
-            cand.join(rbT, Seq("x", "y", "z"), "left_anti")
-        }
-        // decrement the dead triangles' other edges (edges removed this
-        // round are excluded; earlier-removed ones are filtered at
-        // frontier time, so a stray decrement row is harmless)
-        // new decrements pick up their edge's base support by probing
-        // the cached support table map-side (the decrement set is
-        // frontier-bounded and broadcast; every decremented edge was in
-        // a triangle, so the inner join is total)
-        val decNew = lost.select(explode(array(
-            struct(col("x").as("u"), col("y").as("v")),
-            struct(col("x").as("u"), col("z").as("v")),
-            struct(col("y").as("u"), col("z").as("v")))).as("ed"))
-          .select(col("ed.u").as("u"), col("ed.v").as("v"))
-          .join(lowE, Seq("u", "v"), "left_anti")
-          .groupBy("u", "v").agg(count(lit(1)).as("dn"))
-        val decNewS =
-          (if (nLow <= 1000000L) broadcast(decNew) else decNew)
-            .join(baseSup, Seq("u", "v"))
-            .select(col("u"), col("v"), col("dn"), col("support").as("s0n"))
-        decCum = Some(decCum.fold(
-            decNewS.select(col("u"), col("v"), col("dn").as("d"), col("s0n").as("s0"))) { old =>
-            old.join(decNewS, Seq("u", "v"), "full_outer")
-              .select(col("u"), col("v"),
-                (coalesce(col("d"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("d"),
-                coalesce(col("s0"), col("s0n")).as("s0"))
-          }.localCheckpoint(true))
+        decCum = Some(peelRoundDec(triE, baseSup,
+          low.select(col("u"), col("v")), nLow, removedBefore, maybeBcast, decCum))
         removedParts ::= low
         nRemovedCum += nLow
         r += 1
@@ -934,10 +889,231 @@ object Graph {
     }
   }
 
+  /** One peel round's decrement bookkeeping, shared by [[ktrussPeel]]
+    * and [[trussnessDecompose]]: from this round's frontier `lowE0`,
+    * find the triangles it kills (minus those already dead — a triangle
+    * touching an earlier-removed edge was decremented the round it
+    * died; the rbT semi-join excludes the double count), decrement the
+    * dead triangles' surviving edges, and fold the new decrements into
+    * the cumulative per-edge table (which carries each damaged edge's
+    * base support so later frontiers never rescan the edge table).
+    * Broadcast decisions are driver-measured (checkpointed LogicalRDDs
+    * carry no stats) with shuffle fallbacks past 1e6 rows.
+    */
+  private def peelRoundDec(
+      triE: DataFrame, baseSup: DataFrame, lowE0: DataFrame, nLow: Long,
+      removedBefore: Option[DataFrame], maybeBcast: DataFrame => DataFrame,
+      decCum: Option[DataFrame]): DataFrame = {
+    val lowE = if (nLow <= 1000000L) broadcast(lowE0) else lowE0
+    // triangles touching this round's frontier (deduped — one may
+    // hold two frontier edges), checkpointed: referenced twice below
+    val cand = triE.join(lowE, Seq("u", "v"))
+      .select("x", "y", "z").distinct().localCheckpoint(true)
+    // candidates already dead: an edge removed in an earlier round
+    val lost = removedBefore match {
+      case None => cand
+      case Some(b) =>
+        val rbT = cand.select(
+            col("x"), col("y"), col("z"),
+            explode(array(
+              struct(col("x").as("u"), col("y").as("v")),
+              struct(col("x").as("u"), col("z").as("v")),
+              struct(col("y").as("u"), col("z").as("v")))).as("ed"))
+          .select(col("x"), col("y"), col("z"),
+            col("ed.u").as("u"), col("ed.v").as("v"))
+          .join(maybeBcast(b), Seq("u", "v"), "left_semi")
+          .select("x", "y", "z").distinct()
+        cand.join(rbT, Seq("x", "y", "z"), "left_anti")
+    }
+    // decrement the dead triangles' other edges (edges removed this
+    // round are excluded; earlier-removed ones are filtered at
+    // frontier time, so a stray decrement row is harmless); new
+    // decrements pick up their edge's base support by probing the
+    // cached support table map-side (every decremented edge was in a
+    // triangle, so the inner join is total)
+    val decNew = lost.select(explode(array(
+        struct(col("x").as("u"), col("y").as("v")),
+        struct(col("x").as("u"), col("z").as("v")),
+        struct(col("y").as("u"), col("z").as("v")))).as("ed"))
+      .select(col("ed.u").as("u"), col("ed.v").as("v"))
+      .join(lowE, Seq("u", "v"), "left_anti")
+      .groupBy("u", "v").agg(count(lit(1)).as("dn"))
+    val decNewS =
+      (if (nLow <= 1000000L) broadcast(decNew) else decNew)
+        .join(baseSup, Seq("u", "v"))
+        .select(col("u"), col("v"), col("dn"), col("support").as("s0n"))
+    decCum.fold(
+        decNewS.select(col("u"), col("v"), col("dn").as("d"), col("s0n").as("s0"))) { old =>
+      old.join(decNewS, Seq("u", "v"), "full_outer")
+        .select(col("u"), col("v"),
+          (coalesce(col("d"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("d"),
+          coalesce(col("s0"), col("s0n")).as("s0"))
+    }.localCheckpoint(true)
+  }
+
   private val ktruss: Q = (s, dir) => ktrussPeel(s, dir, 4).orderBy("u", "v")
+
+  /** FULL truss decomposition of the 1995 slice by PEELING — every
+    * edge's trussness (the max k with the edge inside the k-truss):
+    * the r11-asked completion of [[ktrussPeel]], which fixes k = 4.
+    * This is the REFERENCE formulation; the shipped `graph_trussness`
+    * query is [[trussnessHIndex]] (2-8 rounds vs the peel's 21-32 on
+    * these corpora), and RoundTwelveOpsSpec pins the two row-identical
+    * — the strongest check either can get. The loop here is a
+    * min-bucket peel, i.e. the level-synchronous
+    * decomposition with empty levels and empty rounds SKIPPED: each
+    * iteration's frontier is the survivors at the current level's
+    * threshold — damaged edges from the (frontier-sized) cumulative
+    * decrement table, undamaged ones from the base-support bucket
+    * `support = k−3` (an undamaged edge's support never changes, and
+    * one with a LOWER bucket was already removed at its own level, so
+    * the level start never rescans the edge table; level 3 adds the
+    * triangle-free edges) — and when the frontier is empty the level
+    * advances, carrying ALL peel state (decrements + removed set)
+    * across levels so each level starts exactly where the last ended.
+    * Removed edges get trussness k−1; the loop runs to the empty
+    * survivor set, so the output IS the complete decomposition
+    * (RoundTwelveOpsSpec pins completeness and k-truss nesting against
+    * [[ktrussPeel]]). Budgets mirror the oracle: 40 nonempty rounds
+    * (the gate corpora need 21-32; the oracle unrolls the same 40 with
+    * no-op tails), levels capped at 24 (max trussness here is 9-16).
+    * Cost anatomy (the graph_ktruss discipline, BASELINE.md round-12):
+    * the bill is nonempty-rounds × round-latency — rounds are a
+    * property of the support structure, not the edge count, and every
+    * round's data is frontier-sized. Every per-round checkpoint runs
+    * through [[org.apache.spark.sql.graft.PlanUtil.resetStats]]: at
+    * this round count the estimated-size lineage otherwise squares per
+    * round into million-digit BigInts and stats estimation alone eats
+    * the driver (see PlanUtil's doc for the measured blowup).
+    */
+  private[graft] def trussnessDecompose(s: SparkSession, dir: String): DataFrame = {
+    val maxPeels = 40
+    val kcap = 24
+    val e0 = edges1995(s, dir)
+    val triE = triE1995(s, dir)
+    val baseSup = edgeSup1995(s, dir)
+    val nEdges = e0.count()
+    graft.NoAqe.during(s) {
+      // triangle-free edges: trussness 2, the k=3 bucket
+      val sup0 = e0.join(baseSup.select(col("u"), col("v")), Seq("u", "v"), "left_anti")
+      var removedParts: List[DataFrame] = Nil
+      var nRemovedCum = 0L
+      def maybeBcast(df: DataFrame): DataFrame =
+        if (nRemovedCum <= 1000000L) broadcast(df) else df
+      var decCum: Option[DataFrame] = None
+      var k = 3
+      var peels = 0
+      while (nRemovedCum < nEdges && k <= kcap && peels < maxPeels) {
+        val removedBefore = removedParts.reduceOption(_ unionAll _)
+          .map(_.select(col("u"), col("v")))
+        val bucket = if (k == 3) sup0
+          else baseSup.filter(col("support") === (k - 3).toLong)
+            .select(col("u"), col("v"))
+        val damaged = decCum.map(
+          _.filter(col("s0") - col("d") <= (k - 3).toLong).select(col("u"), col("v")))
+        val front0 = damaged.fold(bucket)(bucket.unionAll)
+        val front = removedBefore
+          .fold(front0)(b => front0.join(maybeBcast(b), Seq("u", "v"), "left_anti"))
+        // count lazily first: an empty-level probe must not pay a
+        // checkpoint (there are ~#levels of them between peels)
+        val nLow = front.count()
+        if (nLow == 0L) k += 1
+        else {
+          peels += 1
+          val low = org.apache.spark.sql.graft.PlanUtil.resetStats(front
+            .select(col("u"), col("v"), lit((k - 1).toLong).as("trussness"))
+            .localCheckpoint(true))
+          decCum = Some(org.apache.spark.sql.graft.PlanUtil.resetStats(
+            peelRoundDec(triE, baseSup,
+              low.select(col("u"), col("v")), nLow, removedBefore, maybeBcast, decCum)))
+          removedParts ::= low
+          nRemovedCum += nLow
+        }
+      }
+      // every edge is removed exactly once, at its trussness level
+      removedParts.reduceOption(_ unionAll _)
+        .getOrElse(e0.select(col("u"), col("v"), lit(2L).as("trussness")))
+    }
+  }
+
+  /** The SHIPPED full decomposition: the triangle-core h-index
+    * iteration (Lü et al. 2016's h-index convergence for coreness,
+    * generalized to trusses by Sariyüce et al., PVLDB 2018) instead of
+    * the peel. ρ₀(e) = support(e); each round sets ρ(e) to the h-index
+    * of {min(ρ(f), ρ(g)) : triangle (e, f, g)} clamped below the old
+    * value; the fixpoint is exactly trussness − 2. Why this shape wins
+    * distributed: the peel is ~21-32 SYNCHRONOUS frontier rounds on
+    * these corpora (rounds = a property of the support cascade — the
+    * measured bill was 40-54 s at sf0.1), while the h-index iteration
+    * converges in 2-8 rounds HERE AND SHRINKS WITH DENSITY (sf0.001: 8,
+    * sf0.01: 4, sf0.1: 2) — each round one scan of the cached triangle
+    * table, three ρ-lookups (broadcast at this scale, driver-measured
+    * with a shuffle fallback past 1e6 edges — at 100 TB they become
+    * shuffle joins keyed by edge, same algorithm), one integer-exact
+    * h-index hash-agg, one checkpoint. RoundTwelveOpsSpec pins the
+    * h-index fixpoint row-identical to [[trussnessDecompose]]'s peel —
+    * two independent algorithms, one answer — plus k-truss nesting
+    * against [[ktrussPeel]]. Budgets mirror the oracle: 12 rounds (the
+    * clamp makes every round monotone, so budget-bound outputs stay
+    * equal cross-engine even unconverged; gate corpora converge well
+    * inside it).
+    */
+  private[graft] def trussnessHIndex(s: SparkSession, dir: String): DataFrame = {
+    val maxRounds = 12
+    val e0 = edges1995(s, dir)
+    val triE = triE1995(s, dir)
+    val baseSup = edgeSup1995(s, dir)
+    val nEdges = e0.count()
+    def maybeBcast(df: DataFrame): DataFrame =
+      if (nEdges <= 1000000L) broadcast(df) else df
+    graft.NoAqe.during(s) {
+      // one row per triangle: the triE row whose edge key IS (x, y) —
+      // a filter on the cached substrate, no distinct, no new cache
+      val tri = triE.filter(col("u") === col("x") && col("v") === col("y"))
+        .select(col("x"), col("y"), col("z"))
+      var rho = e0.join(baseSup, Seq("u", "v"), "left")
+        .select(col("u"), col("v"), coalesce(col("support"), lit(0L)).as("r"))
+        .localCheckpoint(true)
+      var round = 0
+      var converged = false
+      while (round < maxRounds && !converged) {
+        val tr = tri
+          .join(maybeBcast(rho.select(col("u").as("x"), col("v").as("y"), col("r").as("rxy"))),
+            Seq("x", "y"))
+          .join(maybeBcast(rho.select(col("u").as("x"), col("v").as("z"), col("r").as("rxz"))),
+            Seq("x", "z"))
+          .join(maybeBcast(rho.select(col("u").as("y"), col("v").as("z"), col("r").as("ryz"))),
+            Seq("y", "z"))
+        val contrib = tr.select(explode(array(
+            struct(col("x").as("cu"), col("y").as("cv"), least(col("rxz"), col("ryz")).as("c")),
+            struct(col("x").as("cu"), col("z").as("cv"), least(col("rxy"), col("ryz")).as("c")),
+            struct(col("y").as("cu"), col("z").as("cv"), least(col("rxy"), col("rxz")).as("c")))).as("e"))
+          .select(col("e.cu").as("u"), col("e.cv").as("v"), col("e.c").as("c"))
+        // h-index = |{i : sorted_desc[i] ≥ i+1}| — exact integer fold,
+        // tie-order-invariant, no window
+        val h = contrib.groupBy("u", "v").agg(expr(
+          """aggregate(transform(
+            |  array_sort(collect_list(c), (l, r) -> CASE WHEN l > r THEN -1 WHEN l < r THEN 1 ELSE 0 END),
+            |  (x, i) -> IF(x >= i + 1, 1L, 0L)), 0L, (acc, t) -> acc + t)""".stripMargin).as("hx"))
+        val next = org.apache.spark.sql.graft.PlanUtil.resetStats(
+          rho.join(h, Seq("u", "v"), "left")
+            .select(col("u"), col("v"),
+              least(col("r"), coalesce(col("hx"), lit(0L))).as("r"),
+              (least(col("r"), coalesce(col("hx"), lit(0L))) =!= col("r")).as("moved"))
+            .localCheckpoint(true))
+        round += 1
+        if (next.filter(col("moved")).count() == 0L) converged = true
+        rho = next.select(col("u"), col("v"), col("r"))
+      }
+      rho.select(col("u"), col("v"), (col("r") + 2).as("trussness"))
+    }
+  }
+
+  private val trussness: Q = (s, dir) => trussnessHIndex(s, dir).orderBy("u", "v")
 
   val queries: Map[String, Q] = Map(
     "graph_ktruss" -> ktruss,
+    "graph_trussness" -> trussness,
     "graph_truss_support" -> trussSupport,
     "graph_local_clustering" -> localClustering,
     "graph_assortativity" -> assortativity,
@@ -1081,8 +1257,56 @@ object Graph {
        |ORDER BY e0.u, e0.v""".stripMargin
   }
 
+  /** DuckDB replay of the full truss decomposition: 12 unrolled
+    * materialized rounds of the triangle-core h-index iteration (the
+    * Spark side's budget). Each round joins the static triangle table
+    * against the previous ρ three times (one lookup per triangle
+    * edge), takes per edge the h-index of the min-of-other-two
+    * contributions — COUNT of ranks the descending contribution list
+    * covers, tie-order invariant — and clamps below the previous ρ.
+    * Every value is an exact integer, rounds past the fixpoint no-op
+    * under the clamp, and the final ρ + 2 is the trussness. The peel
+    * formulation ([[trussnessDecompose]]) is pinned row-identical in
+    * RoundTwelveOpsSpec, so the oracle replays whichever side is
+    * cheaper — and 12 h-index rounds beat ~32 peel rounds by the same
+    * margin in DuckDB as in Spark.
+    */
+  private val oTrussness: String = {
+    val rounds = (1 to 12).map { i =>
+      val rp = s"r${i - 1}"
+      s"""tr$i AS MATERIALIZED (SELECT t.a, t.b, t.c, r1.r AS rab, r2.r AS rac, r3.r AS rbc
+         |  FROM tri t
+         |  JOIN $rp r1 ON r1.u = t.a AND r1.v = t.b
+         |  JOIN $rp r2 ON r2.u = t.a AND r2.v = t.c
+         |  JOIN $rp r3 ON r3.u = t.b AND r3.v = t.c),
+         |h$i AS MATERIALIZED (SELECT u, v, COUNT(*) FILTER (WHERE c >= rnk) AS hx FROM (
+         |  SELECT u, v, c, row_number() OVER (PARTITION BY u, v ORDER BY c DESC) AS rnk FROM (
+         |    SELECT a AS u, b AS v, LEAST(rac, rbc) AS c FROM tr$i
+         |    UNION ALL SELECT a, c, LEAST(rab, rbc) FROM tr$i
+         |    UNION ALL SELECT b, c, LEAST(rab, rac) FROM tr$i))
+         |  GROUP BY 1, 2),
+         |r$i AS MATERIALIZED (SELECT p.u, p.v, LEAST(p.r, COALESCE(h.hx, 0)) AS r
+         |  FROM $rp p LEFT JOIN h$i h ON p.u = h.u AND p.v = h.v)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH pl AS MATERIALIZED (SELECT DISTINCT l.l_orderkey AS o, l.l_partkey AS p
+       |  FROM lineitem l JOIN orders r ON l.l_orderkey = r.o_orderkey
+       |  WHERE year(r.o_orderdate) = 1995),
+       |e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p),
+       |tri AS MATERIALIZED (SELECT x.u AS a, x.v AS b, y.v AS c
+       |  FROM e0 x JOIN e0 y ON x.v = y.u JOIN e0 z ON z.u = x.u AND z.v = y.v),
+       |r0 AS MATERIALIZED (SELECT e0.u, e0.v, COALESCE(s.sup, 0) AS r FROM e0 LEFT JOIN (
+       |  SELECT u, v, COUNT(*) AS sup FROM (
+       |    SELECT a AS u, b AS v FROM tri UNION ALL SELECT a, c FROM tri
+       |    UNION ALL SELECT b, c FROM tri) GROUP BY 1, 2) s
+       |  ON e0.u = s.u AND e0.v = s.v),
+       |$rounds
+       |SELECT u, v, CAST(r + 2 AS BIGINT) AS trussness FROM r12 ORDER BY u, v""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "graph_ktruss" -> oKtruss,
+    "graph_trussness" -> oTrussness,
     "graph_assortativity" ->
       """WITH pl AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p),
