@@ -63,32 +63,44 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
+    // Warm-up = one-time corpus prep (layouts + shared caches), split
+    // out of query timings and broken into NAMED PHASES (r11 verdict
+    // ask #5: warmup had grown to ~30% of a bench session with no
+    // attribution). Every phase's caches are shared by >= 2 suite
+    // queries — single-consumer caches are NOT prewarmed; min-of-2
+    // passes absorbs their one-time build into pass 1 and reports the
+    // warm cost.
     val warm0 = System.nanoTime()
-    Tables.all.foreach { t =>
-      try Tables(spark, sfDir, t).count() catch { case _: Throwable => () }
+    val phases = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def phase(name: String)(body: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      try body
+      catch { case e: Throwable => System.err.println(s"[bench] $name prep: ${e.getMessage}") }
+      phases(name) = (System.nanoTime() - t0) / 1e9
     }
-    spark.range(1000000).selectExpr("id % 10 AS k").groupBy("k").count().count()
+    // scan/codegen cold start: every table counted once + one shuffle
+    phase("tables") {
+      Tables.all.foreach { t =>
+        try Tables(spark, sfDir, t).count() catch { case _: Throwable => () }
+      }
+      spark.range(1000000).selectExpr("id % 10 AS k").groupBy("k").count().count()
+    }
     // bucketed-table layout is a one-time ingest cost by design — lay it
     // down in warm-up so join_bucketed times the join, not the write
-    try operators.Bucketed.prepare(spark, sfDir)
-    catch { case e: Throwable => System.err.println(s"[bench] bucket prep: ${e.getMessage}") }
+    phase("bucketed")(operators.Bucketed.prepare(spark, sfDir))
     // partitioned / z-clustered layouts are the same one-time ingest cost
-    try operators.Layout.prewarm(spark, sfDir)
-    catch { case e: Throwable => System.err.println(s"[bench] layout prep: ${e.getMessage}") }
-    // shared dedup/similarity caches are the same kind of one-time corpus
-    // prep (shingles, signatures, postings, vector norms). Built here so a
-    // contended run can't charge ~10 minutes of cache materialization to
-    // whichever dedup query runs first (the round-3 official-bench failure
-    // mode); per-query numbers then measure the query under any load.
-    try {
-      operators.Dedup.prewarm(spark, sfDir); operators.Sim.prewarm(spark, sfDir)
-      operators.Graph.prewarm(spark, sfDir)
-    }
-    catch { case e: Throwable => System.err.println(s"[bench] cache prewarm: ${e.getMessage}") }
-    // one-time corpus-prep cost (layouts + shared caches), reported
-    // separately so a contended run's warm-up inflation is visible and
-    // never mistaken for query cost
+    phase("layout")(operators.Layout.prewarm(spark, sfDir))
+    // shared dedup/similarity/graph caches are the same kind of one-time
+    // corpus prep (shingles, signatures, postings, vector norms, the
+    // triangle substrate). Built here so a contended run can't charge
+    // ~10 minutes of cache materialization to whichever query runs first
+    // (the round-3 official-bench failure mode).
+    phase("dedup")(operators.Dedup.prewarm(spark, sfDir))
+    phase("sim")(operators.Sim.prewarm(spark, sfDir))
+    phase("graph")(operators.Graph.prewarm(spark, sfDir))
     val warmupSec = (System.nanoTime() - warm0) / 1e9
+    val phaseJson = phases.map { case (k, v) => "\"" + k + "\":" + f(v) }
+      .mkString("{", ",", "}")
     // Two timed passes, report per-query MIN. Queries are idempotent reads,
     // so the min across passes is the query's honest cost on this hardware;
     // a co-tenant burst would have to hit the SAME query in BOTH passes to
@@ -119,7 +131,7 @@ object Bench {
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     try {
-      val detail = s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"fail":$fails,"load":$load,"warmup":${f(warmupSec)},"passes":2,"queries":$fullQs,"sf":"$sfDir"}"""
+      val detail = s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"fail":$fails,"load":$load,"warmup":${f(warmupSec)},"warmup_phases":$phaseJson,"passes":2,"queries":$fullQs,"sf":"$sfDir"}"""
       java.nio.file.Files.write(
         java.nio.file.Paths.get(sys.props("user.dir"), "BENCH_DETAIL.json"),
         (detail + "\n").getBytes("UTF-8"))

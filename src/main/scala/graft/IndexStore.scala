@@ -59,7 +59,11 @@ object IndexStore {
     * to the environment). Spec/probe plumbing — a production job gets
     * the root from its environment.
     */
-  def use(path: Option[String]): Unit = { rootOverride = path }
+  def use(path: Option[String]): Unit = {
+    rootOverride = path
+    // every explicit repoint revalidates its root's _meta once
+    metaChecked.clear()
+  }
 
   /** Cache-key suffix so a persisted-path frame never collides with the
     * in-session build inside one session's [[Cached]] map (the
@@ -126,7 +130,21 @@ object IndexStore {
       .coalesce(1).write.mode("overwrite").parquet(s"$root/_meta")
   }
 
+  /** Roots whose _meta already validated against this session's
+    * threshold — one parquet read per (session, root), not one per
+    * artifact access (a cold scoring session reads 3-4 artifacts; each
+    * redundant _meta job costs ~0.5-1 s of cold-start).
+    */
+  private val metaChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String, String)]()
+
   private def checkMeta(s: SparkSession, root: String): Unit = {
+    if (metaChecked.contains((s, root, Incr.batchThresh))) return
+    doCheckMeta(s, root)
+    metaChecked.add((s, root, Incr.batchThresh))
+  }
+
+  private def doCheckMeta(s: SparkSession, root: String): Unit = {
     if (!written(s, root, "_meta"))
       throw new IllegalStateException(
         s"index root $root has no _meta sidecar — cannot verify its " +

@@ -66,14 +66,18 @@ object Graph {
   /** Force-materialize the shared graph artifacts (Bench warm-up — the
     * same one-time corpus-prep policy as Dedup.prewarm).
     */
+  /** Shared-cache prewarm (bench warm-up). Only caches consumed by
+    * >= 2 suite queries belong here — the full-graph triEdgeRows /
+    * edgeSupports chain serves graph_truss_support alone, so its
+    * one-time build rides that query's pass 1 and min-of-2 reports the
+    * warm cost (r11 verdict ask #5: warmup attribution + trim).
+    */
   def prewarm(s: SparkSession, dir: String): Unit = {
     edges(s, dir).count()
     adjacency(s, dir).count()
     degrees(s, dir).count()
     lpaLabels(s, dir).count()
     triangleRows(s, dir).count()
-    triEdgeRows(s, dir).count()
-    edgeSupports(s, dir).count()
     edges1995(s, dir).count()
     triE1995(s, dir).count()
     edgeSup1995(s, dir).count()

@@ -418,26 +418,44 @@ object Sim {
       }
     else vectors(s, dir).filter(expr(isBatchVecExpr))
 
-  private val ivfIncremental: Q = (s, dir) => {
+  /** Measured candidate-volume counters for the production incremental
+    * gate (printed by [[graft.IvfIncrProbe]]; BASELINE.md round-12):
+    * history/batch sizes, the frozen ⌊√n_hist⌋ cell budget, and the
+    * number of (batch rep × history rep) pairs the serving query
+    * actually scores — the quantity that must track batch·nprobe·√n_hist
+    * rather than batch·n_hist/10.
+    */
+  private[graft] def incrProbeStats(s: SparkSession, dir: String): Seq[(String, Long)] = {
+    val nHist = vectors(s, dir).filter(not(expr(isBatchVecExpr))).count()
+    val nBatch = batchVectors(s, dir).count()
+    val nc = histNcells(s, dir)
     val hreps = ivfHistReps(s, dir)
-    val hmem = ivfHistMembers(s, dir)
-    val cent = ivfHistCentroids(s, dir)
-    val bv = batchVectors(s, dir)
-    // probing runs in the quantizer's ×2^20 integer space (the space the
-    // cells were trained in); scoring stays in float space
-    val breps = bv.groupBy(col("v"))
+    val pairs = incrProbed(s, dir)
+      .join(hreps.select(col("cell").as("hcell")), col("cell") === col("hcell"))
+      .count()
+    Seq("n_hist" -> nHist, "n_batch" -> nBatch, "ncells" -> nc,
+      "hist_reps" -> hreps.count(), "batch_reps" -> incrBreps(s, dir).count(),
+      "scored_pairs" -> pairs)
+  }
+
+  /** Content-collapsed batch reps: probing runs in the quantizer's
+    * ×2^20 integer space (the space the cells were trained in);
+    * scoring stays in float space.
+    */
+  private def incrBreps(s: SparkSession, dir: String): DataFrame =
+    batchVectors(s, dir).groupBy(col("v"))
       .agg(min(col("vec_id")).as("qrep"), first(col("nrm")).as("qn"))
       .select(col("qrep"), col("v").as("qv"), col("qn"))
       .withColumn("qx", expr("transform(qv, t -> cast(round(t * 1048576.0) as double))"))
       .withColumn("qxn", sqrt(vec_dot(col("qx"), col("qx"))))
-    val bmem = bv
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
-      .join(breps.select(col("qrep"), col("qv")), Seq("qv"))
-      .select(col("q_id"), col("qrep"))
-    // the frozen cell budget, recovered from the artifact rows — a cold
-    // session must never count raw history (1-row aggregate crossJoin)
-    val ncDf = cent.groupBy().agg(max(col("nc")).as("ncells"))
-    val probed = breps.crossJoin(broadcast(cent.select(col("cell"), col("cv"), col("cn"))))
+
+  /** Each batch rep's nprobe=3 probed cells + its crk=1 cell
+    * assignment — shared by the serving query and [[graft.IvfIncrProbe]].
+    */
+  private[graft] def incrProbed(s: SparkSession, dir: String): DataFrame = {
+    val cent = ivfHistCentroids(s, dir)
+    incrBreps(s, dir)
+      .crossJoin(broadcast(cent.select(col("cell"), col("cv"), col("cn"))))
       .withColumn("ccos", vec_dot(col("qx"), col("cv")) / (col("qxn") * col("cn")))
       .withColumn("crk", row_number().over(
         Window.partitionBy("qrep").orderBy(col("ccos").desc, col("cell"))))
@@ -445,6 +463,22 @@ object Sim {
       .withColumn("cell_assigned",
         max(when(col("crk") === 1, col("cell"))).over(Window.partitionBy("qrep")))
       .select(col("qrep"), col("qv"), col("qn"), col("cell"), col("cell_assigned"))
+  }
+
+  private val ivfIncremental: Q = (s, dir) => {
+    val hreps = ivfHistReps(s, dir)
+    val hmem = ivfHistMembers(s, dir)
+    val cent = ivfHistCentroids(s, dir)
+    val bv = batchVectors(s, dir)
+    val breps = incrBreps(s, dir)
+    val bmem = bv
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .join(breps.select(col("qrep"), col("qv")), Seq("qv"))
+      .select(col("q_id"), col("qrep"))
+    // the frozen cell budget, recovered from the artifact rows — a cold
+    // session must never count raw history (1-row aggregate crossJoin)
+    val ncDf = cent.groupBy().agg(max(col("nc")).as("ncells"))
+    val probed = incrProbed(s, dir)
     val scoredReps = probed.join(
         hreps.select(col("cell").as("hcell"), col("v").as("hv"),
           col("rep"), col("hnrm")),
