@@ -140,28 +140,55 @@ class RoundTenOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getInt(2)))
 
   test("sim_ivf_incremental matches an in-memory replay of the frozen-index probe") {
+    // since round 12 the frozen index is the ⌊√n_hist⌋-cell quantizer:
+    // the replay runs the full hash-seeded integer-exact 2-round Lloyd
+    // on history, probes the final centroids with the quantized batch,
+    // and scores history per its final assignment — independent of
+    // both the Spark DSL and the DuckDB oracle
     val vecs = loadVecs(dir)
     val isBatch = (id: Long) => md5p(s"incrv|$id") < "40"
     val hist = vecs.filter(t => !isBatch(t._1))
     val batch = vecs.filter(t => isBatch(t._1))
-    val cents = hist.groupBy(_._3).map { case (lbl, vs) =>
-      val cv = Array.tabulate(64)(i => (vs.map(_._2(i)).min + vs.map(_._2(i)).max) / 2)
-      (lbl, cv, nrm64(cv))
-    }.toArray
+    val nc = math.max(2L, math.floor(math.sqrt(hist.length.toDouble)).toLong)
+    def quant(v: Array[Double]): Array[Double] = v.map(t =>
+      BigDecimal(t * 1048576.0).setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    def seed(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ivfs|$id".getBytes("UTF-8"))
+      val hex = md.map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % nc
+    }
+    val hx = hist.map { case (id, v, _) => (id, quant(v)) }
+    def cellsOf(asn: Map[Long, Long]): Array[(Long, Array[Double], Double)] =
+      hx.groupBy { case (id, _) => asn(id) }.map { case (c, vs) =>
+        val cv = Array.tabulate(64)(i => vs.map(_._2(i)).sum)
+        (c, cv, nrm64(cv))
+      }.filter(_._3 > 0).toArray
+    def assign(cents: Array[(Long, Array[Double], Double)]): Map[Long, Long] =
+      hx.map { case (id, x) =>
+        val xn = nrm64(x)
+        id -> cents.map { case (c, cv, cn) => (c, dot64(x, cv) / (xn * cn)) }
+          .sortBy { case (c, cc) => (-cc, c) }.head._1
+      }.toMap
+    val a0 = hx.map { case (id, _) => id -> seed(id) }.toMap
+    val a2 = assign(cellsOf(assign(cellsOf(a0))))
+    val c3 = cellsOf(a2)
     val expected = batch.flatMap { case (qid, qv, _) =>
-      val qn = nrm64(qv)
-      val ranked = cents.map { case (c, cv, cn) => (c, dot64(qv, cv) / (qn * cn)) }
+      val (qx, qn) = (quant(qv), nrm64(qv))
+      val qxn = nrm64(quant(qv))
+      val ranked = c3.map { case (c, cv, cn) => (c, dot64(qx, cv) / (qxn * cn)) }
         .sortBy { case (c, cc) => (-cc, c) }
       val probed = ranked.take(3).map(_._1).toSet
       val assigned = ranked.head._1
-      hist.filter(h => probed.contains(h._3))
+      hist.filter(h => probed.contains(a2(h._1)))
         .map { case (hid, hv, _) => (hid, r6(dot64(qv, hv) / (qn * nrm64(hv)))) }
         .sortBy { case (hid, cs) => (-cs, hid) }
         .take(3).zipWithIndex
-        .map { case ((hid, cs), i) => (qid, assigned, i + 1, hid, cs) }
+        .map { case ((hid, cs), i) => (qid, assigned, i + 1, hid, cs, nc) }
     }.toSet
     val got = SparkEntry.queries("sim_ivf_incremental")(s, dir).collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5)))
       .toSet
     assert(got == expected,
       s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
