@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -957,6 +957,66 @@ object Graph {
 
   private val ktruss: Q = (s, dir) => ktrussPeel(s, dir, 4).orderBy("u", "v")
 
+  /** Incremental triangle accounting — the frozen-history discipline
+    * (dedup/sim/text/train) extended to the GRAPH domain: tonight's
+    * batch edges (md5-parity ~3% of the co-purchase edge set — the
+    * PRODUCTION nightly share the two-share probes demonstrate, vs the
+    * doc/vector families' 25% gate share) close new triangles against
+    * the frozen graph,
+    * and the job enumerates ONLY triangles containing ≥ 1 batch edge:
+    * each batch edge probes the cached adjacency from its LOWER-degree
+    * endpoint (the oriented-enumeration discipline — candidates are
+    * Σ min(deg u, deg v) over the batch, not Σ deg) and the closing
+    * edge is confirmed with one hash join. Work tracks the batch; the
+    * O(m^1.5) history triangle enumeration is never re-run. A triangle
+    * with 2-3 batch edges is found 2-3 times, so the normalized
+    * (x, y, z) set dedupes before classification. Output: one row —
+    * batch edge count and new-triangle counts split by how many of the
+    * triangle's edges are batch (the accounting a nightly cohesion /
+    * clustering-coefficient monitor needs). At 100 TB: the batch
+    * probes broadcast (or shuffle on the probe key past the bound),
+    * adjacency is the partitioned corpus table. The DuckDB oracle is
+    * the reference formulation — enumerate ALL triangles and classify —
+    * i.e. the full recount the incremental plan must equal.
+    */
+  private val triangleIncremental: Q = (s, dir) => {
+    val e = edges(s, dir)
+    val adj = adjacency(s, dir)
+    val deg = degrees(s, dir)
+    def isBatchEdge(a: Column, b: Column): Column =
+      substring(md5(concat(lit("incrg|"), a.cast("string"), lit("|"),
+        b.cast("string"))), 1, 2) < "08"
+    val b = e.filter(isBatchEdge(col("u"), col("v")))
+      .join(deg.select(col("src").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("src").as("v"), col("d").as("dv")), Seq("v"))
+      .select(col("u"), col("v"),
+        when(col("du") <= col("dv"), col("u")).otherwise(col("v")).as("p"),
+        when(col("du") <= col("dv"), col("v")).otherwise(col("u")).as("o"))
+    val tri = b
+      .join(adj.select(col("src").as("p"), col("dst").as("w")), Seq("p"))
+      .filter(col("w") =!= col("o"))
+      .join(adj.select(col("src").as("o"), col("dst").as("w")), Seq("o", "w"))
+      .select(least(col("u"), col("v"), col("w")).as("x"),
+        (col("u") + col("v") + col("w")
+          - least(col("u"), col("v"), col("w"))
+          - greatest(col("u"), col("v"), col("w"))).as("y"),
+        greatest(col("u"), col("v"), col("w")).as("z"))
+      .distinct()
+    val nbe = isBatchEdge(col("x"), col("y")).cast("int") +
+      isBatchEdge(col("x"), col("z")).cast("int") +
+      isBatchEdge(col("y"), col("z")).cast("int")
+    val counts = tri.withColumn("nbe", nbe)
+      .agg(count(lit(1)).as("tri_new"),
+        coalesce(sum(when(col("nbe") === 1, 1L).otherwise(0L)), lit(0L)).as("tri_b1"),
+        coalesce(sum(when(col("nbe") === 2, 1L).otherwise(0L)), lit(0L)).as("tri_b2"),
+        coalesce(sum(when(col("nbe") === 3, 1L).otherwise(0L)), lit(0L)).as("tri_b3"))
+    val nb = e.filter(isBatchEdge(col("u"), col("v")))
+      .agg(count(lit(1)).as("n_batch_edges"))
+    counts.crossJoin(broadcast(nb))
+      .select(col("n_batch_edges"), col("tri_new"),
+        col("tri_b1"), col("tri_b2"), col("tri_b3"))
+  }
+
   /** FULL truss decomposition of the 1995 slice by PEELING — every
     * edge's trussness (the max k with the edge inside the k-truss):
     * the r11-asked completion of [[ktrussPeel]], which fixes k = 4.
@@ -1118,6 +1178,7 @@ object Graph {
   val queries: Map[String, Q] = Map(
     "graph_ktruss" -> ktruss,
     "graph_trussness" -> trussness,
+    "graph_triangle_incremental" -> triangleIncremental,
     "graph_truss_support" -> trussSupport,
     "graph_local_clustering" -> localClustering,
     "graph_assortativity" -> assortativity,
@@ -1311,6 +1372,28 @@ object Graph {
   val oracles: Map[String, String] = Map(
     "graph_ktruss" -> oKtruss,
     "graph_trussness" -> oTrussness,
+    // the reference formulation: enumerate ALL triangles of the full
+    // co-purchase graph and classify each by its batch-edge count —
+    // the full recount the batch-driven incremental plan must equal
+    "graph_triangle_incremental" ->
+      """WITH pl AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p),
+        |t AS MATERIALIZED (SELECT x.u AS a, x.v AS b, y.v AS c
+        |  FROM e0 x JOIN e0 y ON x.v = y.u JOIN e0 z ON z.u = x.u AND z.v = y.v),
+        |cl AS (SELECT
+        |    (CASE WHEN substr(md5('incrg|' || CAST(a AS VARCHAR) || '|' || CAST(b AS VARCHAR)), 1, 2) < '08' THEN 1 ELSE 0 END) +
+        |    (CASE WHEN substr(md5('incrg|' || CAST(a AS VARCHAR) || '|' || CAST(c AS VARCHAR)), 1, 2) < '08' THEN 1 ELSE 0 END) +
+        |    (CASE WHEN substr(md5('incrg|' || CAST(b AS VARCHAR) || '|' || CAST(c AS VARCHAR)), 1, 2) < '08' THEN 1 ELSE 0 END) AS nbe
+        |  FROM t),
+        |ag AS (SELECT CAST(COUNT(*) FILTER (WHERE nbe >= 1) AS BIGINT) AS tri_new,
+        |    CAST(COUNT(*) FILTER (WHERE nbe = 1) AS BIGINT) AS tri_b1,
+        |    CAST(COUNT(*) FILTER (WHERE nbe = 2) AS BIGINT) AS tri_b2,
+        |    CAST(COUNT(*) FILTER (WHERE nbe = 3) AS BIGINT) AS tri_b3
+        |  FROM cl),
+        |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_batch_edges FROM e0
+        |  WHERE substr(md5('incrg|' || CAST(u AS VARCHAR) || '|' || CAST(v AS VARCHAR)), 1, 2) < '08')
+        |SELECT nb.n_batch_edges, ag.tri_new, ag.tri_b1, ag.tri_b2, ag.tri_b3
+        |FROM ag, nb""".stripMargin,
     "graph_assortativity" ->
       """WITH pl AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p),

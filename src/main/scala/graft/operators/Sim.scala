@@ -507,6 +507,35 @@ object Sim {
       .orderBy("q_id", "rk")
   }
 
+  /** Recall@3 of the production incremental path against brute force
+    * over history, for the 8 lowest-id batch vectors — the quantitative
+    * gate every other ANN family carries (lsh/ivf/ivfpq/scaled),
+    * applied to the query a nightly pipeline actually runs: what does
+    * probing 3 of ⌊√n_hist⌋ frozen cells cost in recall on THIS
+    * corpus, pinned cross-engine. (A validation query, not a lifecycle
+    * consumer: the brute side reads raw history by design.)
+    */
+  private val ivfIncrementalRecall: Q = (s, dir) => {
+    val hv = vectors(s, dir).filter(not(expr(isBatchVecExpr)))
+    val q8 = vectors(s, dir).filter(expr(isBatchVecExpr))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .orderBy("q_id").limit(8)
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    val brute = broadcast(q8).crossJoin(hv)
+      .withColumn("cos_sim", cosine(col("qv"), col("qn"), col("v"), col("nrm")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("q_id"), col("vec_id").as("cand_id"))
+    val approx = ivfIncremental(s, dir)
+      .select(col("q_id").as("aq"), col("cand_id").as("ac"))
+    brute.join(approx,
+        col("q_id") === col("aq") && col("cand_id") === col("ac"), "left")
+      .groupBy("q_id")
+      .agg(expr("cast(count(ac) as bigint)").as("n_hit"))
+      .withColumn("recall_at_3", col("n_hit").cast("double") / 3)
+      .orderBy("q_id")
+  }
+
   // ------------------------------------------------- corpus-scaled IVF
 
   /** The corpus-scaled cell count ncells = ⌊√n⌋ — the production IVF
@@ -1641,6 +1670,7 @@ object Sim {
     "sim_lsh_recall" -> lshRecall,
     "sim_ivf_recall" -> ivfRecall,
     "sim_ivf_incremental" -> ivfIncremental,
+    "sim_ivf_incremental_recall" -> ivfIncrementalRecall,
     "sim_ivf_scaled" -> ivfScaled,
     "sim_ivf_scaled_recall" -> ivfScaledRecall,
   )
@@ -1949,6 +1979,65 @@ object Sim {
     * which reuses the converged cells as its semantic blocks.
     */
   private[graft] def kmeansOracleCtes: String = oKmeansCtes
+
+  /** The shared frozen-quantizer replay for the incremental family's
+    * oracles: history split, nc = ⌊√n_hist⌋, md5 seed cells, both
+    * unrolled integer-exact Lloyd rounds, final-centroid sums (c3),
+    * the batch-side nprobe=3 probe in quantized space, and exact float
+    * scoring of history in probed cells (`tp`/`qa`/`nn`/`bq`/`hv`).
+    */
+  private val oIvfIncrCte: String =
+    """v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |  sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), t -> t * t))) AS nrm
+      |  FROM embeddings),
+      |hv AS (SELECT * FROM v
+      |  WHERE NOT substr(md5('incrv|' || CAST(vec_id AS VARCHAR)), 1, 2) < '40'),
+      |nn AS (SELECT GREATEST(2, CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT)) AS nc FROM hv),
+      |x0 AS (SELECT vec_id,
+      |    list_transform(v, t -> round(t * 1048576.0)) AS x,
+      |    sqrt(list_sum(list_transform(list_transform(v, t -> round(t * 1048576.0)), t -> t * t))) AS xn,
+      |    CAST(('0x' || substr(md5('ivfs|' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % nn.nc AS c0
+      |  FROM hv, nn),
+      |c1d AS (SELECT c0 AS cell, i, SUM(x[i]) AS cx FROM x0, range(1, 65) t(i) GROUP BY 1, 2),
+      |c1 AS (SELECT cell, cv, sqrt(list_sum(list_transform(cv, t -> t * t))) AS cn
+      |  FROM (SELECT cell, list(cx ORDER BY i) AS cv FROM c1d GROUP BY 1)
+      |  WHERE sqrt(list_sum(list_transform(cv, t -> t * t))) > 0),
+      |a1 AS (SELECT vec_id, cell, x FROM (
+      |  SELECT x0.vec_id, c1.cell, x0.x,
+      |    row_number() OVER (PARTITION BY x0.vec_id ORDER BY
+      |      list_sum(list_transform(range(64), i -> x0.x[i+1] * c1.cv[i+1])) / (x0.xn * c1.cn) DESC,
+      |      c1.cell) AS rk
+      |  FROM x0 CROSS JOIN c1) WHERE rk = 1),
+      |c2d AS (SELECT cell, i, SUM(x[i]) AS cx FROM a1, range(1, 65) t(i) GROUP BY 1, 2),
+      |c2 AS (SELECT cell, cv, sqrt(list_sum(list_transform(cv, t -> t * t))) AS cn
+      |  FROM (SELECT cell, list(cx ORDER BY i) AS cv FROM c2d GROUP BY 1)
+      |  WHERE sqrt(list_sum(list_transform(cv, t -> t * t))) > 0),
+      |a2 AS (SELECT vec_id, cell, x FROM (
+      |  SELECT x0.vec_id, c2.cell, x0.x,
+      |    row_number() OVER (PARTITION BY x0.vec_id ORDER BY
+      |      list_sum(list_transform(range(64), i -> x0.x[i+1] * c2.cv[i+1])) / (x0.xn * c2.cn) DESC,
+      |      c2.cell) AS rk
+      |  FROM x0 CROSS JOIN c2) WHERE rk = 1),
+      |c3d AS (SELECT cell, i, SUM(x[i]) AS cx FROM a2, range(1, 65) t(i) GROUP BY 1, 2),
+      |c3 AS (SELECT cell, cv, sqrt(list_sum(list_transform(cv, t -> t * t))) AS cn
+      |  FROM (SELECT cell, list(cx ORDER BY i) AS cv FROM c3d GROUP BY 1)
+      |  WHERE sqrt(list_sum(list_transform(cv, t -> t * t))) > 0),
+      |bq AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn,
+      |    list_transform(v, t -> round(t * 1048576.0)) AS qx,
+      |    sqrt(list_sum(list_transform(list_transform(v, t -> round(t * 1048576.0)), t -> t * t))) AS qxn
+      |  FROM v WHERE substr(md5('incrv|' || CAST(vec_id AS VARCHAR)), 1, 2) < '40'),
+      |pc AS (SELECT q_id, qv, qn, cell, crk FROM (
+      |  SELECT b.q_id, b.qv, b.qn, c3.cell,
+      |    row_number() OVER (PARTITION BY b.q_id ORDER BY
+      |      list_sum(list_transform(range(64), i -> b.qx[i+1] * c3.cv[i+1])) / (b.qxn * c3.cn) DESC,
+      |      c3.cell) AS crk
+      |  FROM bq b CROSS JOIN c3) WHERE crk <= 3),
+      |qa AS (SELECT q_id, cell AS cell_assigned FROM pc WHERE crk = 1),
+      |sc AS (SELECT pc.q_id, w.vec_id AS cand_id,
+      |  round(list_sum(list_transform(range(64), i -> pc.qv[i+1] * w.v[i+1])) / (pc.qn * w.nrm), 6) AS cos_sim
+      |  FROM pc JOIN a2 ON a2.cell = pc.cell JOIN hv w ON w.vec_id = a2.vec_id),
+      |tp AS (SELECT q_id, cand_id, cos_sim,
+      |  row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id) AS rk FROM sc)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // HUGEINT Gramian sums → 64×64 covariance numerators exact, then 3
@@ -2349,60 +2438,28 @@ object Sim {
     // quantized space, exact float scoring against history vectors in
     // probed cells — the production nightly pipeline replayed end to end
     "sim_ivf_incremental" ->
-      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-        |  sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), t -> t * t))) AS nrm
-        |  FROM embeddings),
-        |hv AS (SELECT * FROM v
-        |  WHERE NOT substr(md5('incrv|' || CAST(vec_id AS VARCHAR)), 1, 2) < '40'),
-        |nn AS (SELECT GREATEST(2, CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT)) AS nc FROM hv),
-        |x0 AS (SELECT vec_id,
-        |    list_transform(v, t -> round(t * 1048576.0)) AS x,
-        |    sqrt(list_sum(list_transform(list_transform(v, t -> round(t * 1048576.0)), t -> t * t))) AS xn,
-        |    CAST(('0x' || substr(md5('ivfs|' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % nn.nc AS c0
-        |  FROM hv, nn),
-        |c1d AS (SELECT c0 AS cell, i, SUM(x[i]) AS cx FROM x0, range(1, 65) t(i) GROUP BY 1, 2),
-        |c1 AS (SELECT cell, cv, sqrt(list_sum(list_transform(cv, t -> t * t))) AS cn
-        |  FROM (SELECT cell, list(cx ORDER BY i) AS cv FROM c1d GROUP BY 1)
-        |  WHERE sqrt(list_sum(list_transform(cv, t -> t * t))) > 0),
-        |a1 AS (SELECT vec_id, cell, x FROM (
-        |  SELECT x0.vec_id, c1.cell, x0.x,
-        |    row_number() OVER (PARTITION BY x0.vec_id ORDER BY
-        |      list_sum(list_transform(range(64), i -> x0.x[i+1] * c1.cv[i+1])) / (x0.xn * c1.cn) DESC,
-        |      c1.cell) AS rk
-        |  FROM x0 CROSS JOIN c1) WHERE rk = 1),
-        |c2d AS (SELECT cell, i, SUM(x[i]) AS cx FROM a1, range(1, 65) t(i) GROUP BY 1, 2),
-        |c2 AS (SELECT cell, cv, sqrt(list_sum(list_transform(cv, t -> t * t))) AS cn
-        |  FROM (SELECT cell, list(cx ORDER BY i) AS cv FROM c2d GROUP BY 1)
-        |  WHERE sqrt(list_sum(list_transform(cv, t -> t * t))) > 0),
-        |a2 AS (SELECT vec_id, cell, x FROM (
-        |  SELECT x0.vec_id, c2.cell, x0.x,
-        |    row_number() OVER (PARTITION BY x0.vec_id ORDER BY
-        |      list_sum(list_transform(range(64), i -> x0.x[i+1] * c2.cv[i+1])) / (x0.xn * c2.cn) DESC,
-        |      c2.cell) AS rk
-        |  FROM x0 CROSS JOIN c2) WHERE rk = 1),
-        |c3d AS (SELECT cell, i, SUM(x[i]) AS cx FROM a2, range(1, 65) t(i) GROUP BY 1, 2),
-        |c3 AS (SELECT cell, cv, sqrt(list_sum(list_transform(cv, t -> t * t))) AS cn
-        |  FROM (SELECT cell, list(cx ORDER BY i) AS cv FROM c3d GROUP BY 1)
-        |  WHERE sqrt(list_sum(list_transform(cv, t -> t * t))) > 0),
-        |bq AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn,
-        |    list_transform(v, t -> round(t * 1048576.0)) AS qx,
-        |    sqrt(list_sum(list_transform(list_transform(v, t -> round(t * 1048576.0)), t -> t * t))) AS qxn
-        |  FROM v WHERE substr(md5('incrv|' || CAST(vec_id AS VARCHAR)), 1, 2) < '40'),
-        |pc AS (SELECT q_id, qv, qn, cell, crk FROM (
-        |  SELECT b.q_id, b.qv, b.qn, c3.cell,
-        |    row_number() OVER (PARTITION BY b.q_id ORDER BY
-        |      list_sum(list_transform(range(64), i -> b.qx[i+1] * c3.cv[i+1])) / (b.qxn * c3.cn) DESC,
-        |      c3.cell) AS crk
-        |  FROM bq b CROSS JOIN c3) WHERE crk <= 3),
-        |qa AS (SELECT q_id, cell AS cell_assigned FROM pc WHERE crk = 1),
-        |sc AS (SELECT pc.q_id, w.vec_id AS cand_id,
-        |  round(list_sum(list_transform(range(64), i -> pc.qv[i+1] * w.v[i+1])) / (pc.qn * w.nrm), 6) AS cos_sim
-        |  FROM pc JOIN a2 ON a2.cell = pc.cell JOIN hv w ON w.vec_id = a2.vec_id),
-        |tp AS (SELECT q_id, cand_id, cos_sim,
-        |  row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id) AS rk FROM sc)
-        |SELECT tp.q_id, qa.cell_assigned, CAST(tp.rk AS BIGINT) AS rk,
-        |  tp.cand_id, tp.cos_sim, nn.nc AS ncells
-        |FROM tp JOIN qa USING (q_id), nn WHERE tp.rk <= 3 ORDER BY tp.q_id, tp.rk""".stripMargin,
+      s"""WITH $oIvfIncrCte
+         |SELECT tp.q_id, qa.cell_assigned, CAST(tp.rk AS BIGINT) AS rk,
+         |  tp.cand_id, tp.cos_sim, nn.nc AS ncells
+         |FROM tp JOIN qa USING (q_id), nn WHERE tp.rk <= 3 ORDER BY tp.q_id, tp.rk""".stripMargin,
+    // the production path's recall gate: exact brute top-3 over history
+    // for the 8 lowest-id batch vectors vs the frozen-quantizer probe
+    "sim_ivf_incremental_recall" ->
+      s"""WITH $oIvfIncrCte,
+         |q8 AS (SELECT q_id, qv, qn FROM bq ORDER BY q_id LIMIT 8),
+         |bs AS (SELECT q8.q_id, w.vec_id AS cand_id,
+         |  round(list_sum(list_transform(range(64), i -> q8.qv[i+1] * w.v[i+1])) / (q8.qn * w.nrm), 6) AS cos_sim
+         |  FROM q8 CROSS JOIN hv w),
+         |br AS (SELECT q_id, cand_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id) AS rk FROM bs)
+         |  WHERE rk <= 3),
+         |ap AS (SELECT q_id, cand_id FROM tp WHERE rk <= 3),
+         |j AS (SELECT br.q_id, COUNT(ap.cand_id) AS n_hit FROM br
+         |  LEFT JOIN ap ON br.q_id = ap.q_id AND br.cand_id = ap.cand_id
+         |  GROUP BY br.q_id)
+         |SELECT q_id, CAST(n_hit AS BIGINT) AS n_hit,
+         |  CAST(n_hit AS DOUBLE) / 3 AS recall_at_3
+         |FROM j ORDER BY q_id""".stripMargin,
     "sim_ivf_recall" ->
       s"""WITH $oIvfCte,
          |s AS (SELECT q.q_id, w.vec_id AS cand_id,
