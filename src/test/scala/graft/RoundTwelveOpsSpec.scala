@@ -53,6 +53,28 @@ class RoundTwelveOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("graph_triangle_incremental equals classifying the full oriented enumeration") {
+    // the batch-driven probe (lower-degree endpoint wedges + confirm
+    // join) against the INDEPENDENT full enumeration: classify the
+    // session-cached oriented triangle table by the same md5 edge
+    // split and compare all five counters
+    val flag = (a: String, b: String) =>
+      s"substr(md5(concat('incrg|', cast($a as string), '|', cast($b as string))), 1, 2) < '08'"
+    val tri = operators.Graph.triangleRows(s, dir)
+      .selectExpr("least(a, b, c) as x",
+        "a + b + c - least(a, b, c) - greatest(a, b, c) as y",
+        "greatest(a, b, c) as z")
+      .selectExpr(s"cast(${flag("x", "y")} as int) + cast(${flag("x", "z")} as int) + " +
+        s"cast(${flag("y", "z")} as int) as nbe")
+      .collect().map(_.getInt(0))
+    val expected = (tri.count(_ >= 1).toLong, tri.count(_ == 1).toLong,
+      tri.count(_ == 2).toLong, tri.count(_ == 3).toLong)
+    val r = SparkEntry.queries("graph_triangle_incremental")(s, dir).head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) == expected,
+      s"incremental counters drifted from the full-enumeration classification: $r vs $expected")
+    assert(r.getLong(1) > 0, "vacuous: no batch-closed triangles at this sf")
+  }
+
   test("sim_ivf_incremental's ncells equals the history sizing rule") {
     val nc = operators.Sim.histNcells(s, dir)
     val got = SparkEntry.queries("sim_ivf_incremental")(s, dir)
