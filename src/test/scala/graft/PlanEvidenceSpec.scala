@@ -28,6 +28,24 @@ class PlanEvidenceSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(!read.contains("l_tax"), s"unprojected column decoded: $read")
   }
 
+  test("graph_triangle_incremental: no cartesian product; the batch probe broadcasts") {
+    val p = planString(operators.Graph.queries("graph_triangle_incremental")(s, dir))
+    assert(!p.contains("CartesianProduct"),
+      "the batch-edge wedge probe must be a keyed join, never a cross product")
+    // the ~3% batch-edge side broadcasts into the cached adjacency probe
+    // at gate scale (driver-measured fallback past the broadcast bound)
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("sim_ivf_incremental probes only artifact-sized tables map-side: centroids broadcast") {
+    val p = planString(operators.Sim.queries("sim_ivf_incremental")(s, dir))
+    // the √n-row centroid table rides a broadcast; the rep-scoring cell
+    // join is intentionally hint-free (batch is a corpus slice), so the
+    // only nested-loop is the tiny broadcast centroid probe
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), "centroid probe lost its broadcast")
+  }
+
   test("dimension joins broadcast instead of shuffling the fact side") {
     val p = planString(operators.Relational.queries("join_inner_hash")(s, dir))
     assert(p.contains("BroadcastHashJoin"), p)
