@@ -83,4 +83,50 @@ class StreamingAdmissionSpec extends AnyFunSuite {
         "streamed novelty scores drifted from the batch leg")
     } finally IndexStore.use(None)
   }
+
+  test("vector micro-batches scored against the persisted scaled-IVF index equal the batch leg") {
+    // round 12's headline connected to the streaming surface: tonight's
+    // EMBEDDINGS arrive as a file stream; each micro-batch is placed and
+    // scored by sim_ivf_incremental against the persisted frozen
+    // ⌊√n_hist⌋-cell quantizer (cell assignment, top-3 history
+    // neighbors, the measured ncells — all off the artifacts), and the
+    // union of per-micro-batch results must equal the batch leg. Every
+    // output row is a pure function of (its vector, frozen index), so
+    // the query is micro-batch-decomposable by construction.
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-vidx").toString
+    val inDir = java.nio.file.Files.createTempDirectory("graft-stream-vin").toString
+    val ref = SparkEntry.queries("sim_ivf_incremental")(s, dir)
+      .collect().map(_.toString).sorted.toSeq
+    try {
+      IndexStore.writeAll(s, dir, root)
+      val batchVecs = Tables(s, dir, "embeddings").filter(expr(Incr.isBatchVec))
+      batchVecs.filter(col("vec_id") % 2 === 0).coalesce(1)
+        .write.parquet(s"$inDir/part_a")
+      batchVecs.filter(col("vec_id") % 2 === 1).coalesce(1)
+        .write.parquet(s"$inDir/part_b")
+      IndexStore.use(Some(root))
+      val schema = s.read.parquet(s"$inDir/part_a").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$inDir/part_*")
+      val got = scala.collection.mutable.ArrayBuffer.empty[String]
+      var batches = 0
+      val q = stream.writeStream
+        .foreachBatch { (mb: DataFrame, _: Long) =>
+          val scratch = java.nio.file.Files
+            .createTempDirectory("graft-stream-vmb").toString
+          mb.write.parquet(s"$scratch/embeddings.parquet")
+          batches += 1
+          got ++= SparkEntry.queries("sim_ivf_incremental")(s, scratch)
+            .collect().map(_.toString)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      assert(batches == 2, s"expected 2 micro-batches, saw $batches")
+      assert(got.sorted.toSeq == ref,
+        "streamed ANN placements/neighbors drifted from the batch leg")
+    } finally IndexStore.use(None)
+  }
 }
