@@ -1094,7 +1094,15 @@ object Graph {
           nRemovedCum += nLow
         }
       }
-      // every edge is removed exactly once, at its trussness level
+      // every edge is removed exactly once, at its trussness level; a
+      // budget-truncated exit (kcap/maxPeels hit first) would silently
+      // drop the unremoved edges from the decomposition, so fail loud
+      // instead — on a corpus that trips this, raise the budgets and the
+      // oracle's mirrored unroll together (ADVICE r12)
+      require(nRemovedCum >= nEdges,
+        s"trussnessDecompose: budgets exhausted at k=$k after $peels peels " +
+          s"with $nRemovedCum of $nEdges edges removed — raise kcap/maxPeels " +
+          "(and the oracle's mirrored unroll) for this corpus")
       removedParts.reduceOption(_ unionAll _)
         .getOrElse(e0.select(col("u"), col("v"), lit(2L).as("trussness")))
     }
