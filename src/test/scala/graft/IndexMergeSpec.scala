@@ -43,6 +43,8 @@ class IndexMergeSpec extends AnyFunSuite {
       "ivf_hist_reps" -> simRef("ivf_hist_reps"),
       "ivf_hist_members" -> simRef("ivf_hist_members"),
       "ivf_hist_centroids" -> simRef("ivf_hist_centroids"),
+      "ivf_hist_codebook" -> simRef("ivf_hist_codebook"),
+      "ivf_hist_codes" -> simRef("ivf_hist_codes"),
       "lm_hist_counts" -> operators.Train.lmCountsFor(s, dir, lit(true)),
       "gram_hist_vocab" -> operators.Text.gramVocabFor(s, dir, lit(true)),
     )
