@@ -205,8 +205,12 @@ object IndexStore {
     */
   def writeAll(s: SparkSession, sfDir: String, root: String): Unit = {
     val prev = rootOverride
-    rootOverride = Some(root)
+    // write order matters (ADVICE r13): building=true must be visible
+    // BEFORE the build root is, and the root must be restored BEFORE
+    // building clears — otherwise a concurrent loadOrBuild can observe
+    // (root set, building=false) and throw on a not-yet-written artifact
     building = true
+    rootOverride = Some(root)
     try {
       writeMeta(s, root)
       artifacts.foreach { case (name, build) =>
@@ -219,7 +223,7 @@ object IndexStore {
         }
         sorted.write.options(opts).mode("overwrite").parquet(s"$root/$name")
       }
-    } finally { building = false; rootOverride = prev }
+    } finally { rootOverride = prev; building = false }
   }
 
   /** The nightly index UPDATE: fold tonight's batch into the artifacts

@@ -592,9 +592,17 @@ object Sim {
     // than 64 doubles, so at the production 512 k probe the scoring leg
     // pays ~1/8 the arithmetic on ~1/8 the bytes; only the ADC top-64
     // reps per batch rep are re-ranked against exact vectors (the
-    // reorder stage, [[ivfpqResTopkAt]]'s discipline — at gate sf the
-    // probed cells hold < 64 reps, so the cut is non-binding and the
-    // output equals the all-exact formulation row for row).
+    // reorder stage, [[ivfpqResTopkAt]]'s discipline). The cut CAN
+    // bind even at gate sf (round 14 finding: query 301 at sf0.001
+    // probes > 64 reps and the cut drops its exact-top-1), so both the
+    // DuckDB oracle (oIncrServe's reo) and RoundTenOpsSpec's in-memory
+    // replay carry the identical ADC stage — ANN semantics, recall
+    // pinned by sim_ivf_incremental_recall{,_clustered}.
+    // cb is ncells×128 rows = 128·⌊√n_hist⌋ — √n-bounded (~92 k rows
+    // even at n = 512 k), so the broadcast hint is size-safe at any
+    // corpus; the LUT below is NOT (one row per batch-rep × probed
+    // cell — it grows with the BATCH), so its join carries no hint and
+    // AQE picks broadcast vs shuffle from the measured size.
     val cb = ivfHistCodebook(s, dir)
     val codes = ivfHistCodes(s, dir)
     val lut = probed.join(broadcast(cb), Seq("cell"))
@@ -603,9 +611,15 @@ object Sim {
       .agg(first(col("qn")).as("qn"), first(col("cell_assigned")).as("cell_assigned"),
         expr("transform(array_sort(collect_list(struct(sub * 16 + code AS k, pdot))), p -> p.pdot)")
           .as("lutarr"))
+      // element_at below indexes lutarr POSITIONALLY (k = sub·16 + code),
+      // which is only sound when the (sub, code) grid is dense: all 128
+      // entries present. Fail loud instead of silently mis-ranking if an
+      // anchor was dropped or the corpus has < 16 history vectors.
+      .withColumn("lutarr", expr(
+        "if(size(lutarr) = 128, lutarr, raise_error(concat('ADC LUT misaligned: expected 128 entries, got ', cast(size(lutarr) as string))))"))
     val reo = probed.select(col("qrep"), col("cell"))
       .join(codes, Seq("cell"))
-      .join(broadcast(lut), Seq("qrep", "cell"))
+      .join(lut, Seq("qrep", "cell"))
       .withColumn("adc_dot", expr(
         "aggregate(transform(codes, (c, s) -> element_at(lutarr, s * 16 + c + 1)), 0.0D, (acc, t) -> acc + t)"))
       .withColumn("adc_sim", round(col("adc_dot") / (col("qn") * sqrt(col("recn2"))), 6))
@@ -688,8 +702,10 @@ object Sim {
     * hash-pinned cross-engine here — at gate sf the shipped query's
     * probed cells hold < 64 reps and a wrong ADC ordering would pass
     * unnoticed; on this corpus it would change which candidates survive
-    * to the re-rank. RoundThirteenOpsSpec pins the recall floor and the
-    * binding-cut precondition.
+    * to the re-rank. RoundFourteenOpsSpec pins the recall floor and the
+    * binding-cut precondition; the DuckDB oracle replays corpus
+    * generation and the full pipeline, so the ADC ordering is
+    * hash-verified end to end.
     */
   private val nClu = 2000
   private val cClu = 16
@@ -792,9 +808,13 @@ object Sim {
       .agg(first(col("qn")).as("qn"),
         expr("transform(array_sort(collect_list(struct(sub * 16 + code AS k, pdot))), p -> p.pdot)")
           .as("lutarr"))
+      .withColumn("lutarr", expr(
+        "if(size(lutarr) = 128, lutarr, raise_error(concat('ADC LUT misaligned: expected 128 entries, got ', cast(size(lutarr) as string))))"))
+    // batch-proportional side: no broadcast hint (same discipline as the
+    // main serving path — AQE measures and picks the strategy)
     val reo = probed.select(col("q_id"), col("cell"))
       .join(codes, Seq("cell"))
-      .join(broadcast(lut), Seq("q_id", "cell"))
+      .join(lut, Seq("q_id", "cell"))
       .withColumn("adc_dot", expr(
         "aggregate(transform(codes, (c, s) -> element_at(lutarr, s * 16 + c + 1)), 0.0D, (acc, t) -> acc + t)"))
       .withColumn("adc_sim", round(col("adc_dot") / (col("qn") * sqrt(col("recn2"))), 6))
@@ -825,7 +845,7 @@ object Sim {
       .orderBy("q_id")
   }
 
-  /** Observables RoundThirteenOpsSpec pins for the clustered gate: the
+  /** Observables RoundFourteenOpsSpec pins for the clustered gate: the
     * per-query ADC candidate count (the cut must BIND: > 64) and the
     * mean recall (the floor).
     */
@@ -1982,6 +2002,7 @@ object Sim {
     "sim_ivf_recall" -> ivfRecall,
     "sim_ivf_incremental" -> ivfIncremental,
     "sim_ivf_incremental_recall" -> ivfIncrementalRecall,
+    "sim_ivf_incremental_recall_clustered" -> ivfIncrementalRecallClustered,
     "sim_ivf_scaled" -> ivfScaled,
     "sim_ivf_scaled_recall" -> ivfScaledRecall,
   )
@@ -2303,6 +2324,22 @@ object Sim {
     * per-(query, cell) LUT, the ADC top-64 cut, and exact float
     * re-ranking of only the survivors (`tp`/`qa`/`nn`/`bq`/`hv`).
     */
+  /** The incremental family's PRELUDE (no external references): cast +
+    * norm over embeddings (`v`), the md5 history/batch split (`hv`),
+    * and the batch queries with quantized qx/qxn (`bq`). Both oracle
+    * sites assemble `WITH $oIncrBase, $oIncrTrain, $oIncrServe`.
+    */
+  private val oIncrBase: String =
+    """v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |  sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), t -> t * t))) AS nrm
+      |  FROM embeddings),
+      |hv AS (SELECT * FROM v
+      |  WHERE NOT substr(md5('incrv|' || CAST(vec_id AS VARCHAR)), 1, 2) < '40'),
+      |bq AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn,
+      |    list_transform(v, t -> round(t * 1048576.0)) AS qx,
+      |    sqrt(list_sum(list_transform(list_transform(v, t -> round(t * 1048576.0)), t -> t * t))) AS qxn
+      |  FROM v WHERE substr(md5('incrv|' || CAST(vec_id AS VARCHAR)), 1, 2) < '40')""".stripMargin
+
   /** The frozen-quantizer TRAINING block (references `hv`): nc, seed
     * cells, both unrolled Lloyd rounds, final-centroid sums c3.
     */
@@ -2789,18 +2826,59 @@ object Sim {
     // quantized space, exact float scoring against history vectors in
     // probed cells — the production nightly pipeline replayed end to end
     "sim_ivf_incremental" ->
-      s"""WITH $oIvfIncrCte
+      s"""WITH $oIncrBase,
+         |$oIncrTrain,
+         |$oIncrServe
          |SELECT tp.q_id, qa.cell_assigned, CAST(tp.rk AS BIGINT) AS rk,
          |  tp.cand_id, tp.cos_sim, nn.nc AS ncells
          |FROM tp JOIN qa USING (q_id), nn WHERE tp.rk <= 3 ORDER BY tp.q_id, tp.rk""".stripMargin,
     // the production path's recall gate: exact brute top-3 over history
     // for the 8 lowest-id batch vectors vs the frozen-quantizer probe
     "sim_ivf_incremental_recall" ->
-      s"""WITH $oIvfIncrCte,
+      s"""WITH $oIncrBase,
+         |$oIncrTrain,
+         |$oIncrServe,
          |q8 AS (SELECT q_id, qv, qn FROM bq ORDER BY q_id LIMIT 8),
          |bs AS (SELECT q8.q_id, w.vec_id AS cand_id,
          |  round(list_sum(list_transform(range(64), i -> q8.qv[i+1] * w.v[i+1])) / (q8.qn * w.nrm), 6) AS cos_sim
          |  FROM q8 CROSS JOIN hv w),
+         |br AS (SELECT q_id, cand_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id) AS rk FROM bs)
+         |  WHERE rk <= 3),
+         |ap AS (SELECT q_id, cand_id FROM tp WHERE rk <= 3),
+         |j AS (SELECT br.q_id, COUNT(ap.cand_id) AS n_hit FROM br
+         |  LEFT JOIN ap ON br.q_id = ap.q_id AND br.cand_id = ap.cand_id
+         |  GROUP BY br.q_id)
+         |SELECT q_id, CAST(n_hit AS BIGINT) AS n_hit,
+         |  CAST(n_hit AS DOUBLE) / 3 AS recall_at_3
+         |FROM j ORDER BY q_id""".stripMargin,
+    // clustered ADC gate: the corpus itself is md5-generated inside the
+    // query (16 centers, noise 0.35·U[-1,1) per dim — the dp_rr_count
+    // replay discipline), then the IDENTICAL train/serve blocks run over
+    // it with bq limited to the 8 probe queries. Sizing makes the ADC
+    // top-64 cut BIND (~115 candidates from 3 of 38 cells), so the ADC
+    // scores themselves decide the output here — hash-pinned cross-engine
+    "sim_ivf_incremental_recall_clustered" ->
+      s"""WITH cvv AS (SELECT vec_id,
+         |    CAST(('0x' || substr(md5('cluc|' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % 16 AS cid
+         |  FROM range(2000) t(vec_id)),
+         |cvec AS (SELECT vec_id, list_transform(range(64), d ->
+         |    (CAST(('0x' || substr(md5('cluv|' || CAST(cid AS VARCHAR) || '|' || CAST(d AS VARCHAR)), 1, 15)) AS BIGINT) / 1152921504606846976.0 * 2.0 - 1.0)
+         |    + 0.35 * (CAST(('0x' || substr(md5('clun|' || CAST(vec_id AS VARCHAR) || '|' || CAST(d AS VARCHAR)), 1, 15)) AS BIGINT) / 1152921504606846976.0 * 2.0 - 1.0)
+         |  ) AS v FROM cvv),
+         |v AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, t -> t * t))) AS nrm FROM cvec),
+         |hv AS (SELECT * FROM v
+         |  WHERE NOT substr(md5('incrv|' || CAST(vec_id AS VARCHAR)), 1, 2) < '40'),
+         |bq AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn,
+         |    list_transform(v, t -> round(t * 1048576.0)) AS qx,
+         |    sqrt(list_sum(list_transform(list_transform(v, t -> round(t * 1048576.0)), t -> t * t))) AS qxn
+         |  FROM v WHERE substr(md5('incrv|' || CAST(vec_id AS VARCHAR)), 1, 2) < '40'
+         |  ORDER BY vec_id LIMIT 8),
+         |$oIncrTrain,
+         |$oIncrServe,
+         |bs AS (SELECT bq.q_id, w.vec_id AS cand_id,
+         |  round(list_sum(list_transform(range(64), i -> bq.qv[i+1] * w.v[i+1])) / (bq.qn * w.nrm), 6) AS cos_sim
+         |  FROM bq CROSS JOIN hv w),
          |br AS (SELECT q_id, cand_id FROM (
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id) AS rk FROM bs)
          |  WHERE rk <= 3),

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions.{col, expr, lit}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-14 pins.
+  *
+  *  - The clustered ADC recall gate (`sim_ivf_incremental_recall_clustered`)
+  *    is only meaningful if its preconditions hold: the ADC top-64 cut
+  *    must BIND (every probe query sees > 64 candidates in its 3 probed
+  *    cells, so the ADC ordering itself decides who survives to the
+  *    exact re-rank — at gate sf the shipped incremental query's cut is
+  *    non-binding and a wrong ADC ordering would pass unnoticed), and
+  *    recall@3 on a corpus whose cells align with real clusters must
+  *    clear a floor far above the 0.58 isotropic hard case.
+  *  - The ADC LUT is indexed POSITIONALLY (k = sub·16 + code), which is
+  *    only sound when the (sub, code) grid is dense. A corpus with
+  *    fewer than 16 history vectors produces a sparse grid; the serving
+  *    query must FAIL LOUD (raise_error) instead of silently
+  *    mis-ranking candidates through a misaligned lookup table
+  *    (ADVICE r13).
+  */
+class RoundFourteenOpsSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  private val dir = TestSpark.sf
+
+  test("clustered ADC gate: top-64 cut binds and recall clears the floor") {
+    val (minCand, meanRecall) = operators.Sim.cluGateStats(s, dir)
+    assert(minCand > 64,
+      s"ADC cut must BIND on the clustered corpus: min candidates per " +
+        s"query = $minCand (need > 64, else the gate degenerates to the " +
+        "non-binding shape the shipped query already covers)")
+    assert(meanRecall >= 0.75,
+      s"clustered recall@3 = $meanRecall — the aligned-cells premise " +
+        "(probe finds the cluster, residual ADC keeps within-cell " +
+        "contrast) has broken if this drops toward the 0.58 isotropic " +
+        "floor")
+  }
+
+  test("ADC LUT guard: < 16 history anchors fails loud, not silently misranked") {
+    val tiny = java.nio.file.Files.createTempDirectory("graft-tinyemb").toString
+    // 16 vectors -> ~12 history after the md5 '40' split: the codebook
+    // grid is 12x8 = 96 entries, not the 128 the positional lookup needs
+    s.range(16).select(col("id").as("vec_id"), lit(0L).as("label"),
+        expr("transform(sequence(0, 63), d -> cast(sin(id * 64 + d) as float))").as("embedding"))
+      .write.mode("overwrite").parquet(s"$tiny/embeddings.parquet")
+    val ex = intercept[Exception] {
+      operators.Sim.queries("sim_ivf_incremental")(s, tiny).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("ADC LUT misaligned")),
+      s"expected the lutarr density guard to fire; got: ${messages(ex).mkString(" | ")}")
+  }
+}

@@ -144,7 +144,13 @@ class RoundTenOpsSpec extends AnyFunSuite {
     // the replay runs the full hash-seeded integer-exact 2-round Lloyd
     // on history, probes the final centroids with the quantized batch,
     // and scores history per its final assignment — independent of
-    // both the Spark DSL and the DuckDB oracle
+    // both the Spark DSL and the DuckDB oracle. Since round 13 the
+    // serving path scores candidates by residual ADC and only exact
+    // re-ranks the top-64 ADC survivors; the cut BINDS at this sf for
+    // query 301 (its 3 probed cells hold > 64 vectors and ADC drops
+    // its exact-top-1 — ANN semantics, recall pinned elsewhere), so
+    // the replay carries the identical codebook → codes → LUT → top-64
+    // stage before the exact re-rank.
     val vecs = loadVecs(dir)
     val isBatch = (id: Long) => md5p(s"incrv|$id") < "40"
     val hist = vecs.filter(t => !isBatch(t._1))
@@ -173,6 +179,44 @@ class RoundTenOpsSpec extends AnyFunSuite {
     val a0 = hx.map { case (id, _) => id -> seed(id) }.toMap
     val a2 = assign(cellsOf(assign(cellsOf(a0))))
     val c3 = cellsOf(a2)
+    // ADC stage replay: cell directions, 16 anchor residuals folded per
+    // cell, per-vector codes (argmin squared L2 per subspace, ties to
+    // the lowest code), per-(query, cell) LUT, top-64 by (adc_sim,
+    // vec_id) — all folds in the same order the Spark plan evaluates
+    def dot8(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0; while (i < 8) { acc += a(i) * b(i); i += 1 }; acc
+    }
+    val uMap: Map[Long, Array[Double]] =
+      c3.map { case (c, cv, cn) => c -> cv.map(_ / cn) }.toMap
+    val anchors: Array[(Int, Array[Double])] =
+      hist.sortBy(_._1).take(16).zipWithIndex.map { case ((id, v, _), code) =>
+        val u = uMap(a2(id))
+        (code, Array.tabulate(64)(i => v(i) - u(i)))
+      }
+    val cw: Map[(Long, Int, Int), (Array[Double], Double)] =
+      (for {
+        (c, u) <- uMap.toSeq
+        sub <- 0 until 8
+        (code, r) <- anchors
+      } yield {
+        val w = Array.tabulate(8)(j => u(sub * 8 + j) + r(sub * 8 + j))
+        ((c, sub, code), (w, dot8(w, w)))
+      }).toMap
+    val hcodes: Map[Long, (Array[Int], Double)] = hist.map { case (hid, hv, _) =>
+      val c = a2(hid)
+      val perSub = Array.tabulate(8) { sub =>
+        anchors.map { case (code, _) =>
+          val w = cw((c, sub, code))._1
+          var d2 = 0.0; var j = 0
+          while (j < 8) { val d = hv(sub * 8 + j) - w(j); d2 += d * d; j += 1 }
+          (d2, code)
+        }.minBy { case (d2, code) => (d2, code) }._2
+      }
+      var recn2 = 0.0; var sub = 0
+      while (sub < 8) { recn2 += cw((c, sub, perSub(sub)))._2; sub += 1 }
+      hid -> (perSub, recn2)
+    }.toMap
+    var bindingQueries = 0
     val expected = batch.flatMap { case (qid, qv, _) =>
       val (qx, qn) = (quant(qv), nrm64(qv))
       val qxn = nrm64(quant(qv))
@@ -180,7 +224,21 @@ class RoundTenOpsSpec extends AnyFunSuite {
         .sortBy { case (c, cc) => (-cc, c) }
       val probed = ranked.take(3).map(_._1).toSet
       val assigned = ranked.head._1
-      hist.filter(h => probed.contains(a2(h._1)))
+      val cands = hist.filter(h => probed.contains(a2(h._1)))
+      if (cands.length > 64) bindingQueries += 1
+      val survivors = cands.map { case (hid, _, _) =>
+        val c = a2(hid)
+        val (codes, recn2) = hcodes(hid)
+        var adot = 0.0; var sub = 0
+        while (sub < 8) {
+          val w = cw((c, sub, codes(sub)))._1
+          var pd = 0.0; var j = 0
+          while (j < 8) { pd += qv(sub * 8 + j) * w(j); j += 1 }
+          adot += pd; sub += 1
+        }
+        (hid, r6(adot / (qn * math.sqrt(recn2))))
+      }.sortBy { case (hid, as) => (-as, hid) }.take(64).map(_._1).toSet
+      cands.filter(h => survivors.contains(h._1))
         .map { case (hid, hv, _) => (hid, r6(dot64(qv, hv) / (qn * nrm64(hv)))) }
         .sortBy { case (hid, cs) => (-cs, hid) }
         .take(3).zipWithIndex
@@ -193,6 +251,9 @@ class RoundTenOpsSpec extends AnyFunSuite {
     assert(got == expected,
       s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
     assert(expected.nonEmpty, "vacuous: no batch vectors at this sf")
+    assert(bindingQueries > 0,
+      "vacuous: the ADC top-64 cut no longer binds for any query at " +
+        "this sf — the replay's ADC stage is untested dead weight")
   }
 
   test("sim_ivf_incremental: neighbors come from history only, queries from the batch only") {
