@@ -190,6 +190,14 @@ object IndexStore {
     "ivf_hist_codes" -> operators.Sim.buildIvfHistCodes _,
     "lm_hist_counts" -> operators.Train.buildLmHistCounts _,
     "gram_hist_vocab" -> operators.Text.buildGramHistVocab _,
+    // graph substrate (r12 ask #3 / round 14): the history co-purchase
+    // edge set, its degrees and normalized triangle set — write order
+    // matters (deg/tri derive from the just-written edge artifact) —
+    // plus the converged bipartite CC label table (r12 ask #4)
+    "graph_hist_edges" -> operators.Graph.buildHistEdges _,
+    "graph_hist_deg" -> operators.Graph.buildHistDeg _,
+    "graph_hist_tri" -> operators.Graph.buildHistTri _,
+    "graph_hist_cc_labels" -> operators.Graph.buildHistCcLabels _,
   )
 
   /** Build every artifact from `sfDir` and write it under `root` —
@@ -255,7 +263,8 @@ object IndexStore {
     val merged = operators.Dedup.mergedArtifacts(s, sfDir, histRoot) ++
       operators.Sim.mergedArtifacts(s, sfDir, histRoot) ++
       operators.Train.mergedArtifacts(s, sfDir, histRoot) ++
-      operators.Text.mergedArtifacts(s, sfDir, histRoot)
+      operators.Text.mergedArtifacts(s, sfDir, histRoot) ++
+      operators.Graph.mergedArtifacts(s, sfDir, histRoot)
     artifacts.foreach { case (name, _) =>
       val opts = artifactWriteOptions.getOrElse(name, Map.empty)
       val sorted = artifactSortKey.get(name) match {

@@ -645,10 +645,24 @@ object Dedup {
       graft.IndexStore.loadOrBuild(s, "dedup_hist_bands")(buildHistBands(s, dir))
     }
 
+  /** The history content groups (ckey → shingle set). With a persisted
+    * index active the artifact is read DIRECTLY — not materialized into
+    * the session cache: a cold scoring session consumes it exactly once
+    * (the candidate verify), and persisting the widest artifact (the
+    * shingle-set arrays) would pay a full decode + memory-store copy
+    * just to read it back out — the measured cost behind the r12
+    * cold-pair inversion at 80 k docs. Reading it lazily also lets the
+    * verify's survivor semi-join ([[incremental]]) prune the scan's
+    * output before any array moves; a cached frame can't be pruned
+    * below the cache.
+    */
   private def incrHistGroups(s: SparkSession, dir: String): DataFrame =
-    graft.Cached.of(s, dir, "dedup.incr.histg" + graft.IndexStore.tag) {
+    if (graft.IndexStore.active.isDefined)
       graft.IndexStore.loadOrBuild(s, "dedup_hist_groups")(buildHistGroups(s, dir))
-    }
+    else
+      graft.Cached.of(s, dir, "dedup.incr.histg" + graft.IndexStore.tag) {
+        buildHistGroups(s, dir)
+      }
 
   private def incrHistDocs(s: SparkSession, dir: String): DataFrame =
     graft.Cached.of(s, dir, "dedup.incr.histd" + graft.IndexStore.tag) {
@@ -724,7 +738,26 @@ object Dedup {
     // shingle sets are content-determined, so these equal the former
     // whole-corpus group rows exactly.
     val gBatch = bg.select(col("ckey"), col("sh64"))
-    val gHist = incrHistGroups(s, dir)
+    // Survivor semi-join prune (r12 verdict ask #2, query side): with a
+    // persisted index, the verify must not move the whole groups
+    // artifact — only candidate contents' shingle sets may leave the
+    // scan. The distinct candidate KEY set (batch-bounded: LSH band +
+    // size survivors) semi-joins the artifact read before any array
+    // ships; AQE broadcasts the key set at any sane batch share (and
+    // falls back to a shuffled semi past the threshold — never a
+    // batch-proportional driver broadcast hint). candX is session-cached
+    // so the band join isn't paid twice (once for keys, once for the
+    // verify). Storage half of the ask: the artifact is ckey-range-
+    // sorted with a parquet bloom on ckey (IndexStore.artifactSortKey),
+    // giving keyed reads row-group locality; the semi-join is what cuts
+    // the SHUFFLE to candidate size. In-session the groups table is an
+    // already-cached shared frame, so the extra pass would only add work.
+    val (candXv, gHist) =
+      if (graft.IndexStore.active.isDefined) {
+        val cx = graft.Cached.of(s, dir, "dedup.incr.candx" + graft.IndexStore.tag)(candX)
+        val keys = cx.select(col("kb").as("ckey")).distinct()
+        (cx, incrHistGroups(s, dir).join(keys, Seq("ckey"), "left_semi"))
+      } else (candX, incrHistGroups(s, dir))
     def verify(cand: DataFrame, gb: DataFrame): DataFrame = cand
       .join(gBatch.select(col("ckey").as("ka"), col("sh64").as("sh_a")), "ka")
       .join(gb.select(col("ckey").as("kb"), col("sh64").as("sh_b")), "kb")
@@ -736,7 +769,7 @@ object Dedup {
     val bDocs = bsh.select(col("ckey"), col("doc_id"))
     val hDocs = incrHistDocs(s, dir)
     // batch-vs-history: the batch doc leads regardless of id order
-    val cross = verify(candX, gHist)
+    val cross = verify(candXv, gHist)
       .join(bDocs.select(col("ckey").as("ka"), col("doc_id").as("id_a")), "ka")
       .join(hDocs.select(col("ckey").as("kb"), col("doc_id").as("id_b")), "kb")
       .select(col("id_a").as("batch_doc"), col("id_b").as("match_doc"),

@@ -27,19 +27,94 @@ object Graph {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** The nightly batch slice of the co-purchase edge set — md5 parity
+    * over the edge key at a fixed ~3% share (the PRODUCTION nightly
+    * cadence, vs the doc/vector families' 25% gate share). Owned by
+    * [[triangleIncremental]] and by the substrate artifacts' index
+    * lifecycle (history = the other 97%).
+    */
+  private[graft] def isBatchEdge(a: Column, b: Column): Column =
+    substring(md5(concat(lit("incrg|"), a.cast("string"), lit("|"),
+      b.cast("string"))), 1, 2) < "08"
+
+  /** Raw (u < v) co-order part pairs BEFORE the distinct collapse —
+    * shared by the full edge build and the batch slice (where filtering
+    * ahead of the distinct keeps that exchange batch-sized).
+    */
+  private def rawPairs(s: SparkSession, dir: String): DataFrame = {
+    val pl = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    pl.as("a").join(pl.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v"))
+  }
+
+  /** Frozen-index artifact builder: the HISTORY (non-batch) co-purchase
+    * edge set — what [[graft.IndexBuild]] persists so a nightly session
+    * composes the full graph as artifact ∪ batch slice instead of
+    * re-collapsing the whole pair stream (the r12 verdict's
+    * persist-the-graph-substrate ask). The split is [[isBatchEdge]]'s
+    * fixed '08' parity, baked into the artifact rows like the dedup
+    * groups' history split.
+    */
+  private[graft] def buildHistEdges(s: SparkSession, dir: String): DataFrame =
+    rawPairs(s, dir).filter(!isBatchEdge(col("u"), col("v"))).distinct()
+
+  /** Tonight's batch edges, derived from the raw corpus: the batch
+    * filter runs BEFORE the distinct, so the collapse exchange moves
+    * ~3% of the pair stream (the only full-width work a with-index
+    * session pays is the pair scan itself — this synthetic corpus
+    * derives edges from raw co-order pairs, where a production edge
+    * pipeline would read tonight's ingested edge file directly).
+    */
+  private[graft] def batchEdgesOf(s: SparkSession, dir: String): DataFrame =
+    rawPairs(s, dir).filter(isBatchEdge(col("u"), col("v"))).distinct()
+
+  private[graft] def buildHistDeg(s: SparkSession, dir: String): DataFrame =
+    degOf(histEdgesA(s, dir))
+
+  /** History-scoped normalized triangle set (x < y < z) — the oriented
+    * enumeration run once by the index build; the serving session adds
+    * only triangles closed by batch edges (see [[triangleRows]]).
+    */
+  private[graft] def buildHistTri(s: SparkSession, dir: String): DataFrame = {
+    val he = histEdgesA(s, dir)
+    normTri(triangleRowsOfOriented(orientedOf(he, degOf(he).select(
+      col("src").as("x"), col("d")))))
+  }
+
+  /** History edge artifact accessor — reads the persisted artifact when
+    * an index root is active, builds in-session otherwise. Derived
+    * builders (degrees, triangles) go through this accessor so an
+    * [[graft.IndexStore.writeAll]] build reads its own just-written
+    * upstream artifact instead of re-deriving it.
+    */
+  private def histEdgesA(s: SparkSession, dir: String): DataFrame =
+    graft.Cached.of(s, dir, "graph.histE" + graft.IndexStore.tag) {
+      graft.IndexStore.loadOrBuild(s, "graph_hist_edges")(
+        rawPairs(s, dir).filter(!isBatchEdge(col("u"), col("v"))).distinct())
+    }
+
+  /** Symmetric degree table of an undirected (u < v) edge frame. */
+  private def degOf(e: DataFrame): DataFrame =
+    e.select(col("u").as("src")).unionAll(e.select(col("v").as("src")))
+      .groupBy("src").agg(count(lit(1)).as("d"))
+
   /** Distinct undirected co-order part edges (u < v) — a shared corpus
     * artifact like the dedup shingle tables: both graph queries consume
     * it, and the unrolled PageRank plan references it many times, so it
     * is built once per (session, sf) and persisted (see Cached doc).
+    * With an index root active the full set is COMPOSED: the persisted
+    * history artifact (97% of edges, read back — never re-collapsed)
+    * unioned with tonight's batch slice (disjoint by the md5 split, so
+    * no cross-union distinct is needed) — the set is identical to the
+    * in-session build (IndexLifecycleSpec pins the consumers).
     */
   private def edges(s: SparkSession, dir: String): DataFrame =
-    graft.Cached.of(s, dir, "graph.edges") {
-      val pl = Tables(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      pl.as("a").join(pl.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("u"), col("b.p").as("v"))
-        .distinct()
+    graft.Cached.of(s, dir, "graph.edges" + graft.IndexStore.tag) {
+      if (graft.IndexStore.active.isDefined)
+        histEdgesA(s, dir).unionAll(batchEdgesOf(s, dir))
+      else rawPairs(s, dir).distinct()
     }
 
   /** Symmetric adjacency (both edge directions) over [[edges]], cached
@@ -48,20 +123,44 @@ object Graph {
     * table moves through each iteration's exchange — the edge list (the
     * 100 TB-scale side) never reshuffles. This is the Pregel invariant:
     * partition the graph once, ship messages.
+    *
+    * Adjacency is deliberately NOT a persisted artifact: it is a pure
+    * 2×-fanout map over the edge artifact plus the exchange above —
+    * reading a persisted symmetric copy would move 2× the bytes off
+    * storage to save a map, and plain parquet cannot carry the hash
+    * partitioning that is adjacency's whole point (only a bucketed
+    * catalog table could, and the exchange is paid either way).
     */
   private def adjacency(s: SparkSession, dir: String): DataFrame =
-    graft.Cached.of(s, dir, "graph.adj") {
+    graft.Cached.of(s, dir, "graph.adj" + graft.IndexStore.tag) {
       val e = edges(s, dir)
       e.select(col("u").as("src"), col("v").as("dst"))
         .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
         .repartition(s.sparkContext.defaultParallelism, col("src"))
     }
 
-  /** Node degrees over [[adjacency]]. */
+  /** Node degrees over [[adjacency]]. With an index root active:
+    * persisted history degrees ⊕ tonight's batch-edge endpoint
+    * increments (a full-outer sum over the node-sized tables — exact
+    * set algebra, no edge-sized work).
+    */
   private def degrees(s: SparkSession, dir: String): DataFrame =
-    graft.Cached.of(s, dir, "graph.deg") {
-      adjacency(s, dir).groupBy("src").agg(count(lit(1)).as("d"))
+    graft.Cached.of(s, dir, "graph.deg" + graft.IndexStore.tag) {
+      if (graft.IndexStore.active.isDefined) {
+        val hist = graft.IndexStore.loadOrBuild(s, "graph_hist_deg")(
+          buildHistDeg(s, dir))
+        degMerge(hist, degOf(batchEdgesOf(s, dir)))
+      } else adjacency(s, dir).groupBy("src").agg(count(lit(1)).as("d"))
     }
+
+  /** Exact degree-table sum: deg(H ∪ B) = deg(H) ⊕ deg(B) for disjoint
+    * edge sets — shared by the serving composition and the nightly merge.
+    */
+  private[graft] def degMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("src"), col("d").as("da"))
+      .join(b.select(col("src"), col("d").as("db")), Seq("src"), "full_outer")
+      .select(col("src"),
+        (coalesce(col("da"), lit(0L)) + coalesce(col("db"), lit(0L))).as("d"))
 
   /** Force-materialize the shared graph artifacts (Bench warm-up — the
     * same one-time corpus-prep policy as Dedup.prewarm).
@@ -268,7 +367,8 @@ object Graph {
     * hash-agg discipline).
     */
   private def lpaLabels(s: SparkSession, dir: String): DataFrame =
-    graft.Cached.of(s, dir, "graph.lpa")(lpaLabelsBuild(s, dir))
+    graft.Cached.of(s, dir, "graph.lpa" + graft.IndexStore.tag)(
+      lpaLabelsBuild(s, dir))
 
   private def lpaLabelsBuild(s: SparkSession, dir: String): DataFrame = {
     val adj = adjacency(s, dir)
@@ -616,6 +716,165 @@ object Graph {
   private val ccPointerDoubling: Q = (s, dir) =>
     componentsOutput(pointerDoubleLabels(adjacency(s, dir), 16))
 
+  // ------------------------------------- incremental connected components
+
+  /** The bipartite order–part graph: every distinct (order, part)
+    * lineitem pair IS an edge, node-encoded part → 2p, order → 2o+1
+    * (disjoint id spaces, exact at any corpus scale in int64). Unlike
+    * the derived co-purchase graph, the RAW corpus rows are the edge
+    * list here — so the nightly history/batch split is a pure row
+    * predicate (md5 parity over the edge key at [[graft.Incr]]'s
+    * shared gate share), pushdown-friendly, and the hermetic contract
+    * is the full doc-family one: a scoring session with the history
+    * rows PHYSICALLY DELETED reproduces the output bit-for-bit from
+    * the persisted label artifact + tonight's batch rows alone.
+    */
+  private def isBatchCcExpr: String =
+    "substr(md5(concat('incrcc|', cast(o as string), '|', " +
+      s"cast(p as string))), 1, 2) < '${graft.Incr.batchThresh}'"
+
+  private def bpairs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .select(col("l_orderkey").cast("long").as("o"),
+        col("l_partkey").cast("long").as("p"))
+
+  private def encodeB(df: DataFrame): DataFrame =
+    df.select((col("p") * 2).as("u"), (col("o") * 2 + 1).as("v"))
+
+  private[graft] def histBedges(s: SparkSession, dir: String): DataFrame =
+    encodeB(bpairs(s, dir).filter(not(expr(isBatchCcExpr))).distinct())
+
+  /** Tonight's batch edges: the predicate runs at the SCAN (before the
+    * distinct), so a cold scoring session's only corpus work is
+    * batch-sized.
+    */
+  private[graft] def batchBedges(s: SparkSession, dir: String): DataFrame =
+    encodeB(bpairs(s, dir).filter(expr(isBatchCcExpr)).distinct())
+
+  private def symAdj(s: SparkSession, e: DataFrame): DataFrame =
+    e.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+      .repartition(s.sparkContext.defaultParallelism, col("src"))
+
+  /** Frozen-index artifact: the CONVERGED min-id component labels of the
+    * history bipartite graph ([[pointerDoubleLabels]], fail-loud if the
+    * round budget is exhausted before the fixpoint — a truncated label
+    * table would silently mis-merge components forever after).
+    */
+  private[graft] def buildHistCcLabels(s: SparkSession, dir: String): DataFrame = {
+    val budget = 20
+    val (lbl, lastChange) =
+      pointerDoubleLabelsWithRounds(symAdj(s, histBedges(s, dir)), budget)
+    require(lastChange < budget,
+      s"history CC labels still changing at the $budget-round budget — " +
+        "refusing to persist a non-fixpoint label artifact")
+    lbl
+  }
+
+  /** Fold tonight's batch edges into a frozen history labeling and
+    * return the FULL updated (node, lbl) table — the true min-id
+    * fixpoint of history ∪ batch, computed without ever re-traversing
+    * history: batch-edge endpoints are mapped to their history labels
+    * (new nodes label themselves), connected components run on that
+    * LABEL-LEVEL graph (batch-bounded — two hist labels connect only
+    * through a batch edge), and the node-sized relabel is one pass of
+    * history labels through the tiny resolution map. Only batch-touched
+    * components move; everything else passes through unchanged. Shared
+    * by the serving query and the nightly artifact merge.
+    */
+  private[graft] def ccFoldLabels(
+      s: SparkSession, dir: String, histLbl: DataFrame): DataFrame = {
+    val bE = batchBedges(s, dir)
+    val bNodes = bE.select(explode(array(col("u"), col("v"))).as("node")).distinct()
+    // prune the node-sized label table to batch-touched nodes BEFORE the
+    // label fetch: the batch-bounded key set rides a semi-join (AQE
+    // broadcasts it at any sane batch share), so history labels stream
+    // map-side and only touched rows reach the fetch join
+    val touched = histLbl.join(bNodes, Seq("node"), "left_semi")
+    val fold = bE
+      .join(touched.select(col("node").as("u"), col("lbl").as("hu")), Seq("u"), "left")
+      .join(touched.select(col("node").as("v"), col("lbl").as("hv")), Seq("v"), "left")
+      .select(coalesce(col("hu"), col("u")).as("fu"),
+        coalesce(col("hv"), col("v")).as("fv"))
+      // both-endpoints-in-one-component edges merge nothing; dropping
+      // them never drops a fold node (part/order encodings can't
+      // self-loop, and a new node never equals a history label)
+      .filter(col("fu") =!= col("fv"))
+      .select(col("fu").as("u"), col("fv").as("v"))
+    val res = pointerDoubleLabels(symAdj(s, fold), 16)
+      .select(col("node").as("olbl"), col("lbl").as("nlbl"))
+    val hist2 = histLbl.join(res, col("lbl") === col("olbl"), "left")
+      .select(col("node"), coalesce(col("nlbl"), col("lbl")).as("lbl"))
+    val newNodes = bNodes.join(histLbl.select("node"), Seq("node"), "left_anti")
+      .join(res, col("node") === col("olbl"), "left")
+      .select(col("node"), coalesce(col("nlbl"), col("node")).as("lbl"))
+    hist2.unionAll(newNodes)
+  }
+
+  /** Incremental connected components — the r12 verdict's ask #4: the
+    * frozen-history discipline applied to global graph connectivity.
+    * History labels come from the persisted artifact (in-session build
+    * without one); tonight's batch edges fold in via [[ccFoldLabels]]
+    * (cost tracks the touched set, never history size). The output is
+    * provably the full-graph min-id fixpoint — label values are
+    * split-invariant, so the DuckDB oracle is the clean FULL RECOUNT
+    * (pointer-doubling over history ∪ batch, unrolled), the strongest
+    * oracle an incremental operator can get.
+    */
+  private val ccIncremental: Q = (s, dir) => {
+    val histLbl = graft.Cached.of(s, dir, "graph.ccHist" + graft.IndexStore.tag) {
+      graft.IndexStore.loadOrBuild(s, "graph_hist_cc_labels")(
+        buildHistCcLabels(s, dir))
+    }
+    componentsOutput(ccFoldLabels(s, dir, histLbl))
+  }
+
+  /** Nightly index UPDATE for the graph substrate artifacts — pure set
+    * algebra over the persisted history tables plus batch-derived
+    * increments (the raw co-purchase pair stream is read only for the
+    * batch slice; the bipartite CC reads only batch rows):
+    * edges union disjointly, degrees add ([[degMerge]]), the triangle
+    * set gains exactly the batch-closed triangles (a history triangle
+    * has no batch edge, so the union is disjoint; normalization makes
+    * the representation orientation-free — see [[triangleRows]]), and
+    * the CC labels fold through [[ccFoldLabels]]. IndexMergeSpec pins
+    * every merged artifact row-identical to the full-corpus rebuild.
+    */
+  private[graft] def mergedArtifacts(
+      s: SparkSession, dir: String, histRoot: String): Map[String, DataFrame] = {
+    val histE = s.read.parquet(s"$histRoot/graph_hist_edges")
+    val histD = s.read.parquet(s"$histRoot/graph_hist_deg")
+    val histT = s.read.parquet(s"$histRoot/graph_hist_tri")
+    val histL = s.read.parquet(s"$histRoot/graph_hist_cc_labels")
+    // anti-join makes the merge idempotent (re-running tonight's fold
+    // against an already-merged root adds nothing)
+    val newE = batchEdgesOf(s, dir).join(histE, Seq("u", "v"), "left_anti")
+    val mergedE = histE.unionByName(newE)
+    val mergedD = degMerge(histD, degOf(newE))
+    Map(
+      "graph_hist_edges" -> mergedE,
+      "graph_hist_deg" -> mergedD,
+      "graph_hist_tri" -> histT.unionByName(
+        batchClosedTriangles(newE, symAdj(s, mergedE), mergedD)),
+      "graph_hist_cc_labels" -> ccFoldLabels(s, dir, histL))
+  }
+
+  /** Full-corpus rebuild comparators for IndexMergeSpec (the whole
+    * corpus treated as history — what the merged artifacts must equal).
+    */
+  private[graft] def fullSubstrate(s: SparkSession, dir: String): Map[String, DataFrame] = {
+    val e = rawPairs(s, dir).distinct()
+    val d = degOf(e)
+    val (lbl, _) = pointerDoubleLabelsWithRounds(
+      symAdj(s, encodeB(bpairs(s, dir).distinct())), 20)
+    Map(
+      "graph_hist_edges" -> e,
+      "graph_hist_deg" -> d,
+      "graph_hist_tri" -> normTri(triangleRowsOfOriented(
+        orientedOf(e, d.select(col("src").as("x"), col("d"))))),
+      "graph_hist_cc_labels" -> lbl)
+  }
+
   /** Degree assortativity (Newman's r) — do hubs attach to hubs? The
     * one-number summary that separates social-style graphs (r > 0) from
     * technological/web graphs (r < 0), and the diagnostic behind "will
@@ -680,8 +939,61 @@ object Graph {
     * (exactly T triangles), so the cache is triangle-sized, not
     * wedge-sized.
     */
+  /** The shared triangle substrate, as the NORMALIZED (x < y < z)
+    * triangle set — every consumer (count, per-node explode, per-edge
+    * explode) is orientation-invariant, and normalization is what lets
+    * the set be persisted and MERGED by pure set algebra (a new edge
+    * can flip the degree orientation of an old triangle's
+    * representation, but never its normalized form). With an index root
+    * active: the persisted history triangles unioned with the triangles
+    * tonight's batch edges close ([[batchClosedTriangles]] — the
+    * batch-sized wedge probe, never a full re-enumeration; the two sets
+    * are disjoint because a history triangle has no batch edge).
+    */
   private[graft] def triangleRows(s: SparkSession, dir: String): DataFrame =
-    graft.Cached.of(s, dir, "graph.tri")(triangleRowsOfOriented(orientedEdges(s, dir)))
+    graft.Cached.of(s, dir, "graph.tri" + graft.IndexStore.tag) {
+      if (graft.IndexStore.active.isDefined) {
+        val hist = graft.IndexStore.loadOrBuild(s, "graph_hist_tri")(
+          buildHistTri(s, dir))
+        hist.unionAll(batchClosedTriangles(
+          batchEdgesOf(s, dir), adjacency(s, dir), degrees(s, dir)))
+      } else normTri(triangleRowsOfOriented(orientedEdges(s, dir)))
+    }
+
+  /** (a, b, c) oriented triangle rows → the normalized (x < y < z) set. */
+  private def normTri(tri: DataFrame): DataFrame =
+    tri.select(
+      least(col("a"), col("b"), col("c")).as("x"),
+      (col("a") + col("b") + col("c")
+        - least(col("a"), col("b"), col("c"))
+        - greatest(col("a"), col("b"), col("c"))).as("y"),
+      greatest(col("a"), col("b"), col("c")).as("z"))
+
+  /** All triangles containing ≥ 1 edge of `batch`, normalized and
+    * deduped — each batch edge probes the adjacency from its
+    * lower-degree endpoint (candidates are Σ min(deg u, deg v), the
+    * oriented-enumeration bound) and the closing edge is confirmed with
+    * one hash join. Shared by [[triangleIncremental]], the with-index
+    * [[triangleRows]] composition, and the nightly artifact merge.
+    */
+  private[graft] def batchClosedTriangles(
+      batch: DataFrame, adj: DataFrame, deg: DataFrame): DataFrame = {
+    val b = batch
+      .join(deg.select(col("src").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("src").as("v"), col("d").as("dv")), Seq("v"))
+      .select(col("u"), col("v"),
+        when(col("du") <= col("dv"), col("u")).otherwise(col("v")).as("p"),
+        when(col("du") <= col("dv"), col("v")).otherwise(col("u")).as("o"))
+    b.join(adj.select(col("src").as("p"), col("dst").as("w")), Seq("p"))
+      .filter(col("w") =!= col("o"))
+      .join(adj.select(col("src").as("o"), col("dst").as("w")), Seq("o", "w"))
+      .select(least(col("u"), col("v"), col("w")).as("x"),
+        (col("u") + col("v") + col("w")
+          - least(col("u"), col("v"), col("w"))
+          - greatest(col("u"), col("v"), col("w"))).as("y"),
+        greatest(col("u"), col("v"), col("w")).as("z"))
+      .distinct()
+  }
 
   private def triangleRowsOfOriented(oriented: DataFrame): DataFrame = {
     val adjOut = oriented.groupBy(col("s"))
@@ -707,7 +1019,7 @@ object Graph {
     */
   private val localClustering: Q = (s, dir) => {
     val nodeTri = triangleRows(s, dir)
-      .select(explode(array(col("a"), col("b"), col("c"))).as("x"))
+      .select(explode(array(col("x"), col("y"), col("z"))).as("x"))
       .groupBy("x").agg(count(lit(1)).as("n_tri"))
     degrees(s, dir).select(col("src").as("x"), col("d"))
       .join(nodeTri, Seq("x"), "left")
@@ -724,7 +1036,7 @@ object Graph {
     * every [[ktrussPeel]] run seeds its live supports from it.
     */
   private[graft] def edgeSupports(s: SparkSession, dir: String): DataFrame =
-    graft.Cached.of(s, dir, "graph.edgeSup") {
+    graft.Cached.of(s, dir, "graph.edgeSup" + graft.IndexStore.tag) {
       triEdgeRows(s, dir).groupBy("u", "v").agg(count(lit(1)).as("support"))
     }
 
@@ -773,16 +1085,15 @@ object Graph {
     * measured 2-3× slower to scan under the cache's columnar codec).
     */
   private[graft] def triEdgeRows(s: SparkSession, dir: String): DataFrame =
-    graft.Cached.of(s, dir, "graft.triE")(triEdgeRowsOf(triangleRows(s, dir)))
+    graft.Cached.of(s, dir, "graft.triE" + graft.IndexStore.tag)(
+      triEdgeRowsOfNorm(triangleRows(s, dir)))
 
   /** (x, y, z, u, v) triangle-edge rows from (a, b, c) triangle rows. */
-  private def triEdgeRowsOf(tri: DataFrame): DataFrame = {
-    val t = tri.select(
-      least(col("a"), col("b"), col("c")).as("x"),
-      (col("a") + col("b") + col("c")
-        - least(col("a"), col("b"), col("c"))
-        - greatest(col("a"), col("b"), col("c"))).as("y"),
-      greatest(col("a"), col("b"), col("c")).as("z"))
+  private def triEdgeRowsOf(tri: DataFrame): DataFrame =
+    triEdgeRowsOfNorm(normTri(tri))
+
+  /** Same, from already-normalized (x < y < z) triangle rows. */
+  private def triEdgeRowsOfNorm(t: DataFrame): DataFrame = {
     t.select(col("x"), col("y"), col("z"),
         explode(array(
           struct(col("x").as("u"), col("y").as("v")),
@@ -983,25 +1294,12 @@ object Graph {
     val e = edges(s, dir)
     val adj = adjacency(s, dir)
     val deg = degrees(s, dir)
-    def isBatchEdge(a: Column, b: Column): Column =
-      substring(md5(concat(lit("incrg|"), a.cast("string"), lit("|"),
-        b.cast("string"))), 1, 2) < "08"
-    val b = e.filter(isBatchEdge(col("u"), col("v")))
-      .join(deg.select(col("src").as("u"), col("d").as("du")), Seq("u"))
-      .join(deg.select(col("src").as("v"), col("d").as("dv")), Seq("v"))
-      .select(col("u"), col("v"),
-        when(col("du") <= col("dv"), col("u")).otherwise(col("v")).as("p"),
-        when(col("du") <= col("dv"), col("v")).otherwise(col("u")).as("o"))
-    val tri = b
-      .join(adj.select(col("src").as("p"), col("dst").as("w")), Seq("p"))
-      .filter(col("w") =!= col("o"))
-      .join(adj.select(col("src").as("o"), col("dst").as("w")), Seq("o", "w"))
-      .select(least(col("u"), col("v"), col("w")).as("x"),
-        (col("u") + col("v") + col("w")
-          - least(col("u"), col("v"), col("w"))
-          - greatest(col("u"), col("v"), col("w"))).as("y"),
-        greatest(col("u"), col("v"), col("w")).as("z"))
-      .distinct()
+    // with an index root active, e/adj/deg COMPOSE from the persisted
+    // history substrate + tonight's batch slice (see [[edges]]) — the
+    // filter below then selects exactly the batch component, and no
+    // history edge is ever re-collapsed or re-enumerated
+    val tri = batchClosedTriangles(
+      e.filter(isBatchEdge(col("u"), col("v"))), adj, deg)
     val nbe = isBatchEdge(col("x"), col("y")).cast("int") +
       isBatchEdge(col("x"), col("z")).cast("int") +
       isBatchEdge(col("y"), col("z")).cast("int")
@@ -1192,6 +1490,7 @@ object Graph {
     "graph_assortativity" -> assortativity,
     "graph_connected_components" -> connectedComponents,
     "graph_cc_pointer_doubling" -> ccPointerDoubling,
+    "graph_cc_incremental" -> ccIncremental,
     "graph_kcore" -> kcore,
     "graph_link_predict" -> linkPredict,
     "graph_triangles" -> triangles,
@@ -1255,6 +1554,36 @@ object Graph {
        |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM adj),
        |$rounds,
        |cs AS MATERIALIZED (SELECT lbl, COUNT(*) AS n_nodes FROM l8 GROUP BY 1)
+       |SELECT l8.node, CAST(l8.lbl AS BIGINT) AS component,
+       |  CAST(cs.n_nodes AS BIGINT) AS n_nodes
+       |FROM l8 JOIN cs USING (lbl) ORDER BY node""".stripMargin
+  }
+
+  /** Full-recount oracle for graph_cc_incremental: pointer-doubling
+    * min-label fixpoint over the COMPLETE bipartite order–part graph
+    * (history ∪ batch — the incremental fold must equal it exactly).
+    * 8 doubling rounds reach 2^8−1 = 255 hops, far past any component
+    * diameter these corpora produce; rounds past the fixpoint are
+    * no-ops (labels are already stable), so the unrolled tail is safe.
+    * Each round mirrors the Spark loop verbatim: gather one hop +
+    * group-min, then jump THROUGH the previous round's table.
+    */
+  private val oCcIncr: String = {
+    val rounds = (1 to 8).map { r =>
+      s"""l$r AS MATERIALIZED (
+         |  SELECT g.node, l2.lbl FROM (
+         |    SELECT node, MIN(lbl) AS lbl FROM (
+         |      SELECT a.dst AS node, l.lbl FROM adj a JOIN l${r - 1} l ON a.src = l.node
+         |      UNION ALL SELECT node, lbl FROM l${r - 1}) GROUP BY node) g
+         |  JOIN l${r - 1} l2 ON g.lbl = l2.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH bp AS MATERIALIZED (
+       |  SELECT DISTINCT CAST(l_partkey AS BIGINT) * 2 AS u,
+       |    CAST(l_orderkey AS BIGINT) * 2 + 1 AS v FROM lineitem),
+       |adj AS MATERIALIZED (SELECT u AS src, v AS dst FROM bp UNION ALL SELECT v, u FROM bp),
+       |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM adj),
+       |$rounds,
+       |cs AS (SELECT lbl, COUNT(*) AS n_nodes FROM l8 GROUP BY 1)
        |SELECT l8.node, CAST(l8.lbl AS BIGINT) AS component,
        |  CAST(cs.n_nodes AS BIGINT) AS n_nodes
        |FROM l8 JOIN cs USING (lbl) ORDER BY node""".stripMargin
@@ -1425,6 +1754,7 @@ object Graph {
     // no-change inside their budgets on this graph), so the oracle is
     // the same true-fixpoint replay
     "graph_cc_pointer_doubling" -> oCc,
+    "graph_cc_incremental" -> oCcIncr,
     "graph_kcore" -> oKcore,
     "graph_link_predict" ->
       """WITH pl AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

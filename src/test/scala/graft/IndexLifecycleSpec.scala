@@ -16,7 +16,13 @@ class IndexLifecycleSpec extends AnyFunSuite {
   private lazy val s = TestSpark.spark
   private val dir = TestSpark.sf
   private val consumers = Seq("dedup_incremental", "sim_ivf_incremental",
-    "text_lm_ppl_filter", "text_ngram_novelty", "pipeline_admission")
+    "text_lm_ppl_filter", "text_ngram_novelty", "pipeline_admission",
+    // graph substrate consumers (round 14): the incremental pair reads
+    // the history artifacts directly; triangles/local-clustering prove
+    // the COMPOSED full substrate (hist artifact ∪ batch slice) feeds
+    // the whole non-incremental family unchanged
+    "graph_cc_incremental", "graph_triangle_incremental",
+    "graph_triangles", "graph_local_clustering")
 
   private def rows(q: String): Seq[String] =
     SparkEntry.queries(q)(s, dir).collect().map(_.toString).sorted.toSeq
@@ -50,15 +56,27 @@ class IndexLifecycleSpec extends AnyFunSuite {
     val isBatchVec = "substr(md5(concat('incrv|', cast(vec_id as string))), 1, 2) < '40'"
     val root = java.nio.file.Files.createTempDirectory("graft-index-hermetic").toString
     val scratch = java.nio.file.Files.createTempDirectory("graft-batch-only").toString
-    val inline = consumers.map(q => q -> rows(q)).toMap
+    // the bipartite CC family splits by edge-row parity, so its hermetic
+    // staging is the doc one exactly: only batch lineitem rows survive.
+    // (the co-purchase family's edges are DERIVED from raw pairs, so its
+    // hermetic analog is the tamper test below, not row deletion —
+    // graph_cc_incremental is the only graph consumer runnable here)
+    val isBatchCcRow = "substr(md5(concat('incrcc|', cast(l_orderkey as string), " +
+      "'|', cast(l_partkey as string))), 1, 2) < '40'"
+    val hermeticConsumers = Seq("dedup_incremental", "sim_ivf_incremental",
+      "text_lm_ppl_filter", "text_ngram_novelty", "pipeline_admission",
+      "graph_cc_incremental")
+    val inline = hermeticConsumers.map(q => q -> rows(q)).toMap
     try {
       IndexStore.writeAll(s, dir, root)
       Tables(s, dir, "documents").filter(expr(isBatchDoc))
         .write.parquet(s"$scratch/documents.parquet")
       Tables(s, dir, "embeddings").filter(expr(isBatchVec))
         .write.parquet(s"$scratch/embeddings.parquet")
+      Tables(s, dir, "lineitem").filter(expr(isBatchCcRow))
+        .write.parquet(s"$scratch/lineitem.parquet")
       IndexStore.use(Some(root))
-      consumers.foreach { q =>
+      hermeticConsumers.foreach { q =>
         val got = SparkEntry.queries(q)(s, scratch).collect().map(_.toString).sorted.toSeq
         assert(got == inline(q),
           s"$q on the batch-only corpus + persisted index drifted from the full-corpus run")
@@ -83,6 +101,28 @@ class IndexLifecycleSpec extends AnyFunSuite {
       assert(rows("text_lm_ppl_filter") != inline,
         "tampering lm_hist_counts did not change text_lm_ppl_filter — " +
           "the persisted artifact is not being read")
+    } finally IndexStore.use(None)
+  }
+
+  test("a tampered graph edge artifact changes the composed substrate — the graph index is read") {
+    // the co-purchase family's hermetic ANALOG (its edges are derived
+    // from raw pairs, so history rows can't be deleted): halving the
+    // history edge artifact must change the incremental triangle
+    // accounting — iff the serving session composes the graph from the
+    // persisted artifact instead of silently re-deriving it
+    val root = java.nio.file.Files.createTempDirectory("graft-index-gtamper").toString
+    val inline = rows("graph_triangle_incremental")
+    try {
+      IndexStore.writeAll(s, dir, root)
+      val he = s.read.parquet(s"$root/graph_hist_edges")
+      he.filter(org.apache.spark.sql.functions.col("u") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$root/ge_tampered")
+      s.read.parquet(s"$root/ge_tampered").write.mode("overwrite")
+        .parquet(s"$root/graph_hist_edges")
+      IndexStore.use(Some(root))
+      assert(rows("graph_triangle_incremental") != inline,
+        "tampering graph_hist_edges did not change graph_triangle_incremental — " +
+          "the persisted graph substrate is not being read")
     } finally IndexStore.use(None)
   }
 }

@@ -47,7 +47,7 @@ class IndexMergeSpec extends AnyFunSuite {
       "ivf_hist_codes" -> simRef("ivf_hist_codes"),
       "lm_hist_counts" -> operators.Train.lmCountsFor(s, dir, lit(true)),
       "gram_hist_vocab" -> operators.Text.gramVocabFor(s, dir, lit(true)),
-    )
+    ) ++ operators.Graph.fullSubstrate(s, dir)
     IndexStore.artifacts.foreach { case (name, _) =>
       val got = rows(s.read.parquet(s"$rootB/$name"))
       val want = rows(full(name))

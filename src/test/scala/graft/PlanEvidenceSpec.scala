@@ -46,6 +46,35 @@ class PlanEvidenceSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(!p.contains("CartesianProduct"), "centroid probe lost its broadcast")
   }
 
+  test("sim_ivf_incremental: no broadcast HINT on the batch-proportional ADC LUT side") {
+    // the LUT (one row per batch-rep × probed cell) grows with the
+    // BATCH — a static broadcast hint on it is a driver-memory wall at
+    // the 512 k-corpus scale this query models (r13 verdict, What's
+    // wrong #4). The intended hints are the √n-bounded artifact tables
+    // (centroids, codebook, anchors): assert every hinted subtree is
+    // LUT-free, so AQE alone decides the (qrep, cell) join strategy
+    // from measured size. 'pdot' is the LUT build's partial-dot column
+    // — it exists in no other subtree of this plan.
+    val df = operators.Sim.queries("sim_ivf_incremental")(s, dir)
+    val hints = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.nonEmpty, "expected the constant-sized artifact broadcasts to survive analysis")
+    val bad = hints.filter(_.child.toString.contains("pdot"))
+    assert(bad.isEmpty,
+      s"a broadcast hint covers the batch-proportional ADC LUT subtree:\n${bad.map(_.toString.take(500)).mkString}")
+  }
+
+  test("graph_cc_incremental: batch fold only — no cartesian, label fetch is pruned then keyed") {
+    val p = planString(operators.Graph.queries("graph_cc_incremental")(s, dir))
+    assert(!p.contains("CartesianProduct"),
+      "the CC fold must stay keyed joins; a cross product means the " +
+        "label-level graph leaked into a node-level product")
+    // the resolution map is component-bounded: at gate scale it must
+    // ride broadcasts into the node-sized relabel pass
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("dimension joins broadcast instead of shuffling the fact side") {
     val p = planString(operators.Relational.queries("join_inner_hash")(s, dir))
     assert(p.contains("BroadcastHashJoin"), p)

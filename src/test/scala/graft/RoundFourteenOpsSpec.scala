@@ -37,6 +37,26 @@ class RoundFourteenOpsSpec extends AnyFunSuite {
         "floor")
   }
 
+  test("graph_cc_incremental equals the full bipartite recount, in-session") {
+    // the fold's output is split-invariant: batch edges folded into the
+    // frozen history labeling must reproduce the min-id fixpoint of the
+    // WHOLE graph (this is also what the DuckDB oracle recounts; here
+    // the same property is pinned engine-internally, so a drift points
+    // at the fold, not the oracle plumbing)
+    val got = operators.Graph.queries("graph_cc_incremental")(s, dir)
+      .collect().map(_.toString).sorted.toSeq
+    val lbl = operators.Graph.fullSubstrate(s, dir)("graph_hist_cc_labels")
+    val sizes = lbl.groupBy("lbl").agg(
+      org.apache.spark.sql.functions.count(lit(1)).as("n_nodes"))
+    val want = lbl.join(sizes, "lbl")
+      .select(col("node"), col("lbl").as("component"), col("n_nodes"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got.size == want.size, s"row counts: got ${got.size} vs recount ${want.size}")
+    assert(got == want,
+      s"incremental CC drifted from the full recount: first diff " +
+        s"${got.zip(want).find(p => p._1 != p._2)}")
+  }
+
   test("ADC LUT guard: < 16 history anchors fails loud, not silently misranked") {
     val tiny = java.nio.file.Files.createTempDirectory("graft-tinyemb").toString
     // 16 vectors -> ~12 history after the md5 '40' split: the codebook

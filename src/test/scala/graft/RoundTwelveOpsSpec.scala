@@ -60,10 +60,7 @@ class RoundTwelveOpsSpec extends AnyFunSuite {
     // split and compare all five counters
     val flag = (a: String, b: String) =>
       s"substr(md5(concat('incrg|', cast($a as string), '|', cast($b as string))), 1, 2) < '08'"
-    val tri = operators.Graph.triangleRows(s, dir)
-      .selectExpr("least(a, b, c) as x",
-        "a + b + c - least(a, b, c) - greatest(a, b, c) as y",
-        "greatest(a, b, c) as z")
+    val tri = operators.Graph.triangleRows(s, dir) // already normalized (x < y < z)
       .selectExpr(s"cast(${flag("x", "y")} as int) + cast(${flag("x", "z")} as int) + " +
         s"cast(${flag("y", "z")} as int) as nbe")
       .collect().map(_.getInt(0))
