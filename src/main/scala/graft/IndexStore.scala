@@ -195,9 +195,17 @@ object IndexStore {
     // matters (deg/tri derive from the just-written edge artifact) —
     // plus the converged bipartite CC label table (r12 ask #4)
     "graph_hist_edges" -> operators.Graph.buildHistEdges _,
+    // tonight's batch edge slice, STAGED as input (a production pipeline
+    // ingests an edge file; this corpus must derive it — see
+    // Graph.buildBatchEdges): serving sessions read their input as data
+    "graph_batch_edges" -> operators.Graph.buildBatchEdges _,
     "graph_hist_deg" -> operators.Graph.buildHistDeg _,
     "graph_hist_tri" -> operators.Graph.buildHistTri _,
     "graph_hist_cc_labels" -> operators.Graph.buildHistCcLabels _,
+    // frozen 1995-slice truss substrate (build-once, copy-through merge;
+    // trie derives from the just-written y95 edge artifact)
+    "graph_y95_edges" -> operators.Graph.buildY95Edges _,
+    "graph_y95_trie" -> operators.Graph.buildY95TriE _,
   )
 
   /** Build every artifact from `sfDir` and write it under `root` —

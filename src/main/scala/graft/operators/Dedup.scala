@@ -741,23 +741,24 @@ object Dedup {
     // Survivor semi-join prune (r12 verdict ask #2, query side): with a
     // persisted index, the verify must not move the whole groups
     // artifact — only candidate contents' shingle sets may leave the
-    // scan. The distinct candidate KEY set (batch-bounded: LSH band +
-    // size survivors) semi-joins the artifact read before any array
-    // ships; AQE broadcasts the key set at any sane batch share (and
-    // falls back to a shuffled semi past the threshold — never a
-    // batch-proportional driver broadcast hint). candX is session-cached
-    // so the band join isn't paid twice (once for keys, once for the
-    // verify). Storage half of the ask: the artifact is ckey-range-
-    // sorted with a parquet bloom on ckey (IndexStore.artifactSortKey),
-    // giving keyed reads row-group locality; the semi-join is what cuts
-    // the SHUFFLE to candidate size. In-session the groups table is an
+    // scan. The key set is the HISTORY contents sharing ≥ 1 band with a
+    // batch content — a band-level semi-join (narrow 16 B rows, no pair
+    // fan-out, no size filter: a SUPERSET of the true candidates, which
+    // is all a prune needs) — and it semi-joins the artifact read
+    // before any shingle array ships. AQE broadcasts the key set at any
+    // sane batch share and falls back to a shuffled semi past the
+    // threshold — never a batch-proportional driver broadcast hint.
+    // Storage half of the ask: the artifact is ckey-range-sorted with a
+    // parquet bloom on ckey (IndexStore.artifactSortKey), giving keyed
+    // reads row-group locality; the semi-join is what cuts the SHUFFLE
+    // to candidate size. In-session the groups table is an
     // already-cached shared frame, so the extra pass would only add work.
-    val (candXv, gHist) =
+    val gHist =
       if (graft.IndexStore.active.isDefined) {
-        val cx = graft.Cached.of(s, dir, "dedup.incr.candx" + graft.IndexStore.tag)(candX)
-        val keys = cx.select(col("kb").as("ckey")).distinct()
-        (cx, incrHistGroups(s, dir).join(keys, Seq("ckey"), "left_semi"))
-      } else (candX, incrHistGroups(s, dir))
+        val keys = hist.join(bb.select(col("bidx"), col("bh")), Seq("bidx", "bh"), "left_semi")
+          .select(col("ckey")).distinct()
+        incrHistGroups(s, dir).join(keys, Seq("ckey"), "left_semi")
+      } else incrHistGroups(s, dir)
     def verify(cand: DataFrame, gb: DataFrame): DataFrame = cand
       .join(gBatch.select(col("ckey").as("ka"), col("sh64").as("sh_a")), "ka")
       .join(gb.select(col("ckey").as("kb"), col("sh64").as("sh_b")), "kb")
@@ -769,7 +770,7 @@ object Dedup {
     val bDocs = bsh.select(col("ckey"), col("doc_id"))
     val hDocs = incrHistDocs(s, dir)
     // batch-vs-history: the batch doc leads regardless of id order
-    val cross = verify(candXv, gHist)
+    val cross = verify(candX, gHist)
       .join(bDocs.select(col("ckey").as("ka"), col("doc_id").as("id_a")), "ka")
       .join(hDocs.select(col("ckey").as("kb"), col("doc_id").as("id_b")), "kb")
       .select(col("id_a").as("batch_doc"), col("id_b").as("match_doc"),

@@ -67,8 +67,26 @@ object Graph {
     * derives edges from raw co-order pairs, where a production edge
     * pipeline would read tonight's ingested edge file directly).
     */
-  private[graft] def batchEdgesOf(s: SparkSession, dir: String): DataFrame =
+  /** Raw derivation of tonight's batch edge slice — what a production
+    * pipeline receives as an INGESTED edge file. This synthetic corpus
+    * has no edge table, so the slice must be derived from the co-order
+    * pair stream; the index build STAGES it as `graph_batch_edges`
+    * (input staging, not index state) so a cold serving session reads
+    * tonight's edges as data — the production shape — instead of
+    * paying a full-width pair scan to re-synthesize its own input.
+    */
+  private[graft] def buildBatchEdges(s: SparkSession, dir: String): DataFrame =
     rawPairs(s, dir).filter(isBatchEdge(col("u"), col("v"))).distinct()
+
+  private[graft] def batchEdgesOf(s: SparkSession, dir: String): DataFrame =
+    // session-cached: the with-index composition consumes the batch
+    // slice from three accessors (edges ∪, degree increments, triangle
+    // probe) — without the cache each one would re-run the raw pair
+    // self-join, tripling the one full-width scan a cold session pays
+    graft.Cached.of(s, dir, "graph.batchE" + graft.IndexStore.tag) {
+      graft.IndexStore.loadOrBuild(s, "graph_batch_edges")(
+        buildBatchEdges(s, dir))
+    }
 
   private[graft] def buildHistDeg(s: SparkSession, dir: String): DataFrame =
     degOf(histEdgesA(s, dir))
@@ -856,7 +874,14 @@ object Graph {
       "graph_hist_deg" -> mergedD,
       "graph_hist_tri" -> histT.unionByName(
         batchClosedTriangles(newE, symAdj(s, mergedE), mergedD)),
-      "graph_hist_cc_labels" -> ccFoldLabels(s, dir, histL))
+      "graph_hist_cc_labels" -> ccFoldLabels(s, dir, histL),
+      // frozen calendar slice: copy-through (see buildY95Edges doc)
+      "graph_y95_edges" -> s.read.parquet(s"$histRoot/graph_y95_edges"),
+      "graph_y95_trie" -> s.read.parquet(s"$histRoot/graph_y95_trie"),
+      // staged input, not index state: on this static corpus the slice
+      // is fixed, so the merged root carries it through (a production
+      // nightly would stage tomorrow's ingested edge file here)
+      "graph_batch_edges" -> s.read.parquet(s"$histRoot/graph_batch_edges"))
   }
 
   /** Full-corpus rebuild comparators for IndexMergeSpec (the whole
@@ -872,7 +897,10 @@ object Graph {
       "graph_hist_deg" -> d,
       "graph_hist_tri" -> normTri(triangleRowsOfOriented(
         orientedOf(e, d.select(col("src").as("x"), col("d"))))),
-      "graph_hist_cc_labels" -> lbl)
+      "graph_hist_cc_labels" -> lbl,
+      "graph_y95_edges" -> buildY95Edges(s, dir),
+      "graph_y95_trie" -> buildY95TriE(s, dir),
+      "graph_batch_edges" -> buildBatchEdges(s, dir))
   }
 
   /** Degree assortativity (Newman's r) — do hubs attach to hubs? The
@@ -1111,28 +1139,44 @@ object Graph {
     * scope-agnostic; the full-graph bill is measured and recorded in
     * BASELINE.md (latency-bound: ~8 synchronous rounds at sf0.1).
     */
+  /** The year-1995 slice substrate is a FROZEN artifact by definition:
+    * a closed calendar slice never gains edges from tonight's batch
+    * (new activity is current-year), so its index lifecycle is
+    * build-once / copy-through-on-merge — no set algebra needed, and
+    * the merged == rebuilt pin is the identity. Persisting it removes
+    * the second pair self-join + the slice triangle enumeration from
+    * every cold session and from Bench warm-up.
+    */
+  private[graft] def buildY95Edges(s: SparkSession, dir: String): DataFrame = {
+    val pl = Tables(s, dir, "lineitem")
+      .join(Tables(s, dir, "orders").filter(year(col("o_orderdate")) === 1995)
+        .select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    pl.as("a").join(pl.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v"))
+      .distinct()
+  }
+
+  private[graft] def buildY95TriE(s: SparkSession, dir: String): DataFrame = {
+    val e = edges1995(s, dir)
+    val deg = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("d"))
+    triEdgeRowsOf(triangleRowsOfOriented(orientedOf(e, deg)))
+  }
+
   private[graft] def edges1995(s: SparkSession, dir: String): DataFrame =
-    graft.Cached.of(s, dir, "graph.edges.y95") {
-      val pl = Tables(s, dir, "lineitem")
-        .join(Tables(s, dir, "orders").filter(year(col("o_orderdate")) === 1995)
-          .select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"))
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      pl.as("a").join(pl.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("u"), col("b.p").as("v"))
-        .distinct()
+    graft.Cached.of(s, dir, "graph.edges.y95" + graft.IndexStore.tag) {
+      graft.IndexStore.loadOrBuild(s, "graph_y95_edges")(buildY95Edges(s, dir))
     }
 
   private[graft] def triE1995(s: SparkSession, dir: String): DataFrame =
-    graft.Cached.of(s, dir, "graph.triE.y95") {
-      val e = edges1995(s, dir)
-      val deg = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
-        .groupBy("x").agg(count(lit(1)).as("d"))
-      triEdgeRowsOf(triangleRowsOfOriented(orientedOf(e, deg)))
+    graft.Cached.of(s, dir, "graph.triE.y95" + graft.IndexStore.tag) {
+      graft.IndexStore.loadOrBuild(s, "graph_y95_trie")(buildY95TriE(s, dir))
     }
 
   private[graft] def edgeSup1995(s: SparkSession, dir: String): DataFrame =
-    graft.Cached.of(s, dir, "graph.edgeSup.y95") {
+    graft.Cached.of(s, dir, "graph.edgeSup.y95" + graft.IndexStore.tag) {
       triE1995(s, dir).groupBy("u", "v").agg(count(lit(1)).as("support"))
     }
 

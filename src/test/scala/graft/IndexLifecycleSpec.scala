@@ -63,9 +63,13 @@ class IndexLifecycleSpec extends AnyFunSuite {
     // graph_cc_incremental is the only graph consumer runnable here)
     val isBatchCcRow = "substr(md5(concat('incrcc|', cast(l_orderkey as string), " +
       "'|', cast(l_partkey as string))), 1, 2) < '40'"
+    // graph_triangle_incremental reads NOTHING raw with a root active
+    // (history substrate + staged batch edges are all artifacts), so it
+    // runs hermetic on a corpus whose lineitem holds only the CC
+    // family's batch rows — any raw read would see garbage and drift
     val hermeticConsumers = Seq("dedup_incremental", "sim_ivf_incremental",
       "text_lm_ppl_filter", "text_ngram_novelty", "pipeline_admission",
-      "graph_cc_incremental")
+      "graph_cc_incremental", "graph_triangle_incremental")
     val inline = hermeticConsumers.map(q => q -> rows(q)).toMap
     try {
       IndexStore.writeAll(s, dir, root)
