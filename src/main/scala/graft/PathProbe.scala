@@ -16,6 +16,12 @@ object PathProbe {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // keep TypedImperativeAggregate group-bys (TopKByValue — the ADC
+      // candidate cut, topk_per_group) on the HASH path: the default
+      // 128-key fallback degrades a pair-count-sized heap-agg input to a
+      // full in-partition sort spill; 64 k keys x ~1.2 KB heap state is
+      // ~80 MB/task, safe on this box and far above real group counts
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -617,16 +617,30 @@ object Sim {
       // anchor was dropped or the corpus has < 16 history vectors.
       .withColumn("lutarr", expr(
         "if(size(lutarr) = 128, lutarr, raise_error(concat('ADC LUT misaligned: expected 128 entries, got ', cast(size(lutarr) as string))))"))
-    val reo = probed.select(col("qrep"), col("cell"))
-      .join(codes, Seq("cell"))
-      .join(lut, Seq("qrep", "cell"))
+    // The candidate fan-out (batch-rep × probed-cell rep — 2.1 B rows at
+    // the 512 k probe) must exist only as a STREAM: the join inputs are
+    // the two bounded tables (lut: one row per (qrep, probed cell);
+    // codes: one row per history rep), the fan-out pours out of the
+    // cell-keyed join straight into the projection, and the top-64 cut
+    // is the bounded-heap aggregate ([[org.apache.spark.sql.graft
+    // .TopKByValue]], (value DESC, key ASC) — the window formulation's
+    // exact order), whose map-side partial heaps shuffle ≤ 64 rows per
+    // (qrep, map partition). The first formulation joined the fanned-out
+    // rows with the LUT by (qrep, cell) and ranked them with a window —
+    // two pair-count-sized shuffles, the second carrying the 128-double
+    // LUT arrays: at 512 k that is a ~170 GB shuffle write, measured as
+    // a disk-full abort (round 14). Pair-sized data now never hits an
+    // exchange.
+    val reo = lut.join(codes, Seq("cell"))
       .withColumn("adc_dot", expr(
         "aggregate(transform(codes, (c, s) -> element_at(lutarr, s * 16 + c + 1)), 0.0D, (acc, t) -> acc + t)"))
       .withColumn("adc_sim", round(col("adc_dot") / (col("qn") * sqrt(col("recn2"))), 6))
-      .withColumn("ark", row_number().over(
-        Window.partitionBy("qrep").orderBy(col("adc_sim").desc, col("rep"))))
-      .filter(col("ark") <= 64)
-      .select(col("qrep"), col("cell_assigned"), col("rep"))
+      .groupBy(col("qrep"))
+      .agg(org.apache.spark.sql.graft.TopKAgg
+        .topk_by_value(col("adc_sim"), col("rep"), 64).as("tk"),
+        first(col("cell_assigned")).as("cell_assigned"))
+      .select(col("qrep"), col("cell_assigned"),
+        explode(expr("transform(tk, t -> t.key)")).as("rep"))
     // exact re-rank: full vectors touched only for the ≤ 64 survivors
     val scoredReps = reo
       .join(hreps.select(col("rep"), col("v").as("hv"), col("hnrm")), Seq("rep"))
