@@ -675,9 +675,14 @@ object Graph {
     // narrow aggregate job over the fresh checkpoint instead of a
     // node×node join per round (DECIMAL(38,0) keeps the sum exact at
     // any node-id × node-count scale a cluster can hold)
-    def lblSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("lbl").cast("decimal(38,0)")).as("s"))
-        .head().getDecimal(0)
+    def lblSum(df: DataFrame): java.math.BigDecimal = {
+      // SUM over zero rows is NULL: an EMPTY graph is legitimate input
+      // (e.g. the CC fold against an already-merged label artifact
+      // leaves no component-connecting edges — the idempotent re-serve)
+      // and must read as a converged fixpoint, not an NPE
+      val s = df.agg(sum(col("lbl").cast("decimal(38,0)")).as("s")).head().getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s
+    }
     var prevSum = lblSum(lbl)
     while (r <= maxRounds && !converged) {
       // gather + jump in ONE materialized round: lbl_r = lbl_{r-1} ∘

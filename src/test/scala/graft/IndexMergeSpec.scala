@@ -60,5 +60,18 @@ class IndexMergeSpec extends AnyFunSuite {
     val histDocs = rows(s.read.parquet(s"$rootA/dedup_hist_docs"))
     val mergedDocs = rows(s.read.parquet(s"$rootB/dedup_hist_docs"))
     assert(mergedDocs.size > histDocs.size, "vacuous merge: no batch docs folded in")
+    // serving against the MERGED root must be identical AND idempotent:
+    // the CC fold finds every batch edge already inside one component
+    // (an EMPTY label-level graph — the lblSum null fix's case) and
+    // passes the merged labels through unchanged
+    val inline = SparkEntry.queries("graph_cc_incremental")(s, dir)
+      .collect().map(_.toString).sorted.toSeq
+    IndexStore.use(Some(rootB))
+    try {
+      val served = SparkEntry.queries("graph_cc_incremental")(s, dir)
+        .collect().map(_.toString).sorted.toSeq
+      assert(served == inline,
+        "graph_cc_incremental served from the merged root drifted from the in-session fold")
+    } finally IndexStore.use(None)
   }
 }
