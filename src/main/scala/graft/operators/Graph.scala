@@ -60,13 +60,6 @@ object Graph {
   private[graft] def buildHistEdges(s: SparkSession, dir: String): DataFrame =
     rawPairs(s, dir).filter(!isBatchEdge(col("u"), col("v"))).distinct()
 
-  /** Tonight's batch edges, derived from the raw corpus: the batch
-    * filter runs BEFORE the distinct, so the collapse exchange moves
-    * ~3% of the pair stream (the only full-width work a with-index
-    * session pays is the pair scan itself — this synthetic corpus
-    * derives edges from raw co-order pairs, where a production edge
-    * pipeline would read tonight's ingested edge file directly).
-    */
   /** Raw derivation of tonight's batch edge slice — what a production
     * pipeline receives as an INGESTED edge file. This synthetic corpus
     * has no edge table, so the slice must be derived from the co-order
@@ -883,10 +876,17 @@ object Graph {
       // frozen calendar slice: copy-through (see buildY95Edges doc)
       "graph_y95_edges" -> s.read.parquet(s"$histRoot/graph_y95_edges"),
       "graph_y95_trie" -> s.read.parquet(s"$histRoot/graph_y95_trie"),
-      // staged input, not index state: on this static corpus the slice
-      // is fixed, so the merged root carries it through (a production
-      // nightly would stage tomorrow's ingested edge file here)
-      "graph_batch_edges" -> s.read.parquet(s"$histRoot/graph_batch_edges"))
+      // staged input, CONSUMED by this merge: tonight's batch is now
+      // inside graph_hist_edges, and the composed serving path
+      // (edges = hist ∪ staged, degrees = hist ⊕ deg(staged),
+      // triangles = hist ∪ batch-closed(staged)) relies on the two
+      // being DISJOINT — carrying the staging through unchanged would
+      // double-count every batch edge for composed consumers. The
+      // anti-join against the merged history writes exactly the
+      // un-merged remainder (empty here; a production nightly stages
+      // tomorrow's ingested edge file into the new root afterwards).
+      "graph_batch_edges" ->
+        batchEdgesOf(s, dir).join(mergedE, Seq("u", "v"), "left_anti"))
   }
 
   /** Full-corpus rebuild comparators for IndexMergeSpec (the whole
@@ -905,7 +905,10 @@ object Graph {
       "graph_hist_cc_labels" -> lbl,
       "graph_y95_edges" -> buildY95Edges(s, dir),
       "graph_y95_trie" -> buildY95TriE(s, dir),
-      "graph_batch_edges" -> buildBatchEdges(s, dir))
+      // whole corpus treated as history ⇒ nothing left staged: the
+      // merge CONSUMES the batch (see mergedArtifacts), so the rebuilt
+      // comparator for the staging artifact is the empty edge set
+      "graph_batch_edges" -> buildBatchEdges(s, dir).limit(0))
   }
 
   /** Degree assortativity (Newman's r) — do hubs attach to hubs? The
@@ -1615,7 +1618,14 @@ object Graph {
     * diameter these corpora produce; rounds past the fixpoint are
     * no-ops (labels are already stable), so the unrolled tail is safe.
     * Each round mirrors the Spark loop verbatim: gather one hop +
-    * group-min, then jump THROUGH the previous round's table.
+    * group-min, then jump THROUGH the previous round's table. Unlike
+    * the engine loop (which fail-louds on budget exhaustion,
+    * [[buildHistCcLabels]]), a fixed unroll would silently return
+    * non-components on a corpus whose min-id eccentricity exceeds 255
+    * — so the final SELECT mirrors the fail-loud: it appends a
+    * sentinel row (node = −1) whenever round 8 still changed a label,
+    * which can only hash-mismatch the engine side and turn the silent
+    * drift into a red gate (ADVICE r14).
     */
   private val oCcIncr: String = {
     val rounds = (1 to 8).map { r =>
@@ -1632,10 +1642,16 @@ object Graph {
        |adj AS MATERIALIZED (SELECT u AS src, v AS dst FROM bp UNION ALL SELECT v, u FROM bp),
        |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM adj),
        |$rounds,
-       |cs AS (SELECT lbl, COUNT(*) AS n_nodes FROM l8 GROUP BY 1)
-       |SELECT l8.node, CAST(l8.lbl AS BIGINT) AS component,
-       |  CAST(cs.n_nodes AS BIGINT) AS n_nodes
-       |FROM l8 JOIN cs USING (lbl) ORDER BY node""".stripMargin
+       |cs AS (SELECT lbl, COUNT(*) AS n_nodes FROM l8 GROUP BY 1),
+       |chg AS (SELECT CAST(COUNT(*) AS BIGINT) AS nch FROM l8 a
+       |  JOIN l7 b ON a.node = b.node WHERE a.lbl <> b.lbl)
+       |SELECT * FROM (
+       |  SELECT l8.node, CAST(l8.lbl AS BIGINT) AS component,
+       |    CAST(cs.n_nodes AS BIGINT) AS n_nodes
+       |  FROM l8 JOIN cs USING (lbl)
+       |  UNION ALL
+       |  SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), nch FROM chg WHERE nch > 0
+       |) ORDER BY node""".stripMargin
   }
 
   /** Unrolled DuckDB Brandes for graph_betweenness_sample (see the

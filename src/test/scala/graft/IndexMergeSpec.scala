@@ -64,14 +64,25 @@ class IndexMergeSpec extends AnyFunSuite {
     // the CC fold finds every batch edge already inside one component
     // (an EMPTY label-level graph — the lblSum null fix's case) and
     // passes the merged labels through unchanged
-    val inline = SparkEntry.queries("graph_cc_incremental")(s, dir)
-      .collect().map(_.toString).sorted.toSeq
+    // COMPOSED consumers (edges = hist ∪ staged, degrees = hist ⊕
+    // deg(staged), triangles = hist ∪ batch-closed(staged)) must also
+    // serve identically from the merged root: the merge consumed the
+    // batch into history and wrote the staging as the empty remainder,
+    // so the disjointness invariant the composition relies on holds —
+    // a carried-through staging would double-count every batch edge
+    // here (ADVICE r14 medium)
+    val composed = Seq("graph_cc_incremental", "graph_triangles",
+      "graph_degree_stats", "graph_triangle_incremental")
+    val inline = composed.map(q =>
+      q -> SparkEntry.queries(q)(s, dir).collect().map(_.toString).sorted.toSeq).toMap
     IndexStore.use(Some(rootB))
     try {
-      val served = SparkEntry.queries("graph_cc_incremental")(s, dir)
-        .collect().map(_.toString).sorted.toSeq
-      assert(served == inline,
-        "graph_cc_incremental served from the merged root drifted from the in-session fold")
+      composed.foreach { q =>
+        val served = SparkEntry.queries(q)(s, dir)
+          .collect().map(_.toString).sorted.toSeq
+        assert(served == inline(q),
+          s"$q served from the merged root drifted from the in-session build")
+      }
     } finally IndexStore.use(None)
   }
 }
