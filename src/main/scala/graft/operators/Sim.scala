@@ -555,9 +555,21 @@ object Sim {
       .withColumn("qxn", sqrt(vec_dot(col("qx"), col("qx"))))
 
   /** Each batch rep's nprobe=3 probed cells + its crk=1 cell
-    * assignment — shared by the serving query and [[graft.IvfIncrProbe]].
+    * assignment — shared by the serving query, the stats planner's
+    * candidate count, and [[graft.IvfIncrProbe]]. Session-persisted:
+    * the planner's decision aggregate and the chosen scoring leg both
+    * consume it, and the batch-rep × centroid probe window is the kind
+    * of work that must not be paid twice per serve.
     */
-  private[graft] def incrProbed(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def incrProbed(s: SparkSession, dir: String): DataFrame =
+    graft.Cached.of(s, dir, "sim.incr.probed" + graft.IndexStore.tag)(
+      incrProbedPlan(s, dir))
+
+  /** The probe plan itself, uncached — PlanEvidenceSpec pins its shape
+    * (broadcast centroid probe, no cartesian) here, where the session
+    * persist can't hide the join strategy behind an InMemoryRelation.
+    */
+  private[graft] def incrProbedPlan(s: SparkSession, dir: String): DataFrame = {
     val cent = ivfHistCentroids(s, dir)
     incrBreps(s, dir)
       .crossJoin(broadcast(cent.select(col("cell"), col("cv"), col("cn"))))
@@ -570,77 +582,157 @@ object Sim {
       .select(col("qrep"), col("qv"), col("qn"), col("cell"), col("cell_assigned"))
   }
 
-  private val ivfIncremental: Q = (s, dir) => {
+  /** The ADC-vs-exact scoring crossover, in candidate pairs (Σ over
+    * probed (batch rep, cell) of reps-in-cell). Below it the ADC
+    * machinery's FIXED bill (LUT build + codes join + heap state)
+    * exceeds its per-pair savings; above it the 8-byte-lookup scoring
+    * repays it many times over. Calibrated from the two measured
+    * corpora (BASELINE.md round-14: 147 M pairs → exact wins 1.6×;
+    * 2 111 M pairs → ADC wins 1.9×; crossover ≈ 300 k vectors ≈
+    * 5·10⁸ pairs at the 25% share). Interpolated verbatim into the
+    * DuckDB oracle so the CHOICE itself is hash-verified.
+    */
+  private[graft] val AdcPairCut: Long = 500000000L
+
+  /** Per-batch-rep candidate volume — the planner's decision input,
+    * computed from two bounded tables (probed: batch reps × nprobe
+    * rows; per-cell rep counts: ncells rows). Never streams the pair
+    * fan-out. Shared with RoundFifteenOpsSpec's non-binding-cut pin.
+    */
+  private[graft] def incrCandCounts(s: SparkSession, dir: String): DataFrame =
+    incrProbed(s, dir)
+      .join(ivfHistReps(s, dir).groupBy("cell").agg(count(lit(1)).as("nreps")),
+        Seq("cell"))
+      .groupBy("qrep").agg(sum(col("nreps")).as("ncand"))
+
+  /** Batch vector → content rep membership (q_id, qrep) — shared by
+    * the serving query and RoundFifteenOpsSpec's leg-agreement pin.
+    */
+  private[graft] def incrBmem(s: SparkSession, dir: String): DataFrame =
+    batchVectors(s, dir)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .join(incrBreps(s, dir).select(col("qrep"), col("qv")), Seq("qv"))
+      .select(col("q_id"), col("qrep"))
+
+  private val ivfIncremental: Q = (s, dir) => ivfIncrementalWith(s, dir, None)
+
+  /** The serving query, with the scoring leg either chosen by the
+    * stats planner (`leg = None`) or pinned (`Some(true)` = ADC,
+    * `Some(false)` = exact) for specs that must exercise one leg.
+    */
+  private[graft] def ivfIncrementalWith(
+      s: SparkSession, dir: String, leg: Option[Boolean]): DataFrame = {
     val hreps = ivfHistReps(s, dir)
     val hmem = ivfHistMembers(s, dir)
     val cent = ivfHistCentroids(s, dir)
     val bv = batchVectors(s, dir)
     val breps = incrBreps(s, dir)
-    val bmem = bv
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
-      .join(breps.select(col("qrep"), col("qv")), Seq("qv"))
-      .select(col("q_id"), col("qrep"))
+    val bmem = incrBmem(s, dir)
     // the frozen cell budget, recovered from the artifact rows — a cold
     // session must never count raw history (1-row aggregate crossJoin)
     val ncDf = cent.groupBy().agg(max(col("nc")).as("ncells"))
     val probed = incrProbed(s, dir)
-    // ADC stage (round-13, the r12 verdict's top ask): candidates are
-    // scored from their 8-int PQ codes — one 128-entry per-(qrep, cell)
-    // lookup table, 8 lookup-adds per pair — instead of a 64-dim float
-    // dot against the full rep vector. The candidate join's history
-    // side moves 8 ints + 1 double per rep (the codes artifact) rather
-    // than 64 doubles, so at the production 512 k probe the scoring leg
-    // pays ~1/8 the arithmetic on ~1/8 the bytes; only the ADC top-64
-    // reps per batch rep are re-ranked against exact vectors (the
-    // reorder stage, [[ivfpqResTopkAt]]'s discipline). The cut CAN
-    // bind even at gate sf (round 14 finding: query 301 at sf0.001
-    // probes > 64 reps and the cut drops its exact-top-1), so both the
-    // DuckDB oracle (oIncrServe's reo) and RoundTenOpsSpec's in-memory
-    // replay carry the identical ADC stage — ANN semantics, recall
-    // pinned by sim_ivf_incremental_recall{,_clustered}.
-    // cb is ncells×128 rows = 128·⌊√n_hist⌋ — √n-bounded (~92 k rows
-    // even at n = 512 k), so the broadcast hint is size-safe at any
-    // corpus; the LUT below is NOT (one row per batch-rep × probed
-    // cell — it grows with the BATCH), so its join carries no hint and
-    // AQE picks broadcast vs shuffle from the measured size.
-    val cb = ivfHistCodebook(s, dir)
-    val codes = ivfHistCodes(s, dir)
-    val lut = probed.join(broadcast(cb), Seq("cell"))
-      .withColumn("pdot", vec_dot(expr("slice(qv, sub * 8 + 1, 8)"), col("cw")))
-      .groupBy(col("qrep"), col("cell"))
-      .agg(first(col("qn")).as("qn"), first(col("cell_assigned")).as("cell_assigned"),
-        expr("transform(array_sort(collect_list(struct(sub * 16 + code AS k, pdot))), p -> p.pdot)")
-          .as("lutarr"))
-      // element_at below indexes lutarr POSITIONALLY (k = sub·16 + code),
-      // which is only sound when the (sub, code) grid is dense: all 128
-      // entries present. Fail loud instead of silently mis-ranking if an
-      // anchor was dropped or the corpus has < 16 history vectors.
-      .withColumn("lutarr", expr(
-        "if(size(lutarr) = 128, lutarr, raise_error(concat('ADC LUT misaligned: expected 128 entries, got ', cast(size(lutarr) as string))))"))
-    // The candidate fan-out (batch-rep × probed-cell rep — 2.1 B rows at
-    // the 512 k probe) must exist only as a STREAM: the join inputs are
-    // the two bounded tables (lut: one row per (qrep, probed cell);
-    // codes: one row per history rep), the fan-out pours out of the
-    // cell-keyed join straight into the projection, and the top-64 cut
-    // is the bounded-heap aggregate ([[org.apache.spark.sql.graft
-    // .TopKByValue]], (value DESC, key ASC) — the window formulation's
-    // exact order), whose map-side partial heaps shuffle ≤ 64 rows per
-    // (qrep, map partition). The first formulation joined the fanned-out
-    // rows with the LUT by (qrep, cell) and ranked them with a window —
-    // two pair-count-sized shuffles, the second carrying the 128-double
-    // LUT arrays: at 512 k that is a ~170 GB shuffle write, measured as
-    // a disk-full abort (round 14). Pair-sized data now never hits an
-    // exchange.
-    val reo = lut.join(codes, Seq("cell"))
-      .withColumn("adc_dot", expr(
-        "aggregate(transform(codes, (c, s) -> element_at(lutarr, s * 16 + c + 1)), 0.0D, (acc, t) -> acc + t)"))
-      .withColumn("adc_sim", round(col("adc_dot") / (col("qn") * sqrt(col("recn2"))), 6))
-      .groupBy(col("qrep"))
-      .agg(org.apache.spark.sql.graft.TopKAgg
-        .topk_by_value(col("adc_sim"), col("rep"), 64).as("tk"),
-        first(col("cell_assigned")).as("cell_assigned"))
-      .select(col("qrep"), col("cell_assigned"),
-        explode(expr("transform(tk, t -> t.key)")).as("rep"))
+    // ---- stats planner (round 15, the r14 verdict's top ask): the
+    // scoring leg — ADC or exact — is CHOSEN from the candidate volume
+    // P = Σ over probed (qrep, cell) of reps-in-cell, an aggregate of
+    // two bounded tables that never streams the pair fan-out. Both
+    // legs share the probe, the top-64 cut discipline, and the whole
+    // downstream; the DuckDB oracle computes the identical P and
+    // replays the identical choice, so the decision itself is
+    // hash-verified. Measured basis for the cut: BASELINE.md round-14
+    // (147 M pairs → exact wins 1.6×; 2 111 M → ADC wins 1.9×).
+    val useAdc = leg.getOrElse {
+      incrCandCounts(s, dir)
+        .agg(coalesce(sum(col("ncand")), lit(0L)).as("p"))
+        .head().getLong(0) > AdcPairCut
+    }
+    val reo = if (useAdc) {
+      // ADC leg (round-13, the r12 verdict's top ask): candidates are
+      // scored from their 8-int PQ codes — one 128-entry per-(qrep,
+      // cell) lookup table, 8 lookup-adds per pair — instead of a
+      // 64-dim float dot against the full rep vector. The candidate
+      // join's history side moves 8 ints + 1 double per rep (the codes
+      // artifact) rather than 64 doubles, so at the production 512 k
+      // probe the scoring leg pays ~1/8 the arithmetic on ~1/8 the
+      // bytes; only the ADC top-64 reps per batch rep are re-ranked
+      // against exact vectors (the reorder stage, [[ivfpqResTopkAt]]'s
+      // discipline). The cut CAN bind (it decides who survives), so
+      // the DuckDB oracle (oIncrServe's reo), RoundTenOpsSpec's
+      // in-memory replay, and the clustered recall gate all carry the
+      // identical ADC stage.
+      // cb is ncells×128 rows = 128·⌊√n_hist⌋ — √n-bounded (~92 k rows
+      // even at n = 512 k), so the broadcast hint is size-safe at any
+      // corpus; the LUT below is NOT (one row per batch-rep × probed
+      // cell — it grows with the BATCH), so its join carries no hint
+      // and AQE picks broadcast vs shuffle from the measured size.
+      val cb = ivfHistCodebook(s, dir)
+      val codes = ivfHistCodes(s, dir)
+      val lut = probed.join(broadcast(cb), Seq("cell"))
+        .withColumn("pdot", vec_dot(expr("slice(qv, sub * 8 + 1, 8)"), col("cw")))
+        .groupBy(col("qrep"), col("cell"))
+        .agg(first(col("qn")).as("qn"), first(col("cell_assigned")).as("cell_assigned"),
+          expr("transform(array_sort(collect_list(struct(sub * 16 + code AS k, pdot))), p -> p.pdot)")
+            .as("lutarr"))
+        // element_at below indexes lutarr POSITIONALLY in (sub-major,
+        // code) order with the stride INFERRED from the grid (r14
+        // verdict ask #6): anchor codes are contiguous 0..k−1 by
+        // construction (row_number − 1) and every anchor emits all 8
+        // subspace rows, so the grid is always a dense k×8 — a corpus
+        // with < 16 history vectors simply gets a shorter stride and
+        // serves correctly instead of erroring. The remaining guard is
+        // the one genuinely impossible-by-construction shape (a grid
+        // that is not a multiple of 8), kept fail-loud; an
+        // out-of-stride code would also fail loud via ANSI element_at.
+        .withColumn("lutarr", expr(
+          "if(size(lutarr) > 0 and size(lutarr) % 8 = 0, lutarr, raise_error(concat('ADC LUT misaligned: expected a dense kx8 grid, got ', cast(size(lutarr) as string), ' entries')))"))
+        // the stride is hoisted to a per-LUT-row column: evaluating
+        // size()/div inside the scoring lambda would re-run it per
+        // PAIR-ELEMENT (~17 B times at the 512 k probe)
+        .withColumn("lutk", expr("cast(size(lutarr) div 8 as int)"))
+      // The candidate fan-out (batch-rep × probed-cell rep — 2.1 B rows
+      // at the 512 k probe) must exist only as a STREAM: the join inputs
+      // are the two bounded tables (lut: one row per (qrep, probed
+      // cell); codes: one row per history rep), the fan-out pours out of
+      // the cell-keyed join straight into the projection, and the top-64
+      // cut is the bounded-heap aggregate ([[org.apache.spark.sql.graft
+      // .TopKByValue]], (value DESC, key ASC) — the window formulation's
+      // exact order), whose map-side partial heaps shuffle ≤ 64 rows per
+      // (qrep, map partition). The first formulation joined the
+      // fanned-out rows with the LUT by (qrep, cell) and ranked them
+      // with a window — two pair-count-sized shuffles, the second
+      // carrying the 128-double LUT arrays: at 512 k that is a ~170 GB
+      // shuffle write, measured as a disk-full abort (round 14).
+      // Pair-sized data never hits an exchange.
+      lut.join(codes, Seq("cell"))
+        .withColumn("adc_dot", expr(
+          "aggregate(transform(codes, (c, s) -> element_at(lutarr, s * lutk + c + 1)), 0.0D, (acc, t) -> acc + t)"))
+        .withColumn("adc_sim", round(col("adc_dot") / (col("qn") * sqrt(col("recn2"))), 6))
+        .groupBy(col("qrep"))
+        .agg(org.apache.spark.sql.graft.TopKAgg
+          .topk_by_value(col("adc_sim"), col("rep"), 64).as("tk"),
+          first(col("cell_assigned")).as("cell_assigned"))
+        .select(col("qrep"), col("cell_assigned"),
+          explode(expr("transform(tk, t -> t.key)")).as("rep"))
+    } else {
+      // Exact leg: the full-vector cosine streams straight out of the
+      // same cell-keyed join (probed ⋈ reps — two bounded inputs, the
+      // pair fan-out never hits an exchange) into the SAME bounded-heap
+      // top-64 cut. Below the crossover this pays 64 mult-adds per pair
+      // but zero fixed machinery — no LUT build, no codes join — which
+      // is what makes it the faster leg on small candidate volumes.
+      // The downstream re-rank recomputes the identical cosine for the
+      // ≤ 64 survivors (idempotent), keeping one shared tail.
+      probed
+        .join(hreps.select(col("cell"), col("rep"),
+          col("v").as("hv"), col("hnrm")), Seq("cell"))
+        .withColumn("xsim", cosine(col("qv"), col("qn"), col("hv"), col("hnrm")))
+        .groupBy(col("qrep"))
+        .agg(org.apache.spark.sql.graft.TopKAgg
+          .topk_by_value(col("xsim"), col("rep"), 64).as("tk"),
+          first(col("cell_assigned")).as("cell_assigned"))
+        .select(col("qrep"), col("cell_assigned"),
+          explode(expr("transform(tk, t -> t.key)")).as("rep"))
+    }
     // exact re-rank: full vectors touched only for the ≤ 64 survivors
     val scoredReps = reo
       .join(hreps.select(col("rep"), col("v").as("hv"), col("hnrm")), Seq("rep"))
@@ -2391,16 +2483,25 @@ object Sim {
 
   /** The SERVING block (references `v`/`hv`/`bq`/`a2`/`c3`): nprobe=3
     * coarse probe, the folded residual codebook, per-vector codes, the
-    * LUT, the ADC top-64 cut, exact re-rank (`tp`).
+    * LUT, the leg-selected top-64 cut, exact re-rank (`tp`).
+    *
+    * `adcCond` is the leg-selection predicate replayed verbatim from
+    * the Spark planner: the production sites pass the candidate-volume
+    * rule (`cstat.np > AdcPairCut` — the decision input is the same
+    * bounded pc ⋈ per-cell count both engines compute), so the CHOICE
+    * is hash-verified; the clustered recall gate passes `1 = 1` to pin
+    * the ADC leg it exists to exercise.
     */
-  private val oIncrServe: String =
-    """pc AS (SELECT q_id, qv, qn, cell, crk FROM (
+  private def oIncrServeWith(adcCond: String): String =
+    s"""pc AS (SELECT q_id, qv, qn, cell, crk FROM (
       |  SELECT b.q_id, b.qv, b.qn, c3.cell,
       |    row_number() OVER (PARTITION BY b.q_id ORDER BY
       |      list_sum(list_transform(range(64), i -> b.qx[i+1] * c3.cv[i+1])) / (b.qxn * c3.cn) DESC,
       |      c3.cell) AS crk
       |  FROM bq b CROSS JOIN c3) WHERE crk <= 3),
       |qa AS (SELECT q_id, cell AS cell_assigned FROM pc WHERE crk = 1),
+      |cstat AS (SELECT CAST(COUNT(*) AS BIGINT) AS np
+      |  FROM pc JOIN a2 ON a2.cell = pc.cell),
       |uc AS (SELECT cell, list_transform(cv, t -> t / cn) AS u FROM c3),
       |anc AS (SELECT vec_id, v, CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS code
       |  FROM (SELECT vec_id, v FROM hv ORDER BY vec_id LIMIT 16)),
@@ -2430,16 +2531,35 @@ object Sim {
       |adA AS (SELECT q_id, cand_id, ANY_VALUE(qn) AS qn,
       |    list_sum(list(pdot ORDER BY sub)) AS adot
       |  FROM ad0 GROUP BY q_id, cand_id),
-      |reo AS (SELECT q_id, cand_id FROM (
-      |  SELECT a.q_id, a.cand_id,
-      |    row_number() OVER (PARTITION BY a.q_id ORDER BY
-      |      round(a.adot / (a.qn * sqrt(r.recn2)), 6) DESC, a.cand_id) AS ark
-      |  FROM adA a JOIN hrn r ON r.vec_id = a.cand_id) WHERE ark <= 64),
+      |reo AS (
+      |  SELECT q_id, cand_id FROM (
+      |    SELECT a.q_id, a.cand_id,
+      |      row_number() OVER (PARTITION BY a.q_id ORDER BY
+      |        round(a.adot / (a.qn * sqrt(r.recn2)), 6) DESC, a.cand_id) AS ark
+      |    FROM adA a JOIN hrn r ON r.vec_id = a.cand_id)
+      |  WHERE ark <= 64 AND ($adcCond)
+      |  UNION ALL
+      |  SELECT q_id, cand_id FROM (
+      |    SELECT pc.q_id, w.vec_id AS cand_id,
+      |      row_number() OVER (PARTITION BY pc.q_id ORDER BY
+      |        round(list_sum(list_transform(range(64), i -> pc.qv[i+1] * w.v[i+1])) / (pc.qn * w.nrm), 6) DESC,
+      |        w.vec_id) AS xrk
+      |    FROM pc JOIN a2 ON a2.cell = pc.cell JOIN hv w ON w.vec_id = a2.vec_id)
+      |  WHERE xrk <= 64 AND NOT ($adcCond)),
       |sc AS (SELECT b.q_id, w.vec_id AS cand_id,
       |  round(list_sum(list_transform(range(64), i -> b.qv[i+1] * w.v[i+1])) / (b.qn * w.nrm), 6) AS cos_sim
       |  FROM reo JOIN bq b ON b.q_id = reo.q_id JOIN hv w ON w.vec_id = reo.cand_id),
       |tp AS (SELECT q_id, cand_id, cos_sim,
       |  row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id) AS rk FROM sc)""".stripMargin
+
+  /** Production serving: the leg is the planner's choice, replayed. */
+  private val oIncrServe: String =
+    oIncrServeWith(s"(SELECT np FROM cstat) > $AdcPairCut")
+
+  /** The clustered recall gate's serving: ADC pinned (it exists to
+    * hash-verify the ADC ordering with a binding cut).
+    */
+  private val oIncrServeAdc: String = oIncrServeWith("1 = 1")
 
   val oracles: Map[String, String] = Map(
     // HUGEINT Gramian sums → 64×64 covariance numerators exact, then 3
@@ -2889,7 +3009,7 @@ object Sim {
          |  FROM v WHERE substr(md5('incrv|' || CAST(vec_id AS VARCHAR)), 1, 2) < '40'
          |  ORDER BY vec_id LIMIT 8),
          |$oIncrTrain,
-         |$oIncrServe,
+         |$oIncrServeAdc,
          |bs AS (SELECT bq.q_id, w.vec_id AS cand_id,
          |  round(list_sum(list_transform(range(64), i -> bq.qv[i+1] * w.v[i+1])) / (bq.qn * w.nrm), 6) AS cos_sim
          |  FROM bq CROSS JOIN hv w),

@@ -38,12 +38,16 @@ class PlanEvidenceSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
   }
 
   test("sim_ivf_incremental probes only artifact-sized tables map-side: centroids broadcast") {
-    val p = planString(operators.Sim.queries("sim_ivf_incremental")(s, dir))
-    // the √n-row centroid table rides a broadcast; the rep-scoring cell
-    // join is intentionally hint-free (batch is a corpus slice), so the
-    // only nested-loop is the tiny broadcast centroid probe
+    // the probe subplan is pinned UNCACHED (the session persist would
+    // hide the join strategy behind an InMemoryRelation): the √n-row
+    // centroid table rides a broadcast nested-loop, never a cartesian
+    val p = planString(operators.Sim.incrProbedPlan(s, dir))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(2000))
     assert(!p.contains("CartesianProduct"), "centroid probe lost its broadcast")
+    // and the shipped query (whichever leg the planner picks) never
+    // degrades to a cross product
+    val q = planString(operators.Sim.queries("sim_ivf_incremental")(s, dir))
+    assert(!q.contains("CartesianProduct"), q.take(2000))
   }
 
   test("sim_ivf_incremental: no broadcast HINT on the batch-proportional ADC LUT side") {
@@ -54,8 +58,10 @@ class PlanEvidenceSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     // (centroids, codebook, anchors): assert every hinted subtree is
     // LUT-free, so AQE alone decides the (qrep, cell) join strategy
     // from measured size. 'pdot' is the LUT build's partial-dot column
-    // — it exists in no other subtree of this plan.
-    val df = operators.Sim.queries("sim_ivf_incremental")(s, dir)
+    // — it exists in no other subtree of this plan. The ADC leg is
+    // FORCED here: the stats planner picks the exact leg at gate-sf
+    // candidate volumes, and this pin is about the ADC plan's shape.
+    val df = operators.Sim.ivfIncrementalWith(s, dir, Some(true))
     val hints = df.queryExecution.analyzed.collect {
       case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
     }

@@ -217,7 +217,7 @@ class RoundTenOpsSpec extends AnyFunSuite {
       hid -> (perSub, recn2)
     }.toMap
     var bindingQueries = 0
-    val expected = batch.flatMap { case (qid, qv, _) =>
+    def replay(adcLeg: Boolean) = batch.flatMap { case (qid, qv, _) =>
       val (qx, qn) = (quant(qv), nrm64(qv))
       val qxn = nrm64(quant(qv))
       val ranked = c3.map { case (c, cv, cn) => (c, dot64(qx, cv) / (qxn * cn)) }
@@ -225,32 +225,56 @@ class RoundTenOpsSpec extends AnyFunSuite {
       val probed = ranked.take(3).map(_._1).toSet
       val assigned = ranked.head._1
       val cands = hist.filter(h => probed.contains(a2(h._1)))
-      if (cands.length > 64) bindingQueries += 1
-      val survivors = cands.map { case (hid, _, _) =>
-        val c = a2(hid)
-        val (codes, recn2) = hcodes(hid)
-        var adot = 0.0; var sub = 0
-        while (sub < 8) {
-          val w = cw((c, sub, codes(sub)))._1
-          var pd = 0.0; var j = 0
-          while (j < 8) { pd += qv(sub * 8 + j) * w(j); j += 1 }
-          adot += pd; sub += 1
-        }
-        (hid, r6(adot / (qn * math.sqrt(recn2))))
-      }.sortBy { case (hid, as) => (-as, hid) }.take(64).map(_._1).toSet
+      if (adcLeg && cands.length > 64) bindingQueries += 1
+      val survivors = (if (adcLeg) cands.map { case (hid, _, _) =>
+          val c = a2(hid)
+          val (codes, recn2) = hcodes(hid)
+          var adot = 0.0; var sub = 0
+          while (sub < 8) {
+            val w = cw((c, sub, codes(sub)))._1
+            var pd = 0.0; var j = 0
+            while (j < 8) { pd += qv(sub * 8 + j) * w(j); j += 1 }
+            adot += pd; sub += 1
+          }
+          (hid, r6(adot / (qn * math.sqrt(recn2))))
+        } else cands.map { case (hid, hv, _) =>
+          (hid, r6(dot64(qv, hv) / (qn * nrm64(hv))))
+        }).sortBy { case (hid, sc) => (-sc, hid) }.take(64).map(_._1).toSet
       cands.filter(h => survivors.contains(h._1))
         .map { case (hid, hv, _) => (hid, r6(dot64(qv, hv) / (qn * nrm64(hv)))) }
         .sortBy { case (hid, cs) => (-cs, hid) }
         .take(3).zipWithIndex
         .map { case ((hid, cs), i) => (qid, assigned, i + 1, hid, cs, nc) }
     }.toSet
-    val got = SparkEntry.queries("sim_ivf_incremental")(s, dir).collect()
+    // the stats planner's decision input, replayed: total candidate
+    // pairs over all probed cells (the corpus is duplicate-free at this
+    // sf, so vector grain equals the engine's rep grain)
+    val pairCount = batch.map { case (_, qv, _) =>
+      val qx = quant(qv); val qxn = nrm64(qx)
+      val probed = c3.map { case (c, cv, cn) => (c, dot64(qx, cv) / (qxn * cn)) }
+        .sortBy { case (c, cc) => (-cc, c) }.take(3).map(_._1).toSet
+      hist.count(h => probed.contains(a2(h._1))).toLong
+    }.sum
+    val plannerAdc = pairCount > operators.Sim.AdcPairCut
+    assert(!plannerAdc,
+      s"gate-sf candidate volume $pairCount crossed the ADC cut — the " +
+        "planner pin below assumes the exact leg at this sf")
+    def collected(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
         r.getDouble(4), r.getLong(5)))
       .toSet
+    // the SHIPPED query follows the planner's choice
+    val expected = replay(plannerAdc)
+    val got = collected(SparkEntry.queries("sim_ivf_incremental")(s, dir))
     assert(got == expected,
       s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
     assert(expected.nonEmpty, "vacuous: no batch vectors at this sf")
+    // and the ADC leg stays pinned against its replay via the forced
+    // leg — the planner must not turn the ADC machinery into dead code
+    val expectedAdc = replay(adcLeg = true)
+    val gotAdc = collected(operators.Sim.ivfIncrementalWith(s, dir, Some(true)))
+    assert(gotAdc == expectedAdc,
+      s"ADC leg: missing=${(expectedAdc -- gotAdc).take(3)} extra=${(gotAdc -- expectedAdc).take(3)}")
     assert(bindingQueries > 0,
       "vacuous: the ADC top-64 cut no longer binds for any query at " +
         "this sf — the replay's ADC stage is untested dead weight")
