@@ -1093,15 +1093,21 @@ object Dedup {
     * queries that take ~13 s warm).
     */
   def prewarm(s: SparkSession, dir: String): Unit = {
+    // shared base chain first — everything below derives from it, so
+    // building it up front keeps the concurrent chains off each
+    // other's Cached keys
     Tables.docsSpread(s, dir).count()
     shingles(s, dir).count()
     contentGroups(s, dir).count()
-    postings(s, dir).count()
-    minhashBands(s, dir).count()
-    minhashPairs(s, dir).count()
-    simhashes(s, dir).count()
-    rareStringSets(s, dir).count()
-    ngramMinhashSigs(s, dir).count()
+    // the derived chains are dependency-disjoint: build them
+    // concurrently (graft.Par) — the phase was latency-bound on
+    // sequential job barriers (r14 verdict ask #4: 18.5 s of the
+    // ~60 s sf0.1 warmup, measured mostly idle cores)
+    graft.Par.run(Seq(
+      () => postings(s, dir).count(),
+      () => { minhashBands(s, dir).count(); minhashPairs(s, dir).count() },
+      () => simhashes(s, dir).count(),
+      () => { rareStringSets(s, dir).count(); ngramMinhashSigs(s, dir).count() }))
   }
 
   val queries: Map[String, Q] = Map(

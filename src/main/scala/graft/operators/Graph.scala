@@ -183,14 +183,28 @@ object Graph {
     * warm cost (r11 verdict ask #5: warmup attribution + trim).
     */
   def prewarm(s: SparkSession, dir: String): Unit = {
+    // the co-purchase edge set feeds every chain below — build it first
     edges(s, dir).count()
-    adjacency(s, dir).count()
-    degrees(s, dir).count()
-    lpaLabels(s, dir).count()
-    triangleRows(s, dir).count()
-    edges1995(s, dir).count()
-    triE1995(s, dir).count()
-    edgeSup1995(s, dir).count()
+    // three dependency-disjoint chains run concurrently (graft.Par,
+    // r14 verdict ask #4): the main-substrate chain, the frozen 1995
+    // truss slice, and the bipartite history CC labels (ask #5 — a
+    // single-consumer cache by the usual rule, prewarmed by verdict
+    // exception so graph_cc_incremental's committed number measures
+    // the nightly fold, not the one-time history pointer-doubling)
+    graft.Par.run(Seq(
+      () => {
+        adjacency(s, dir).count()
+        degrees(s, dir).count()
+        graft.Par.run(Seq(
+          () => lpaLabels(s, dir).count(),
+          () => triangleRows(s, dir).count()))
+      },
+      () => {
+        edges1995(s, dir).count()
+        triE1995(s, dir).count()
+        edgeSup1995(s, dir).count()
+      },
+      () => histCcLabels(s, dir).count()))
   }
 
   /** Degree-ordered orientation of [[edges]] — the shared substrate of
@@ -837,13 +851,19 @@ object Graph {
     * (pointer-doubling over history ∪ batch, unrolled), the strongest
     * oracle an incremental operator can get.
     */
-  private val ccIncremental: Q = (s, dir) => {
-    val histLbl = graft.Cached.of(s, dir, "graph.ccHist" + graft.IndexStore.tag) {
+  /** The frozen history CC label table — artifact-backed accessor,
+    * shared by the serving query and the Bench graph prewarm (r14
+    * verdict ask #5: the one-time in-session pointer-doubling belongs
+    * with the other substrate builds, not inside the query's number).
+    */
+  private[graft] def histCcLabels(s: SparkSession, dir: String): DataFrame =
+    graft.Cached.of(s, dir, "graph.ccHist" + graft.IndexStore.tag) {
       graft.IndexStore.loadOrBuild(s, "graph_hist_cc_labels")(
         buildHistCcLabels(s, dir))
     }
-    componentsOutput(ccFoldLabels(s, dir, histLbl))
-  }
+
+  private val ccIncremental: Q = (s, dir) =>
+    componentsOutput(ccFoldLabels(s, dir, histCcLabels(s, dir)))
 
   /** Nightly index UPDATE for the graph substrate artifacts — pure set
     * algebra over the persisted history tables plus batch-derived
@@ -871,7 +891,7 @@ object Graph {
       "graph_hist_edges" -> mergedE,
       "graph_hist_deg" -> mergedD,
       "graph_hist_tri" -> histT.unionByName(
-        batchClosedTriangles(newE, symAdj(s, mergedE), mergedD)),
+        batchClosedTriangles(newE, batchAdjOf(mergedE, newE), mergedD)),
       "graph_hist_cc_labels" -> ccFoldLabels(s, dir, histL),
       // frozen calendar slice: copy-through (see buildY95Edges doc)
       "graph_y95_edges" -> s.read.parquet(s"$histRoot/graph_y95_edges"),
@@ -991,8 +1011,9 @@ object Graph {
       if (graft.IndexStore.active.isDefined) {
         val hist = graft.IndexStore.loadOrBuild(s, "graph_hist_tri")(
           buildHistTri(s, dir))
+        val bE = batchEdgesOf(s, dir)
         hist.unionAll(batchClosedTriangles(
-          batchEdgesOf(s, dir), adjacency(s, dir), degrees(s, dir)))
+          bE, batchAdjOf(edges(s, dir), bE), degrees(s, dir)))
       } else normTri(triangleRowsOfOriented(orientedEdges(s, dir)))
     }
 
@@ -1005,12 +1026,32 @@ object Graph {
         - greatest(col("a"), col("b"), col("c"))).as("y"),
       greatest(col("a"), col("b"), col("c")).as("z"))
 
+  /** The symmetric adjacency of `e` RESTRICTED to sources in `batch`'s
+    * endpoint set — everything [[batchClosedTriangles]] ever looks up
+    * (the wedge probe runs from a batch-edge endpoint; the closing-edge
+    * confirmation is keyed on one). The endpoint set is batch-bounded
+    * and rides broadcast semi-joins into the edge scan, so a cold
+    * serving session never symmetrizes, repartitions, or streams the
+    * full edge set through the probe joins — the r14 verdict's
+    * triangle-incremental prune (the dedup verify-prune discipline
+    * applied to the graph artifact: a superset semi-join can never
+    * drop a true candidate).
+    */
+  private[graft] def batchAdjOf(e: DataFrame, batch: DataFrame): DataFrame = {
+    val bN = batch.select(explode(array(col("u"), col("v"))).as("bn")).distinct()
+    e.join(bN.select(col("bn").as("u")), Seq("u"), "left_semi")
+      .select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(e.join(bN.select(col("bn").as("v")), Seq("v"), "left_semi")
+        .select(col("v").as("src"), col("u").as("dst")))
+  }
+
   /** All triangles containing ≥ 1 edge of `batch`, normalized and
     * deduped — each batch edge probes the adjacency from its
     * lower-degree endpoint (candidates are Σ min(deg u, deg v), the
     * oriented-enumeration bound) and the closing edge is confirmed with
     * one hash join. Shared by [[triangleIncremental]], the with-index
-    * [[triangleRows]] composition, and the nightly artifact merge.
+    * [[triangleRows]] composition, and the nightly artifact merge —
+    * every caller passes the [[batchAdjOf]]-pruned adjacency.
     */
   private[graft] def batchClosedTriangles(
       batch: DataFrame, adj: DataFrame, deg: DataFrame): DataFrame = {
@@ -1344,14 +1385,23 @@ object Graph {
     */
   private val triangleIncremental: Q = (s, dir) => {
     val e = edges(s, dir)
-    val adj = adjacency(s, dir)
     val deg = degrees(s, dir)
-    // with an index root active, e/adj/deg COMPOSE from the persisted
-    // history substrate + tonight's batch slice (see [[edges]]) — the
-    // filter below then selects exactly the batch component, and no
-    // history edge is ever re-collapsed or re-enumerated
-    val tri = batchClosedTriangles(
-      e.filter(isBatchEdge(col("u"), col("v"))), adj, deg)
+    // the batch slice is PARITY-defined over the composed edge set, not
+    // read from the staging artifact: the two coincide on an unmerged
+    // root, but a MERGED root has consumed its staging (empty) while
+    // the parity edges live on inside history — and the query's
+    // contract (the oracle's full recount classifies by parity) must
+    // hold from any root. The md5 filter is one map-side pass over the
+    // artifact scan — session-cached, because the batch-sized slice is
+    // consumed three times per run (probe, endpoint prune, accounting
+    // count) and each reference would otherwise re-scan the edge set.
+    val bE = graft.Cached.of(s, dir, "graph.batchPar" + graft.IndexStore.tag)(
+      e.filter(isBatchEdge(col("u"), col("v"))))
+    // the probe never touches the full symmetric adjacency: only the
+    // batch endpoints' neighborhoods are read ([[batchAdjOf]] — the
+    // r14 verdict's prune; previously a cold with-index serve paid a
+    // full artifact symmetrize+repartition for a batch-sized probe)
+    val tri = batchClosedTriangles(bE, batchAdjOf(e, bE), deg)
     val nbe = isBatchEdge(col("x"), col("y")).cast("int") +
       isBatchEdge(col("x"), col("z")).cast("int") +
       isBatchEdge(col("y"), col("z")).cast("int")
@@ -1360,8 +1410,7 @@ object Graph {
         coalesce(sum(when(col("nbe") === 1, 1L).otherwise(0L)), lit(0L)).as("tri_b1"),
         coalesce(sum(when(col("nbe") === 2, 1L).otherwise(0L)), lit(0L)).as("tri_b2"),
         coalesce(sum(when(col("nbe") === 3, 1L).otherwise(0L)), lit(0L)).as("tri_b3"))
-    val nb = e.filter(isBatchEdge(col("u"), col("v")))
-      .agg(count(lit(1)).as("n_batch_edges"))
+    val nb = bE.agg(count(lit(1)).as("n_batch_edges"))
     counts.crossJoin(broadcast(nb))
       .select(col("n_batch_edges"), col("tri_new"),
         col("tri_b1"), col("tri_b2"), col("tri_b3"))

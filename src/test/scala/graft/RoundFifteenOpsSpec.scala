@@ -38,6 +38,30 @@ class RoundFifteenOpsSpec extends AnyFunSuite {
         adcRows.zip(exactRows).find(p => p._1 != p._2)}")
   }
 
+  test("batchAdjOf prune is lossless: batch-closed triangles equal the full-adjacency probe") {
+    // synthetic md5-parity graph, dense enough to close triangles: the
+    // pruned adjacency (sources restricted to batch endpoints) must be
+    // a superset of everything the wedge probe and the closing-edge
+    // confirmation look up, so the two probes return identical sets
+    val e = s.range(0, 40).selectExpr("id AS u")
+      .crossJoin(s.range(0, 40).selectExpr("id AS v"))
+      .filter(col("u") < col("v"))
+      .filter(expr("substr(md5(concat('tg|', u, '|', v)), 1, 1) < '6'"))
+      .localCheckpoint(true)
+    val batch = e.filter(expr("substr(md5(concat('tb|', u, '|', v)), 1, 1) < '2'"))
+    val adjFull = e.selectExpr("u AS src", "v AS dst")
+      .unionAll(e.selectExpr("v AS src", "u AS dst"))
+    val deg = adjFull.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val full = rows(operators.Graph.batchClosedTriangles(batch, adjFull, deg))
+    val pruned = rows(operators.Graph.batchClosedTriangles(
+      batch, operators.Graph.batchAdjOf(e, batch), deg))
+    assert(full.nonEmpty, "vacuous: the synthetic graph closed no batch triangles")
+    assert(full == pruned,
+      s"prune dropped a candidate: first diff ${full.zip(pruned).find(p => p._1 != p._2)}")
+  }
+
   test("sim_ivf_incremental: the planner picks the exact leg at gate-sf candidate volume") {
     val p = operators.Sim.incrCandCounts(s, dir)
       .agg(coalesce(sum(col("ncand")), lit(0L))).head().getLong(0)
