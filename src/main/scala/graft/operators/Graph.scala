@@ -814,7 +814,10 @@ object Graph {
     */
   private[graft] def ccFoldLabels(
       s: SparkSession, dir: String, histLbl: DataFrame): DataFrame = {
-    val bE = batchBedges(s, dir)
+    // the batch slice feeds three consumers (the fold's endpoint
+    // fetches and the touched/new node sets) — materialize it once
+    // instead of re-scanning + re-collapsing lineitem per reference
+    val bE = batchBedges(s, dir).localCheckpoint(true)
     val bNodes = bE.select(explode(array(col("u"), col("v"))).as("node")).distinct()
     // prune the node-sized label table to batch-touched nodes BEFORE the
     // label fetch: the batch-bounded key set rides a semi-join (AQE
@@ -831,7 +834,13 @@ object Graph {
       // self-loop, and a new node never equals a history label)
       .filter(col("fu") =!= col("fv"))
       .select(col("fu").as("u"), col("fv").as("v"))
-    val res = pointerDoubleLabels(symAdj(s, fold), 16)
+    // the fold graph is batch-bounded (two history labels connect only
+    // through a batch edge), so its pointer-doubling rounds are
+    // LATENCY-bound, not data-bound — AQE's per-stage materialization
+    // only adds scheduler barriers here (the ktruss NoAqe lesson); the
+    // full-graph callers (graph_cc_pointer_doubling, the history
+    // artifact build) keep AQE for its skew/coalesce value
+    val res = graft.NoAqe.during(s)(pointerDoubleLabels(symAdj(s, fold), 16))
       .select(col("node").as("olbl"), col("lbl").as("nlbl"))
     val hist2 = histLbl.join(res, col("lbl") === col("olbl"), "left")
       .select(col("node"), coalesce(col("nlbl"), col("lbl")).as("lbl"))
