@@ -616,6 +616,26 @@ object Sim {
 
   private val ivfIncremental: Q = (s, dir) => ivfIncrementalWith(s, dir, None)
 
+  /** Planner observability as a first-class hash-verified query: the
+    * decision inputs the stats planner reads (batch reps, candidate
+    * volume), the fixed cut, and the leg it therefore selects. The
+    * DuckDB oracle recomputes the identical numbers from the replayed
+    * probe, so the gate pins that both engines agree on the DECISION —
+    * not just on the served rows — and a silent drift in either
+    * engine's candidate accounting turns the round red. The production
+    * use is the obvious one: a nightly job logs this row next to its
+    * serve, and a plan flip shows up in monitoring before anyone reads
+    * query profiles.
+    */
+  private val ivfPlanStats: Q = (s, dir) =>
+    incrCandCounts(s, dir)
+      .agg(count(lit(1)).as("n_batch_reps"),
+        coalesce(sum(col("ncand")), lit(0L)).as("cand_pairs"))
+      .select(col("n_batch_reps"), col("cand_pairs"),
+        lit(AdcPairCut).as("adc_cut"),
+        when(col("cand_pairs") > AdcPairCut, lit("adc"))
+          .otherwise(lit("exact")).as("leg"))
+
   /** The serving query, with the scoring leg either chosen by the
     * stats planner (`leg = None`) or pinned (`Some(true)` = ADC,
     * `Some(false)` = exact) for specs that must exercise one leg.
@@ -2107,6 +2127,7 @@ object Sim {
     "sim_lsh_recall" -> lshRecall,
     "sim_ivf_recall" -> ivfRecall,
     "sim_ivf_incremental" -> ivfIncremental,
+    "sim_ivf_plan" -> ivfPlanStats,
     "sim_ivf_incremental_recall" -> ivfIncrementalRecall,
     "sim_ivf_incremental_recall_clustered" -> ivfIncrementalRecallClustered,
     "sim_ivf_scaled" -> ivfScaled,
@@ -2966,6 +2987,25 @@ object Sim {
          |SELECT tp.q_id, qa.cell_assigned, CAST(tp.rk AS BIGINT) AS rk,
          |  tp.cand_id, tp.cos_sim, nn.nc AS ncells
          |FROM tp JOIN qa USING (q_id), nn WHERE tp.rk <= 3 ORDER BY tp.q_id, tp.rk""".stripMargin,
+    // the planner's decision inputs, recomputed from the replayed probe
+    // (vector grain ≡ the engine's content-rep grain on the gate's
+    // duplicate-free corpora — the standing henc ≡ codes premise)
+    "sim_ivf_plan" ->
+      s"""WITH $oIncrBase,
+         |$oIncrTrain,
+         |pc AS (SELECT q_id, cell FROM (
+         |  SELECT b.q_id, c3.cell,
+         |    row_number() OVER (PARTITION BY b.q_id ORDER BY
+         |      list_sum(list_transform(range(64), i -> b.qx[i+1] * c3.cv[i+1])) / (b.qxn * c3.cn) DESC,
+         |      c3.cell) AS crk
+         |  FROM bq b CROSS JOIN c3) WHERE crk <= 3),
+         |st AS (SELECT CAST(COUNT(DISTINCT pc.q_id) AS BIGINT) AS n_batch_reps,
+         |  CAST(COUNT(*) AS BIGINT) AS cand_pairs
+         |  FROM pc JOIN a2 ON a2.cell = pc.cell)
+         |SELECT n_batch_reps, cand_pairs,
+         |  CAST($AdcPairCut AS BIGINT) AS adc_cut,
+         |  CASE WHEN cand_pairs > $AdcPairCut THEN 'adc' ELSE 'exact' END AS leg
+         |FROM st""".stripMargin,
     // the production path's recall gate: exact brute top-3 over history
     // for the 8 lowest-id batch vectors vs the frozen-quantizer probe
     "sim_ivf_incremental_recall" ->
