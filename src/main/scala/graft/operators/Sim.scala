@@ -535,9 +535,11 @@ object Sim {
     val nBatch = batchVectors(s, dir).count()
     val nc = histNcells(s, dir)
     val hreps = ivfHistReps(s, dir)
-    val pairs = incrProbed(s, dir)
-      .join(hreps.select(col("cell").as("hcell")), col("cell") === col("hcell"))
-      .count()
+    // the planner's bounded aggregate (probed × per-cell counts) — the
+    // same number the old formulation got by STREAMING the pair
+    // fan-out through a count (minutes at the 512 k probe)
+    val pairs = incrCandCounts(s, dir)
+      .agg(coalesce(sum(col("ncand")), lit(0L))).head().getLong(0)
     Seq("n_hist" -> nHist, "n_batch" -> nBatch, "ncells" -> nc,
       "hist_reps" -> hreps.count(), "batch_reps" -> incrBreps(s, dir).count(),
       "scored_pairs" -> pairs)
