@@ -55,8 +55,35 @@ object Dedup {
     * (64-bit collisions are negligible), so the string-based oracle still
     * matches exactly.
     */
+  /** Session cache + optional corpus-cache read-back: the whole-corpus
+    * derivations below serve ~15 non-incremental queries and dominate
+    * cold warm-up, so an index root built from THIS corpus carries
+    * them as a `_corpus_cache` panel (r14 verdict ask #4) — read back
+    * when present and source-matched, rebuilt in-session otherwise
+    * (see [[graft.IndexStore.corpusCached]]). The session-cache key
+    * carries the root tag so a mid-session repoint (specs) never
+    * crosses the two paths.
+    */
+  private def ccache(s: SparkSession, dir: String, key: String, art: String)(
+      build: => DataFrame): DataFrame =
+    graft.Cached.of(s, dir, key + graft.IndexStore.tag)(
+      graft.IndexStore.corpusCached(s, dir, art)(build))
+
+  /** The corpus-cache panel, in WRITE ORDER (derived caches read their
+    * just-written upstreams through the root-pinned accessors).
+    */
+  private[graft] def corpusCaches: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "dedup_sh64" -> (shingles _),
+    "dedup_groups" -> (contentGroups _),
+    "dedup_postings" -> (postings _),
+    "dedup_minhash_bands" -> (minhashBands _),
+    "dedup_minhash_pairs" -> (minhashPairs _),
+    "dedup_simhash" -> (simhashes _),
+    "dedup_rarestr" -> (rareStringSets _),
+    "dedup_ngmh_sig" -> (ngramMinhashSigs _))
+
   private def shingles(s: SparkSession, dir: String): DataFrame =
-    graft.Cached.of(s, dir, "dedup.sh64") {
+    ccache(s, dir, "dedup.sh64", "dedup_sh64") {
       // The driver-generated parquet is one row group per file, so the scan
       // is a single task; shingling is the most expensive per-row expression
       // in the engine (~1 ms/doc), so spread the rows BEFORE computing it.
@@ -81,7 +108,7 @@ object Dedup {
     * output-bound expansion join at the end.
     */
   private def contentGroups(s: SparkSession, dir: String): DataFrame =
-    graft.Cached.of(s, dir, "dedup.groups") {
+    ccache(s, dir, "dedup.groups", "dedup_groups") {
       shingles(s, dir)
         .groupBy("ckey")
         .agg(count(lit(1)).as("cnt"), first(col("sh64")).as("sh64"))
@@ -114,7 +141,7 @@ object Dedup {
     * on duplicate-heavy corpora (the round-3 scale flaw).
     */
   private def postings(s: SparkSession, dir: String): DataFrame =
-    graft.Cached.of(s, dir, "dedup.postings") {
+    ccache(s, dir, "dedup.postings", "dedup_postings") {
       val g = contentGroups(s, dir)
       val ex = g.select(col("ckey"), expr("cast(size(sh64) as bigint)").as("n"),
         col("cnt"), explode(col("sh64")).as("s"))
@@ -197,7 +224,7 @@ object Dedup {
     * (ckey, n = full shingle-set size, rs = sorted rare shingles).
     */
   private def rareStringSets(s: SparkSession, dir: String): DataFrame =
-    graft.Cached.of(s, dir, "dedup.rarestr") {
+    ccache(s, dir, "dedup.rarestr", "dedup_rarestr") {
       val d = Tables.docsSpread(s, dir).select(col("doc_id"), col("text"))
       val g = d.groupBy(md5(col("text")).as("ckey"))
         .agg(count(lit(1)).as("cnt"), first(col("text")).as("text"))
@@ -219,7 +246,7 @@ object Dedup {
     * identical in both engines (the simhash hex→BIGINT discipline).
     */
   private def ngramMinhashSigs(s: SparkSession, dir: String): DataFrame =
-    graft.Cached.of(s, dir, "dedup.ngmh.sig") {
+    ccache(s, dir, "dedup.ngmh.sig", "dedup_ngmh_sig") {
       rareStringSets(s, dir).withColumn("sg", expr(
         """transform(sequence(0, 15), p -> array_min(transform(rs, s0 ->
           |  cast(conv(substr(md5(concat(cast(p as string), '|', s0)), 1, 15), 16, 10) as bigint))))"""
@@ -493,7 +520,7 @@ object Dedup {
     * per DISTINCT content — the shared candidate-generation table.
     */
   private def minhashBands(s: SparkSession, dir: String): DataFrame =
-    graft.Cached.of(s, dir, "dedup.minhash.bands") {
+    ccache(s, dir, "dedup.minhash.bands", "dedup_minhash_bands") {
       val sig = contentGroups(s, dir).withColumn("sig", minhash_sig(col("sh64"), 32))
       sig.select(col("ckey"),
           explode(expr(
@@ -509,7 +536,7 @@ object Dedup {
     * once per session, not once per query.
     */
   private def minhashPairs(s: SparkSession, dir: String): DataFrame =
-    graft.Cached.of(s, dir, "dedup.minhash.pairs") {
+    ccache(s, dir, "dedup.minhash.pairs", "dedup_minhash_pairs") {
     val sh = shingles(s, dir)
     val g = contentGroups(s, dir)
     val bands = minhashBands(s, dir)
@@ -797,7 +824,7 @@ object Dedup {
     * [[org.apache.spark.sql.graft.SimHash64]] expression.
     */
   private def simhashes(s: SparkSession, dir: String): DataFrame =
-    graft.Cached.of(s, dir, "dedup.simhash") {
+    ccache(s, dir, "dedup.simhash", "dedup_simhash") {
       Tables.docsSpread(s, dir)
         .withColumn("tk", expr("array_distinct(filter(split(text, ' '), t -> length(t) > 0))"))
         .withColumn("hv", expr("transform(tk, t -> cast(conv(substr(md5(t), 1, 15), 16, 10) AS bigint))"))

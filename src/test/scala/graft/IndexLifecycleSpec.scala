@@ -23,7 +23,13 @@ class IndexLifecycleSpec extends AnyFunSuite {
     // the COMPOSED full substrate (hist artifact ∪ batch slice) feeds
     // the whole non-incremental family unchanged
     "graph_cc_incremental", "graph_triangle_incremental",
-    "graph_triangles", "graph_local_clustering")
+    "graph_triangles", "graph_local_clustering",
+    // corpus-cache consumers (round 15): non-incremental dedup queries
+    // whose whole-corpus shingle/posting/signature caches ride the
+    // root's optional _corpus_cache panel — read-back must be
+    // row-identical to the in-session derivation
+    "dedup_minhash", "dedup_ngram_minhash", "dedup_simhash",
+    "dedup_ngram_jaccard")
 
   private def rows(q: String): Seq[String] =
     SparkEntry.queries(q)(s, dir).collect().map(_.toString).sorted.toSeq
