@@ -40,10 +40,16 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // read load BEFORE we generate any ourselves: this is the co-tenant
-    // contention signal (this machine shows 2-3x noise bursts)
-    val load = try {
-      scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ").head
-    } catch { case _: Throwable => "-1" }
+    // contention signal (this machine shows 2-3x noise bursts). All three
+    // loadavg horizons are recorded at start AND end (r15 verdict ask #6)
+    // so a contended record is self-describing — an instantaneous 1-min
+    // 0.36 can coexist with a hot 5-min average, and only the triple
+    // tells a reader which weather the run actually saw.
+    def loadTriple(): Seq[String] = try {
+      scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ").take(3).toSeq
+    } catch { case _: Throwable => Seq("-1", "-1", "-1") }
+    val loadStart = loadTriple()
+    val load = loadStart.head
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -136,13 +142,15 @@ object Bench {
       .map(k => "\"" + k + "\":" + f(byName(k))).mkString("{", ",", "}")
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
+    val loadEnd = loadTriple()
+    val weather = s""""weather":{"start":[${loadStart.mkString(",")}],"end":[${loadEnd.mkString(",")}]}"""
     try {
-      val detail = s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"fail":$fails,"load":$load,"warmup":${f(warmupSec)},"warmup_phases":$phaseJson,"passes":2,"queries":$fullQs,"sf":"$sfDir"}"""
+      val detail = s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"fail":$fails,"load":$load,$weather,"warmup":${f(warmupSec)},"warmup_phases":$phaseJson,"passes":2,"queries":$fullQs,"sf":"$sfDir"}"""
       java.nio.file.Files.write(
         java.nio.file.Paths.get(sys.props("user.dir"), "BENCH_DETAIL.json"),
         (detail + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] detail write: ${e.getMessage}") }
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"fail":$fails,"load":$load,"warmup":${f(warmupSec)},"passes":2,"queries":$qs,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"fail":$fails,"load":$load,$weather,"warmup":${f(warmupSec)},"passes":2,"queries":$qs,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

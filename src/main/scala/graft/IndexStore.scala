@@ -234,6 +234,15 @@ object IndexStore {
   def corpusCached(s: SparkSession, dir: String, name: String)(
       build: => DataFrame): DataFrame =
     active match {
+      // while writeAll is REBUILDING this very root (overwrite mode), a
+      // read-back would resolve to the parquet the build is about to
+      // overwrite — Spark's read-your-own-overwrite failure — or, if
+      // the corpus at `dir` changed in place, silently persist the
+      // stale old cache (ADVICE r15). Mirror loadOrBuild's `building`
+      // guard: every cache derives in-session during a build.
+      case Some(r) if building =>
+        log.info(s"corpus cache '$name': building in-session for $r")
+        build
       case Some(r) if written(s, r, s"_corpus_cache/$name") &&
           corpusCacheSrc(s, r).contains(dir) =>
         log.info(s"corpus cache '$name': READ from $r")
@@ -263,12 +272,20 @@ object IndexStore {
 
   private def writeCorpusCaches(s: SparkSession, sfDir: String, root: String): Unit = {
     import s.implicits._
-    Seq(sfDir).toDF("src").coalesce(1)
+    // `_src` is the panel's validity marker, so a crash mid-rebuild must
+    // leave the panel invalid for EVERY corpus rather than validate a
+    // torn mix (ADVICE r15): poison it first (no real corpus dir ever
+    // matches the sentinel), write the caches, then stamp the real
+    // source last. (The `building` guard in corpusCached keeps the
+    // builds themselves off the files being overwritten.)
+    def stampSrc(v: String): Unit = Seq(v).toDF("src").coalesce(1)
       .write.mode("overwrite").parquet(s"$root/_corpus_cache/_src")
-    srcChecked.clear()
+    stampSrc("__building__")
     corpusCaches.foreach { case (name, build) =>
       build(s, sfDir).write.mode("overwrite").parquet(s"$root/_corpus_cache/$name")
     }
+    stampSrc(sfDir)
+    srcChecked.clear()
   }
 
   /** Build every artifact from `sfDir` and write it under `root` —

@@ -183,6 +183,26 @@ object Cached {
       if (prev != null) { built.unpersist(blocking = false); prev } else built
     }
   }
+
+  /** Evict (and unpersist) every entry whose key ends with `suffix` —
+    * the root tag, in practice. IndexLifecycleSpec uses this to force
+    * the corpus-cache parquet read-back that the build's own session
+    * entries would otherwise shadow (ADVICE r15): writeAll populates
+    * the same key@root entries the subsequent serve would hit, so
+    * without eviction a read-back pin compares the in-session build to
+    * itself. Production never needs this — a scoring session is a
+    * different JVM from the build job.
+    */
+  def evictKeySuffix(suffix: String): Unit = {
+    val it = entries.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._3.endsWith(suffix)) {
+        e.getValue.unpersist(blocking = false)
+        it.remove()
+      }
+    }
+  }
 }
 
 /** Run independent one-time cache builds concurrently — Spark schedules

@@ -1689,12 +1689,17 @@ object Graph {
     * [[buildHistCcLabels]]), a fixed unroll would silently return
     * non-components on a corpus whose min-id eccentricity exceeds 255
     * — so the final SELECT mirrors the fail-loud: it appends a
-    * sentinel row (node = −1) whenever round 8 still changed a label,
-    * which can only hash-mismatch the engine side and turn the silent
-    * drift into a red gate (ADVICE r14).
+    * sentinel row (node = −1) whenever the round BEYOND the budget (a
+    * 9th, oracle-only round) still changes a label, which can only
+    * hash-mismatch the engine side and turn the silent drift into a
+    * red gate (ADVICE r14). Comparing l9 vs l8 — not l8 vs l7 — makes
+    * the sentinel match the engine's `lastChange < budget` semantics:
+    * a graph that legitimately converges AT round 8 (round 8
+    * productive, l8 already the fixpoint) is a correct answer, not a
+    * spurious red (ADVICE r15).
     */
   private val oCcIncr: String = {
-    val rounds = (1 to 8).map { r =>
+    val rounds = (1 to 9).map { r =>
       s"""l$r AS MATERIALIZED (
          |  SELECT g.node, l2.lbl FROM (
          |    SELECT node, MIN(lbl) AS lbl FROM (
@@ -1709,8 +1714,8 @@ object Graph {
        |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM adj),
        |$rounds,
        |cs AS (SELECT lbl, COUNT(*) AS n_nodes FROM l8 GROUP BY 1),
-       |chg AS (SELECT CAST(COUNT(*) AS BIGINT) AS nch FROM l8 a
-       |  JOIN l7 b ON a.node = b.node WHERE a.lbl <> b.lbl)
+       |chg AS (SELECT CAST(COUNT(*) AS BIGINT) AS nch FROM l9 a
+       |  JOIN l8 b ON a.node = b.node WHERE a.lbl <> b.lbl)
        |SELECT * FROM (
        |  SELECT l8.node, CAST(l8.lbl AS BIGINT) AS component,
        |    CAST(cs.n_nodes AS BIGINT) AS n_nodes

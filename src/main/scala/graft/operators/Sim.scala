@@ -593,19 +593,37 @@ object Sim {
     * 2 111 M pairs → ADC wins 1.9×; crossover ≈ 300 k vectors ≈
     * 5·10⁸ pairs at the 25% share). Interpolated verbatim into the
     * DuckDB oracle so the CHOICE itself is hash-verified.
+    *
+    * Config-overridable (r15 verdict ask #2): the crossover moves with
+    * memory bandwidth and shuffle throughput, so a real cluster sets
+    * `-Dgraft.adc.pair.cut` (or `GRAFT_ADC_PAIR_CUT`) to its own
+    * measured value. Read at DECISION time, and `oracles` is a def, so
+    * the oracle SQL interpolates the same configured value the engine
+    * used — the gate replays whatever cut is actually in force.
+    * ConfigCutSpec drives both legs through this knob alone.
     */
-  private[graft] val AdcPairCut: Long = 500000000L
+  private[graft] val AdcPairCutDefault: Long = 500000000L
+  private[graft] def AdcPairCut: Long =
+    sys.props.get("graft.adc.pair.cut")
+      .orElse(sys.env.get("GRAFT_ADC_PAIR_CUT"))
+      .map(_.trim.toLong).getOrElse(AdcPairCutDefault)
 
   /** Per-batch-rep candidate volume — the planner's decision input,
     * computed from two bounded tables (probed: batch reps × nprobe
     * rows; per-cell rep counts: ncells rows). Never streams the pair
     * fan-out. Shared with RoundFifteenOpsSpec's non-binding-cut pin.
+    *
+    * LEFT join (r15 ADVICE): a batch rep whose probed cells are all
+    * empty of history reps still IS a batch rep — it contributes 0
+    * candidates but must appear in `n_batch_reps`, else the published
+    * stat silently undercounts the batch on sparse-history corpora.
+    * Candidate sums are unchanged (the added rows carry ncand = 0).
     */
   private[graft] def incrCandCounts(s: SparkSession, dir: String): DataFrame =
     incrProbed(s, dir)
       .join(ivfHistReps(s, dir).groupBy("cell").agg(count(lit(1)).as("nreps")),
-        Seq("cell"))
-      .groupBy("qrep").agg(sum(col("nreps")).as("ncand"))
+        Seq("cell"), "left")
+      .groupBy("qrep").agg(coalesce(sum(col("nreps")), lit(0L)).as("ncand"))
 
   /** Batch vector → content rep membership (q_id, qrep) — shared by
     * the serving query and RoundFifteenOpsSpec's leg-agreement pin.
@@ -2575,8 +2593,11 @@ object Sim {
       |tp AS (SELECT q_id, cand_id, cos_sim,
       |  row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id) AS rk FROM sc)""".stripMargin
 
-  /** Production serving: the leg is the planner's choice, replayed. */
-  private val oIncrServe: String =
+  /** Production serving: the leg is the planner's choice, replayed.
+    * A def (not a val): `AdcPairCut` is config-derived, so the oracle
+    * must re-interpolate the value in force when the SQL is dumped.
+    */
+  private def oIncrServe: String =
     oIncrServeWith(s"(SELECT np FROM cstat) > $AdcPairCut")
 
   /** The clustered recall gate's serving: ADC pinned (it exists to
@@ -2584,7 +2605,9 @@ object Sim {
     */
   private val oIncrServeAdc: String = oIncrServeWith("1 = 1")
 
-  val oracles: Map[String, String] = Map(
+  // a def, not a val: sim_ivf_plan / sim_ivf_incremental interpolate the
+  // config-derived AdcPairCut, so the SQL must be built when dumped
+  def oracles: Map[String, String] = Map(
     // HUGEINT Gramian sums → 64×64 covariance numerators exact, then 3
     // power-iteration steps as ordered list_sum folds (the ADC ordered-
     // fold discipline) — the IEEE chain replays the Spark side exactly
@@ -2991,7 +3014,11 @@ object Sim {
          |FROM tp JOIN qa USING (q_id), nn WHERE tp.rk <= 3 ORDER BY tp.q_id, tp.rk""".stripMargin,
     // the planner's decision inputs, recomputed from the replayed probe
     // (vector grain ≡ the engine's content-rep grain on the gate's
-    // duplicate-free corpora — the standing henc ≡ codes premise)
+    // duplicate-free corpora — the standing henc ≡ codes premise; a
+    // duplicated corpus would flip the leg near the cut at a different
+    // volume per grain, which is exactly what the hash gate would catch).
+    // LEFT JOIN mirrors the engine's incrCandCounts: reps probing only
+    // empty cells still count in n_batch_reps, contribute 0 pairs.
     "sim_ivf_plan" ->
       s"""WITH $oIncrBase,
          |$oIncrTrain,
@@ -3002,8 +3029,8 @@ object Sim {
          |      c3.cell) AS crk
          |  FROM bq b CROSS JOIN c3) WHERE crk <= 3),
          |st AS (SELECT CAST(COUNT(DISTINCT pc.q_id) AS BIGINT) AS n_batch_reps,
-         |  CAST(COUNT(*) AS BIGINT) AS cand_pairs
-         |  FROM pc JOIN a2 ON a2.cell = pc.cell)
+         |  CAST(COUNT(a2.cell) AS BIGINT) AS cand_pairs
+         |  FROM pc LEFT JOIN a2 ON a2.cell = pc.cell)
          |SELECT n_batch_reps, cand_pairs,
          |  CAST($AdcPairCut AS BIGINT) AS adc_cut,
          |  CASE WHEN cand_pairs > $AdcPairCut THEN 'adc' ELSE 'exact' END AS leg

@@ -44,11 +44,45 @@ class IndexLifecycleSpec extends AnyFunSuite {
           s"artifact $name was not committed under $root")
       }
       IndexStore.use(Some(root))
+      // writeAll populated the session cache under the same key@root
+      // tags the serve below would hit, so without eviction the
+      // corpus-cache pins would compare the in-session build to itself
+      // (ADVICE r15). Evicting the root-tagged entries forces the serve
+      // through the parquet read-back path this test exists to pin.
+      Cached.evictKeySuffix(s"@$root")
       consumers.foreach { q =>
         assert(rows(q) == inline(q),
           s"$q drifted between the in-session and persisted-index paths")
       }
     } finally IndexStore.use(None)
+  }
+
+  test("a tampered corpus cache changes dedup_minhash — the panel is read, not rebuilt") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ccache-tamper").toString
+    val inline = rows("dedup_minhash")
+    try {
+      IndexStore.writeAll(s, dir, root)
+      // drop half the verified pair table: if the serve genuinely reads
+      // the _corpus_cache panel (rather than hitting a session entry or
+      // silently rebuilding), the reported pairs must change
+      import org.apache.spark.sql.functions.col
+      val pairs = s.read.parquet(s"$root/_corpus_cache/dedup_minhash_pairs")
+      val tampered = pairs.filter(col("doc_a") % 2 === 0)
+      assert(tampered.count() < pairs.count(), "vacuous: the tamper dropped no rows")
+      tampered.write.mode("overwrite").parquet(s"$root/_corpus_cache/pairs_tampered")
+      s.read.parquet(s"$root/_corpus_cache/pairs_tampered").write.mode("overwrite")
+        .parquet(s"$root/_corpus_cache/dedup_minhash_pairs")
+      Cached.evictKeySuffix(s"@$root")
+      IndexStore.use(Some(root))
+      assert(rows("dedup_minhash") != inline,
+        "tampering _corpus_cache/dedup_minhash_pairs did not change dedup_minhash — " +
+          "the corpus-cache panel is not being read")
+    } finally {
+      IndexStore.use(None)
+      // the tampered frame must not leak into later suites via the
+      // session cache
+      Cached.evictKeySuffix(s"@$root")
+    }
   }
 
   test("hermetic: scoring runs on a corpus with history rows PHYSICALLY ABSENT") {
