@@ -155,6 +155,23 @@ object NoAqe {
   }
 }
 
+/** Run an EAGERLY-EXECUTING body under a reduced shuffle width — the
+  * manual analog of AQE partition coalescing for the latency-bound
+  * fixpoint loops that run AQE-free (their per-stage materialization
+  * barriers cost more than coalescing saves, the ktruss lesson): a
+  * batch-bounded fold graph on the session-wide partition count pays
+  * full-width task launch per round for a few thousand rows. Only
+  * applies to jobs that RUN inside `body` (checkpoints, aggregates) —
+  * conf is restored before any lazily-returned frame executes.
+  */
+object ShuffleWidth {
+  def during[T](s: SparkSession, n: Int)(body: => T): T = {
+    val was = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", was)
+  }
+}
+
 /** Session-scoped cache of persisted intermediate frames. Pair-generating
   * dedup/similarity queries reference their shingle/signature/vector
   * tables several times per plan AND across queries; persisting each call

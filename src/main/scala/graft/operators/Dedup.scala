@@ -734,16 +734,80 @@ object Dedup {
     * LSH verify bill), and no history×history pair is ever formed.
     * Output: (batch_doc, match_doc, jaccard, match_src∈{batch,history}).
     */
-  private val incremental: Q = (s, dir) => {
-    val bsh = batchShingles(s, dir)
-    val hist = incrHistBands(s, dir)
-    // session-cached: the band build AND the verify's batch side both
-    // read it (it replaced the one whole-corpus group cache when the
-    // verify sides split for the persisted-index path)
-    val bg = graft.Cached.of(s, dir, "dedup.incr.batchg" + graft.IndexStore.tag) {
-      bsh.groupBy("ckey").agg(first(col("sh64")).as("sh64"))
+  /** Tonight's batch content groups (+ signatures), session-cached: the
+    * band build, the verify's batch side, and the prune planner's stats
+    * all read it.
+    */
+  private def incrBatchGroups(s: SparkSession, dir: String): DataFrame =
+    graft.Cached.of(s, dir, "dedup.incr.batchg" + graft.IndexStore.tag) {
+      batchShingles(s, dir).groupBy("ckey").agg(first(col("sh64")).as("sh64"))
         .withColumn("sig", minhash_sig(col("sh64"), 32))
     }
+
+  /** The batch-share cut (integer percent) above which the artifact
+    * read's survivor semi-join prune stops paying: the prune's benefit
+    * is the artifact fraction it AVOIDS reading, so once tonight's
+    * batch approaches the history's own size the candidate-key set
+    * covers most groups and the extra band pass buys nothing. Measured
+    * basis (BASELINE.md round-14): with-index with the prune wins
+    * decisively at the ~3% production batch share and reaches parity
+    * at this corpus's adversarial ~25% doc share (≈33 on this stat —
+    * batch groups per 100 history groups), so the default cut sits at
+    * that parity ratio. Config-overridable like [[graft.operators.Sim.AdcPairCut]]
+    * (`-Dgraft.dedup.prune.cut.pct` / `GRAFT_DEDUP_PRUNE_CUT_PCT`);
+    * `oracles` is a def, so the oracle SQL replays the value in force.
+    *
+    * The decision input is deliberately the GROUP-COUNT share, not the
+    * candidate-key count: both engines can compute group counts from
+    * the md5 content split exactly (the band keys are xxhash64-based,
+    * which DuckDB cannot replay), so the choice itself stays
+    * hash-verified — the sim_ivf_plan discipline.
+    */
+  private[graft] val DedupPruneCutPctDefault: Long = 33L
+  private[graft] def DedupPruneCutPct: Long =
+    sys.props.get("graft.dedup.prune.cut.pct")
+      .orElse(sys.env.get("GRAFT_DEDUP_PRUNE_CUT_PCT"))
+      .map(_.trim.toLong).getOrElse(DedupPruneCutPctDefault)
+
+  /** Planner observability for the incremental-dedup artifact read, the
+    * sim_ivf_plan discipline (r15 verdict ask #4): the two bounded
+    * decision inputs (batch / history distinct-content counts), the cut
+    * in force, and the leg an artifact-backed serve therefore selects —
+    * `pruned` (survivor semi-join ahead of the groups-artifact read) or
+    * `full` (read the artifact whole; at a batch share past the parity
+    * point the key set covers most groups and the prune pass is pure
+    * overhead). The DuckDB oracle recomputes the identical counts from
+    * the md5 split and replays the branch, so a drift in either
+    * engine's group accounting turns the round red. Cost: two counts
+    * over bounded tables (batch groups; the history count reads the
+    * narrow band artifact at 16 rows/group, never the wide one).
+    */
+  private val incrPlanStats: Q = (s, dir) => {
+    val b = incrBatchGroups(s, dir)
+      .agg(count(lit(1)).cast("long").as("n_batch_groups"))
+    val h = incrHistBands(s, dir).select(col("ckey")).distinct()
+      .agg(count(lit(1)).cast("long").as("n_hist_groups"))
+    b.crossJoin(h) // two 1-row aggregates
+      .select(col("n_batch_groups"), col("n_hist_groups"),
+        lit(DedupPruneCutPct).as("prune_cut_pct"),
+        when(col("n_batch_groups") * 100 < lit(DedupPruneCutPct) * col("n_hist_groups"),
+          lit("pruned")).otherwise(lit("full")).as("leg"))
+  }
+
+  private val incremental: Q = (s, dir) => incrementalWith(s, dir, None)
+
+  /** The serving query, with the artifact-read prune either chosen by
+    * the stats planner (`prune = None`) or pinned for specs that must
+    * exercise one leg. The prune is a SUPERSET filter (band-sharing
+    * history contents), so both legs verify the same candidates and
+    * return identical rows — the planner is a pure performance choice,
+    * pinned in RoundSixteenOpsSpec.
+    */
+  private[graft] def incrementalWith(
+      s: SparkSession, dir: String, prune: Option[Boolean]): DataFrame = {
+    val bsh = batchShingles(s, dir)
+    val hist = incrHistBands(s, dir)
+    val bg = incrBatchGroups(s, dir)
     val bb = bandsOf(bg)
     // size prefilter at candidate-row cost (J ≥ 0.8 ⇒ 4·max ≤ 5·min,
     // exactly [[minhashPairs]]' bound); sizes ride the band tables so
@@ -780,8 +844,22 @@ object Dedup {
     // reads row-group locality; the semi-join is what cuts the SHUFFLE
     // to candidate size. In-session the groups table is an
     // already-cached shared frame, so the extra pass would only add work.
+    // ---- stats planner (round 16, the r15 verdict's ask #4): whether
+    // to PRUNE the groups-artifact read is chosen from the batch-share
+    // stat — two bounded counts (batch groups: one cached 1-row agg;
+    // history groups: the narrow band artifact, 16 rows/group), never
+    // the pair fan-out. Only the artifact path plans: in-session the
+    // groups table is an already-cached shared frame, so the prune pass
+    // could only add work and the planner is statically `full`.
+    val usePrune = prune.getOrElse {
+      graft.IndexStore.active.isDefined && {
+        val nb = bg.agg(count(lit(1))).head().getLong(0)
+        val nh = hist.select(col("ckey")).distinct().count()
+        nb * 100 < DedupPruneCutPct * nh
+      }
+    }
     val gHist =
-      if (graft.IndexStore.active.isDefined) {
+      if (usePrune) {
         val keys = hist.join(bb.select(col("bidx"), col("bh")), Seq("bidx", "bh"), "left_semi")
           .select(col("ckey")).distinct()
         incrHistGroups(s, dir).join(keys, Seq("ckey"), "left_semi")
@@ -1148,6 +1226,7 @@ object Dedup {
     "dedup_ngram_minhash_recall" -> ngramMinhashRecall,
     "dedup_minhash" -> minhash,
     "dedup_incremental" -> incremental,
+    "dedup_incr_plan" -> incrPlanStats,
     "dedup_simhash" -> simhash,
     "dedup_simhash_pairs" -> simhashPairs,
     "dedup_embedding" -> embedding,
@@ -1228,7 +1307,9 @@ object Dedup {
        |  SELECT reach.x, edges.v FROM reach JOIN edges ON edges.u = reach.y),
        |lab AS (SELECT x AS doc_id, MIN(y) AS cluster_id FROM reach GROUP BY x)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  // a def, not a val: dedup_incr_plan interpolates the config-derived
+  // DedupPruneCutPct, so the SQL must be built when dumped
+  def oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """WITH dirty AS (
         |  SELECT doc_id, text FROM documents
@@ -1371,6 +1452,24 @@ object Dedup {
          |  jaccard,
          |  CASE WHEN ba AND bb THEN 'batch' ELSE 'history' END AS match_src
          |FROM x ORDER BY batch_doc, match_doc""".stripMargin,
+    // the prune planner's decision inputs, recomputed from the md5
+    // content split (both engines count distinct contents per side of
+    // the batch split exactly — the band keys are xxhash64-based and
+    // deliberately NOT part of the decision), and the branch replayed
+    // on the interpolated cut in force
+    "dedup_incr_plan" ->
+      s"""WITH fl AS (SELECT md5(text) AS ckey,
+         |    substr(md5('incr|' || CAST(doc_id AS VARCHAR)), 1, 2) < '40' AS is_batch
+         |  FROM documents),
+         |st AS (SELECT
+         |    CAST(COUNT(DISTINCT CASE WHEN is_batch THEN ckey END) AS BIGINT) AS n_batch_groups,
+         |    CAST(COUNT(DISTINCT CASE WHEN NOT is_batch THEN ckey END) AS BIGINT) AS n_hist_groups
+         |  FROM fl)
+         |SELECT n_batch_groups, n_hist_groups,
+         |  CAST($DedupPruneCutPct AS BIGINT) AS prune_cut_pct,
+         |  CASE WHEN n_batch_groups * 100 < $DedupPruneCutPct * n_hist_groups
+         |       THEN 'pruned' ELSE 'full' END AS leg
+         |FROM st""".stripMargin,
     "dedup_simhash" ->
       s"""WITH $oSimhashCte
          |SELECT simhash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies

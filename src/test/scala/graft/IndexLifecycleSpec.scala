@@ -16,7 +16,7 @@ class IndexLifecycleSpec extends AnyFunSuite {
   private lazy val s = TestSpark.spark
   private val dir = TestSpark.sf
   private val consumers = Seq("dedup_incremental", "sim_ivf_incremental",
-    "sim_ivf_plan",
+    "sim_ivf_plan", "dedup_incr_plan",
     "text_lm_ppl_filter", "text_ngram_novelty", "pipeline_admission",
     // graph substrate consumers (round 14): the incremental pair reads
     // the history artifacts directly; triangles/local-clustering prove
@@ -109,7 +109,7 @@ class IndexLifecycleSpec extends AnyFunSuite {
     // runs hermetic on a corpus whose lineitem holds only the CC
     // family's batch rows — any raw read would see garbage and drift
     val hermeticConsumers = Seq("dedup_incremental", "sim_ivf_incremental",
-      "sim_ivf_plan",
+      "sim_ivf_plan", "dedup_incr_plan",
       "text_lm_ppl_filter", "text_ngram_novelty", "pipeline_admission",
       "graph_cc_incremental", "graph_triangle_incremental")
     val inline = hermeticConsumers.map(q => q -> rows(q)).toMap
