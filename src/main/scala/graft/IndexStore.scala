@@ -265,10 +265,12 @@ object IndexStore {
   }
 
   /** Registered corpus caches in WRITE ORDER (later caches derive from
-    * earlier ones through the root-pinned accessors).
+    * earlier ones through the root-pinned accessors). The graph slice
+    * (r15 verdict ask #7) builds from the just-written graph artifacts,
+    * so it follows the dedup panel.
     */
   private def corpusCaches: Seq[(String, (SparkSession, String) => DataFrame)] =
-    operators.Dedup.corpusCaches
+    operators.Dedup.corpusCaches ++ operators.Graph.corpusCaches
 
   private def writeCorpusCaches(s: SparkSession, sfDir: String, root: String): Unit = {
     import s.implicits._

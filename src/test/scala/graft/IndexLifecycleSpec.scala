@@ -29,7 +29,11 @@ class IndexLifecycleSpec extends AnyFunSuite {
     // root's optional _corpus_cache panel — read-back must be
     // row-identical to the in-session derivation
     "dedup_minhash", "dedup_ngram_minhash", "dedup_simhash",
-    "dedup_ngram_jaccard")
+    "dedup_ngram_jaccard",
+    // graph corpus-cache consumers (round 16): the LPA label table and
+    // the composed full triangle set ride the panel — read-back must be
+    // row-identical to the in-session derivation
+    "graph_label_prop", "graph_modularity")
 
   private def rows(q: String): Seq[String] =
     SparkEntry.queries(q)(s, dir).collect().map(_.toString).sorted.toSeq
