@@ -679,7 +679,12 @@ object Sim {
     // legs share the probe, the top-64 cut discipline, and the whole
     // downstream; the DuckDB oracle computes the identical P and
     // replays the identical choice, so the decision itself is
-    // hash-verified. Measured basis for the cut: BASELINE.md round-14
+    // hash-verified. GRAIN PREMISE (r15 ADVICE): this side counts at
+    // content-rep grain, the oracle at vector grain — equal exactly on
+    // duplicate-free corpora (the standing henc ≡ codes premise); on a
+    // duplicated corpus the two grains would cross the cut at different
+    // volumes and the hash gate reddens, which is the desired signal.
+    // Measured basis for the cut: BASELINE.md round-14
     // (147 M pairs → exact wins 1.6×; 2 111 M → ADC wins 1.9×).
     val useAdc = leg.getOrElse {
       incrCandCounts(s, dir)

@@ -81,6 +81,17 @@ class PlanEvidenceSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("dedup_incremental: neither artifact-read leg degrades to a cartesian product") {
+    // the prune planner (round 16) may route either way at serve time;
+    // both legs must stay keyed joins — a cross product would mean the
+    // band-candidate generation leaked into a content-level product
+    Seq(true, false).foreach { pr =>
+      val p = planString(operators.Dedup.incrementalWith(s, dir, Some(pr)))
+      assert(!p.contains("CartesianProduct"),
+        s"prune=$pr leg lost its keyed joins:\n${p.take(2000)}")
+    }
+  }
+
   test("dimension joins broadcast instead of shuffling the fact side") {
     val p = planString(operators.Relational.queries("join_inner_hash")(s, dir))
     assert(p.contains("BroadcastHashJoin"), p)
