@@ -41,6 +41,9 @@ object Probe {
     name.split(',').foreach { nm =>
       val fn = SparkEntry.queries(nm)
       if (doExplain) fn(spark, sfDir).explain("formatted")
+      // `show`: print the first rows — for decision-row queries
+      // (sim_ivf_plan, dedup_incr_plan) whose VALUES are the probe result
+      if (args.contains("show")) fn(spark, sfDir).show(20, false)
       (1 to runs).foreach { i =>
         val t0 = System.nanoTime()
         val df = fn(spark, sfDir)
