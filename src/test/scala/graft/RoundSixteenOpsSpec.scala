@@ -35,6 +35,30 @@ class RoundSixteenOpsSpec extends AnyFunSuite {
   private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
 
+  test("writeAll rebuilds in place over an existing corpus-cache panel (the IndexBuild rerun path)") {
+    // r15 ADVICE: rebuilding into a root that already holds a
+    // _corpus_cache panel from the same corpus made each cache build
+    // resolve THROUGH corpusCached to a read of the very parquet it was
+    // about to overwrite — Spark's read-your-own-overwrite failure.
+    // The `building` guard + _src poisoning fix it; this pins the rerun
+    // end to end: second writeAll succeeds, the panel re-validates, and
+    // a panel consumer still serves the in-session rows.
+    val root = java.nio.file.Files.createTempDirectory("graft-rebuild").toString
+    val inline = SparkEntry.queries("dedup_minhash")(s, dir)
+      .collect().map(_.toString).sorted.toSeq
+    try {
+      IndexStore.writeAll(s, dir, root)
+      IndexStore.writeAll(s, dir, root) // the rerun that used to crash
+      val src = s.read.parquet(s"$root/_corpus_cache/_src").head().getString(0)
+      assert(src == dir, s"rebuild left the panel validated for '$src', not '$dir'")
+      IndexStore.use(Some(root))
+      Cached.evictKeySuffix(s"@$root")
+      val served = SparkEntry.queries("dedup_minhash")(s, dir)
+        .collect().map(_.toString).sorted.toSeq
+      assert(served == inline, "post-rebuild panel read-back drifted")
+    } finally IndexStore.use(None)
+  }
+
   test("dedup_incremental: pruned and full artifact-read legs return identical rows") {
     val pruned = rows(operators.Dedup.incrementalWith(s, dir, Some(true)))
     val full = rows(operators.Dedup.incrementalWith(s, dir, Some(false)))
