@@ -231,7 +231,105 @@ object Sql {
          |ORDER BY o_orderstatus""".stripMargin)
   }
 
+  /** TPC-H Q21 shape ("suppliers who kept orders waiting"), adapted to
+    * this corpus (no l_receiptdate/l_commitdate columns — lateness is
+    * shipped > 75 days after the order date; no nation filter — 100
+    * suppliers bound the output). The textbook form quantifies twice
+    * over lineitem (EXISTS another-supplier line, NOT EXISTS another
+    * late-supplier line) — at 100 TB that is two extra fact self-joins.
+    * The engine runs the single-scan rewrite: lineitem joins 'F' orders
+    * ONCE (the unavoidable orderkey shuffle), collapses to
+    * (order, supplier) grain map-side (n_late_lines per supplier), then
+    * to order grain via two orderkey WINDOWS (n_supp, n_late_supp —
+    * window, not join-back, so the collapsed frame is never recomputed)
+    * — and the waiting predicate replays both quantifiers exactly:
+    * EXISTS(other supplier) ⇔ n_supp ≥ 2 (the line's own supplier is on
+    * the order), and NOT EXISTS(other late supplier) ⇔ n_late_supp = 1
+    * given this supplier is late (the late-supplier set is exactly
+    * {this one}). The windows run at (order, supplier) grain with
+    * suppliers-per-order-bounded partitions, supplier is broadcast, and
+    * numwait sums the pre-aggregated late-line counts — the DuckDB
+    * oracle runs the textbook correlated form, so the rewrite's
+    * equivalence is hash-verified cross-engine, not asserted (and
+    * RoundSixteenOpsSpec pins the single fact scan + the in-Spark
+    * equivalence of the two forms).
+    */
+  private val q21Waiting: Q = (s, dir) => {
+    val o = Tables(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("l_orderkey")
+    Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(count(when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 75 DAYS"),
+        lit(1))).as("n_late_lines"))
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("n_late_supp",
+        count(when(col("n_late_lines") > 0, lit(1))).over(w))
+      .filter(col("n_late_lines") > 0 && col("n_supp") >= 2 && col("n_late_supp") === 1)
+      .join(broadcast(Tables(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(sum(col("n_late_lines")).cast("long").as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
+
+  /** TPC-H Q17 shape ("small-quantity-order revenue"): lines whose
+    * quantity is below 20% of their part's average, for one brand/size
+    * slice. The textbook correlated subquery re-aggregates lineitem per
+    * outer row; the engine broadcasts the filtered part-key set into the
+    * ONE lineitem scan, computes the per-part (Σqty, n) over the
+    * surviving lines with a partkey window (the correlated domain — the
+    * brand filter is at part grain, so a part's line set is unchanged by
+    * it), and replays `qty < 0.2·avg` as the EXACT integer cross-product
+    * `qty_c · 5 · n < Σqty_c` — no division, no doubles, so the
+    * threshold decision hashes identically in DuckDB. Plan shape at
+    * 100 TB: one broadcast semi-reduction of the fact scan, one
+    * partkey-bounded exchange, a 1-row final agg.
+    */
+  private val q17SmallQty: Q = (s, dir) => {
+    val pk = Tables(s, dir, "part")
+      .filter(col("p_brand") === "Brand#4" && col("p_size") <= 25)
+      .select(col("p_partkey"))
+    val lf = Tables(s, dir, "lineitem")
+      .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"),
+        expr("cast(round(l_quantity * 100, 0) as bigint)").as("qty_c"),
+        expr("cast(round(l_extendedprice * 100, 0) as bigint)").as("price_c"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")
+    lf.withColumn("sum_qty_c", sum(col("qty_c")).over(w))
+      .withColumn("n_part_lines", count(lit(1)).over(w))
+      .filter(col("qty_c") * 5 * col("n_part_lines") < col("sum_qty_c"))
+      .agg(sum(col("price_c")).cast("long").as("revenue_cents"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q13 shape ("customer order-count distribution"), adapted:
+    * the excluded-comment predicate becomes an order-priority exclusion
+    * (no o_comment column in this corpus). The textbook form LEFT JOINs
+    * raw orders to customer and counts after the join; the engine
+    * aggregates orders to (custkey, n) FIRST — map-side combine on the
+    * fact table, so the join ships one row per active customer, never
+    * per order — then left-joins customer and coalesces the no-order
+    * customers to 0. The final distribution agg is bounded by the max
+    * orders-per-customer domain. The DuckDB oracle runs the textbook
+    * join-then-count form, hash-verifying the rewrite.
+    */
+  private val q13CustDist: Q = (s, dir) => {
+    val oc = Tables(s, dir, "orders")
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+    Tables(s, dir, "customer").select(col("c_custkey"))
+      .join(oc, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("n"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
   val queries: Map[String, Q] = Map(
+    "sql_q21_waiting" -> q21Waiting,
+    "sql_q17_small_qty" -> q17SmallQty,
+    "sql_q13_cust_dist" -> q13CustDist,
     "sql_unpivot" -> sqlUnpivot,
     "sql_pivot_multi" -> sqlPivot,
     "sql_group_by_all" -> groupByAll,
@@ -245,6 +343,41 @@ object Sql {
   )
 
   val oracles: Map[String, String] = Map(
+    // the textbook doubly-quantified form — the engine's single-scan
+    // aggregate rewrite must hash-match it
+    "sql_q21_waiting" ->
+      """SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM supplier, lineitem l1, orders
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 75 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 75 DAY)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin,
+    // the textbook correlated per-part average — the engine's
+    // window-over-one-scan rewrite must hash-match it
+    "sql_q17_small_qty" ->
+      """SELECT CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#4' AND p_size <= 25
+        |  AND CAST(round(l_quantity * 100, 0) AS BIGINT) * 5 *
+        |      (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+        |    < (SELECT SUM(CAST(round(l2.l_quantity * 100, 0) AS BIGINT))
+        |       FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
+    // the textbook join-then-count form — the engine aggregates orders
+    // before the join
+    "sql_q13_cust_dist" ->
+      """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+        |  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "sql_q18_big_orders" ->
       """SELECT c_custkey, o_orderkey,
         |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
