@@ -326,10 +326,68 @@ object Sql {
       .orderBy(col("custdist").desc, col("c_count").desc)
   }
 
+  /** TPC-H Q15 shape ("top supplier", WITH TIES): suppliers whose
+    * quarterly revenue equals the maximum. The textbook form compares
+    * each supplier against a scalar `(SELECT MAX(...) FROM rev)` — a
+    * second evaluation of the revenue view. The engine aggregates
+    * lineitem to supplier grain ONCE (the date filter is pushed to the
+    * scan; the agg combines map-side) and takes the max as an
+    * unpartitioned window over the AGGREGATED frame — supplier-domain-
+    * bounded rows (the vocab-table precedent), never lineitem-sized, so
+    * the fact table is scanned exactly once and no global sort exists
+    * (ties survive, which TakeOrdered(1) would drop). Revenue is the
+    * exact 1e-4-dollar integer of [[starRevenue]].
+    */
+  private val q15TopSupplier: Q = (s, dir) => {
+    val rev = Tables(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1996-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(expr("cast(round(l_extendedprice * 100, 0) as bigint) * (100 - cast(round(l_discount * 100, 0) as bigint))"))
+        .cast("long").as("total_e4"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    rev.withColumn("mx", max(col("total_e4")).over(w))
+      .filter(col("total_e4") === col("mx"))
+      .join(broadcast(Tables(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_e4"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q22 shape ("idle well-funded customers"), adapted: customers
+    * with an above-average positive balance and no orders since the
+    * cutoff (the reference's 7-year country-code slice needs columns
+    * this corpus lacks). Two textbook correlations: a scalar average
+    * subquery and a NOT EXISTS. The engine folds the scalar into ONE
+    * (Σcents, n) aggregate broadcast-crossed into the customer scan —
+    * `bal > avg` replayed as the exact integer `cents·n > Σcents`, no
+    * division — and the anti-quantifier into a left-anti join against
+    * the DISTINCT recent-orderer keys (distinct first: the anti probe
+    * ships one row per recent customer, not per order). Output is
+    * nation-grain via a broadcast dimension join.
+    */
+  private val q22IdleBalance: Q = (s, dir) => {
+    val cents = expr("cast(round(c_acctbal * 100, 0) as bigint)")
+    val stats = Tables(s, dir, "customer").filter(col("c_acctbal") > 0)
+      .agg(sum(cents).as("sum_pos_cents"), count(lit(1)).as("n_pos"))
+    val recent = Tables(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1999-01-01"))
+      .select(col("o_custkey")).distinct()
+    Tables(s, dir, "customer")
+      .crossJoin(broadcast(stats))
+      .filter(cents * col("n_pos") > col("sum_pos_cents"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), sum(cents).cast("long").as("total_cents"))
+      .orderBy(col("n_name"))
+  }
+
   val queries: Map[String, Q] = Map(
     "sql_q21_waiting" -> q21Waiting,
     "sql_q17_small_qty" -> q17SmallQty,
     "sql_q13_cust_dist" -> q13CustDist,
+    "sql_q15_top_supplier" -> q15TopSupplier,
+    "sql_q22_idle_balance" -> q22IdleBalance,
     "sql_unpivot" -> sqlUnpivot,
     "sql_pivot_multi" -> sqlPivot,
     "sql_group_by_all" -> groupByAll,
@@ -369,6 +427,33 @@ object Sql {
         |      (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
         |    < (SELECT SUM(CAST(round(l2.l_quantity * 100, 0) AS BIGINT))
         |       FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
+    // the textbook scalar-MAX-over-a-view form — the engine takes the
+    // max as a window over the aggregated frame, one fact scan
+    "sql_q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey, CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT) AS total_e4
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_e4
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE total_e4 = (SELECT MAX(total_e4) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    // the textbook scalar-average + NOT EXISTS form — the engine folds
+    // the scalar into a broadcast (Σ, n) cross and the quantifier into
+    // a left-anti join on the distinct recent-orderer keys
+    "sql_q22_idle_balance" ->
+      """SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_cust,
+        |  CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE CAST(round(c_acctbal * 100, 0) AS BIGINT) *
+        |      (SELECT COUNT(*) FROM customer c2 WHERE c2.c_acctbal > 0)
+        |    > (SELECT SUM(CAST(round(c2.c_acctbal * 100, 0) AS BIGINT))
+        |       FROM customer c2 WHERE c2.c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |       WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     // the textbook join-then-count form — the engine aggregates orders
     // before the join
     "sql_q13_cust_dist" ->

@@ -180,4 +180,25 @@ class RoundSixteenOpsSpec extends AnyFunSuite {
     assert(joinLine >= 0 && aggBelow,
       "orders must collapse to customer grain before the join ships rows")
   }
+
+  test("sql_q15_top_supplier: one fact scan, no global sort, ties preserved") {
+    val q = SparkEntry.queries("sql_q15_top_supplier")(s, dir)
+    assert(scanCount(q, "lineitem") == 1,
+      "the window-max rewrite must read the fact table exactly once")
+    val p = finalPlan(q)
+    // the max-selection must not plan a lineitem-sized global Sort; the
+    // only Sort allowed is the supplier-grain output order
+    assert(!p.contains("TakeOrderedAndProject"),
+      "a top-1 limit would drop revenue ties — Q15 keeps ALL max suppliers")
+    assert(q.count() >= 1, "vacuous: no top supplier at the gate sf")
+  }
+
+  test("sql_q22_idle_balance: scalar stats broadcast; anti join probes distinct keys") {
+    val q = SparkEntry.queries("sql_q22_idle_balance")(s, dir)
+    val p = finalPlan(q)
+    assert(p.contains("LeftAnti"), s"NOT EXISTS must plan as an anti join:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"),
+      "the 1-row stats cross must broadcast, never a cartesian")
+    assert(q.count() >= 1, "vacuous: no idle above-average customers at the gate sf")
+  }
 }
