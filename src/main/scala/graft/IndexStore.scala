@@ -283,9 +283,15 @@ object IndexStore {
     def stampSrc(v: String): Unit = Seq(v).toDF("src").coalesce(1)
       .write.mode("overwrite").parquet(s"$root/_corpus_cache/_src")
     stampSrc("__building__")
-    corpusCaches.foreach { case (name, build) =>
+    // drop memoized _src entries IMMEDIATELY after the poison stamp and
+    // again in a finally: if a cache build throws, the on-disk _src is
+    // the poison marker (invalid, as designed) and no stale in-memory
+    // entry may keep validating the torn half-overwritten panel for the
+    // rest of the session
+    srcChecked.clear()
+    try corpusCaches.foreach { case (name, build) =>
       build(s, sfDir).write.mode("overwrite").parquet(s"$root/_corpus_cache/$name")
-    }
+    } finally srcChecked.clear()
     stampSrc(sfDir)
     srcChecked.clear()
   }

@@ -24,6 +24,13 @@ import org.apache.spark.sql.functions._
 object MakeScale {
   def main(args: Array[String]): Unit = {
     val (src, out, n, subject) = (args(0), args(1), args(2).toInt, args(3))
+    // overwrite-mode writes of lazily-read inputs: out == src would
+    // delete each table before its own self-read executes, destroying
+    // the source corpus (the mergeAll self-overwrite guard, applied here)
+    require(
+      java.nio.file.Paths.get(out).toAbsolutePath.normalize() !=
+        java.nio.file.Paths.get(src).toAbsolutePath.normalize(),
+      s"outDir must differ from srcDir ($src): overwrite would consume its own input")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -148,7 +148,15 @@ object Tables {
   * plan-build time follows the [[Tables.events]] precedent.
   */
 object NoAqe {
-  def during[T](s: SparkSession)(body: => T): T = {
+  // synchronized on the session (as is ShuffleWidth): two overlapping
+  // conf-scoped bodies on one session would interleave save/restore and
+  // the last finally could pin a stale value for the session lifetime.
+  // (The monitor is reentrant, so nesting ShuffleWidth inside NoAqe on
+  // one thread — the cc-fold shape — is fine.) Residual, documented:
+  // conf-UNSCOPED work racing on the same session still plans under the
+  // scoped value; maintenance folds are sub-second-per-round jobs that
+  // production runs in their own session.
+  def during[T](s: SparkSession)(body: => T): T = s.synchronized {
     val was = s.conf.get("spark.sql.adaptive.enabled", "true")
     s.conf.set("spark.sql.adaptive.enabled", "false")
     try body finally s.conf.set("spark.sql.adaptive.enabled", was)
@@ -165,7 +173,9 @@ object NoAqe {
   * conf is restored before any lazily-returned frame executes.
   */
 object ShuffleWidth {
-  def during[T](s: SparkSession, n: Int)(body: => T): T = {
+  // session-monitor scoped like NoAqe (see its doc for the rationale
+  // and the documented residual)
+  def during[T](s: SparkSession, n: Int)(body: => T): T = s.synchronized {
     val was = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
     try body finally s.conf.set("spark.sql.shuffle.partitions", was)

@@ -851,12 +851,13 @@ object Dedup {
     // the pair fan-out. Only the artifact path plans: in-session the
     // groups table is an already-cached shared frame, so the prune pass
     // could only add work and the planner is statically `full`.
+    // the decision is READ from the published plan row — one source of
+    // truth, so the monitored dedup_incr_plan can never desynchronize
+    // from the leg actually served (the drift the sim_ivf_plan
+    // discipline exists to prevent)
     val usePrune = prune.getOrElse {
-      graft.IndexStore.active.isDefined && {
-        val nb = bg.agg(count(lit(1))).head().getLong(0)
-        val nh = hist.select(col("ckey")).distinct().count()
-        nb * 100 < DedupPruneCutPct * nh
-      }
+      graft.IndexStore.active.isDefined &&
+        incrPlanStats(s, dir).select(col("leg")).head().getString(0) == "pruned"
     }
     val gHist =
       if (usePrune) {

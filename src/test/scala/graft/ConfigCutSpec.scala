@@ -22,15 +22,8 @@ class ConfigCutSpec extends AnyFunSuite {
   private val dir = TestSpark.sf
   private val Knob = "graft.adc.pair.cut"
 
-  private def withCut[A](cut: Long)(body: => A): A = {
-    val prev = sys.props.get(Knob)
-    sys.props(Knob) = cut.toString
-    try body
-    finally prev match {
-      case Some(v) => sys.props(Knob) = v
-      case None => sys.props.remove(Knob)
-    }
-  }
+  private def withCut[A](cut: Long)(body: => A): A =
+    TestSpark.withProp(Knob, cut.toString)(body)
 
   test("the planner leg flips on the configured cut alone, and the oracle interpolates it") {
     val p = operators.Sim.incrCandCounts(s, dir)

@@ -22,15 +22,8 @@ class RoundSixteenOpsSpec extends AnyFunSuite {
   private val dir = TestSpark.sf
   private val Knob = "graft.dedup.prune.cut.pct"
 
-  private def withCut[A](cut: Long)(body: => A): A = {
-    val prev = sys.props.get(Knob)
-    sys.props(Knob) = cut.toString
-    try body
-    finally prev match {
-      case Some(v) => sys.props(Knob) = v
-      case None => sys.props.remove(Knob)
-    }
-  }
+  private def withCut[A](cut: Long)(body: => A): A =
+    TestSpark.withProp(Knob, cut.toString)(body)
 
   private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
