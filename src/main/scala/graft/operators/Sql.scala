@@ -382,7 +382,246 @@ object Sql {
       .orderBy(col("n_name"))
   }
 
+  /** TPC-H Q4 shape ("order-priority checking"), adapted: the corpus has
+    * no l_commitdate/l_receiptdate, so a late order is one with ANY line
+    * shipped > 75 days after the order date (the q21 lateness rule) —
+    * which makes the textbook EXISTS correlated on the OUTER row's
+    * o_orderdate, not self-contained in lineitem. The engine therefore
+    * joins the date-windowed orders to lineitem ONCE at orderkey grain
+    * and replays the quantifier as max(late-flag) per (order, priority)
+    * — map-side partial collapse, so the exchange carries one row per
+    * order, then a priority-domain-bounded final count. The DuckDB
+    * oracle runs the textbook EXISTS form, hash-verifying the rewrite.
+    */
+  private val q4Priority: Q = (s, dir) => {
+    val o = Tables(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderpriority"))
+      .agg(max(when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 75 DAYS"), 1)
+        .otherwise(0)).as("late"))
+      .filter(col("late") === 1)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** TPC-H Q7 shape ("volume shipping"): bilateral trade between two
+    * nations by ship year. Plan shape at 100 TB: both nation-filtered
+    * dimension sides (supplier⨝nation, customer⨝nation — 2 of 25
+    * nations each) broadcast into the fact scans, so lineitem is cut to
+    * the two nations' suppliers BEFORE its orderkey shuffle against
+    * orders; the (supp, cust) direction filter is a residual on the
+    * joined row; the final agg is (2 directions × years)-bounded.
+    * Revenue in exact 1e-4-dollar integers ([[starRevenue]]).
+    */
+  private val q7Volume: Q = (s, dir) => {
+    val nations = Seq("NATION_18", "NATION_19")
+    val sn = Tables(s, dir, "supplier")
+      .join(broadcast(Tables(s, dir, "nation").filter(col("n_name").isin(nations: _*))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cn = Tables(s, dir, "customer")
+      .join(broadcast(Tables(s, dir, "nation").filter(col("n_name").isin(nations: _*))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    Tables(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1998-01-01"))
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cn, col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(expr("cast(round(l_extendedprice * 100, 0) as bigint) * (100 - cast(round(l_discount * 100, 0) as bigint))"))
+        .cast("long").as("revenue_e4"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** TPC-H Q8 shape ("national market share"): one nation's share of
+    * ECONOMY-part revenue sold into EUROPE, by order year. The textbook
+    * emits a double division; the engine returns BOTH the numerator and
+    * denominator as exact 1e-4-dollar integers — the share is a trivial
+    * client-side ratio, and the integers hash cross-engine while a
+    * summed double would be partition-merge-order-dependent. Plan shape
+    * at 100 TB: the part slice broadcast-semi-cuts the fact scan first,
+    * supplier/nation/region broadcast, orders carries the year, customer
+    * gates the market region — one orderkey and one custkey exchange.
+    */
+  private val q8MarketShare: Q = (s, dir) => {
+    val pk = Tables(s, dir, "part").filter(col("p_type") === "ECONOMY")
+      .select(col("p_partkey"))
+    val sn = Tables(s, dir, "supplier")
+      .join(broadcast(Tables(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val euCust = Tables(s, dir, "customer")
+      .join(broadcast(Tables(s, dir, "nation")
+        .join(broadcast(Tables(s, dir, "region").filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val rev = expr("cast(round(l_extendedprice * 100, 0) as bigint) * (100 - cast(round(l_discount * 100, 0) as bigint))")
+    Tables(s, dir, "lineitem")
+      .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(euCust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(sum(when(col("supp_nation") === "NATION_19", rev).otherwise(lit(0L)))
+        .cast("long").as("nation_e4"),
+        sum(rev).cast("long").as("total_e4"))
+      .orderBy(col("o_year"))
+  }
+
+  /** TPC-H Q9 shape ("product-type profit"), adapted: the corpus has no
+    * partsupp, so line cost is p_retailprice·quantity and profit_e4 =
+    * price_c·(100−disc_pct) − qty_c·retail_c — both terms in the same
+    * exact 1e-4-dollar units, so the (possibly negative) profit hashes
+    * cross-engine with no doubles. Parts matched by name substring
+    * ('%red%'). Plan shape at 100 TB: the name-filtered part slice
+    * (with its cost column) broadcasts into the fact scan, supplier⨝
+    * nation broadcasts for the profit-center grain, and the only big
+    * exchange is lineitem⨝orders on orderkey for the year — then a
+    * (nation × year)-bounded agg.
+    */
+  private val q9Profit: Q = (s, dir) => {
+    val pr = Tables(s, dir, "part").filter(col("p_name").like("%red%"))
+      .select(col("p_partkey"),
+        expr("cast(round(p_retailprice * 100, 0) as bigint)").as("retail_c"))
+    val sn = Tables(s, dir, "supplier")
+      .join(broadcast(Tables(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    Tables(s, dir, "lineitem")
+      .join(broadcast(pr), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum(expr(
+        """cast(round(l_extendedprice * 100, 0) as bigint) * (100 - cast(round(l_discount * 100, 0) as bigint))
+          | - cast(round(l_quantity * 100, 0) as bigint) * retail_c""".stripMargin))
+        .cast("long").as("profit_e4"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** TPC-H Q10 shape ("returned-item reporting"): top-20 customers by
+    * revenue of returned lines in one quarter. Plan shape at 100 TB:
+    * the quarter filter cuts orders BEFORE the orderkey shuffle, the
+    * returnflag filter is pushed into the lineitem scan, nation
+    * broadcasts, and the top-20 is TakeOrderedAndProject — per-partition
+    * heaps over the (active customer)-bounded aggregate, never a global
+    * sort. Revenue exact-integer as everywhere in this pack.
+    */
+  private val q10Returns: Q = (s, dir) => {
+    Tables(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      .join(Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-10-01") && col("o_orderdate") < lit("1997-01-01"))
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(sum(expr("cast(round(l_extendedprice * 100, 0) as bigint) * (100 - cast(round(l_discount * 100, 0) as bigint))"))
+        .cast("long").as("revenue_e4"))
+      .select(col("c_custkey"), col("c_name"),
+        expr("cast(round(c_acctbal * 100, 0) as bigint)").as("bal_cents"),
+        col("n_name"), col("revenue_e4"))
+      .orderBy(col("revenue_e4").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q14 shape ("promotion effect"): PROMO-part share of one
+    * month's revenue. Like [[q8MarketShare]], the engine emits exact
+    * integer numerator + denominator instead of the textbook's double
+    * ratio. Plan shape at 100 TB: the month filter is pushed into the
+    * fact scan, the part dimension broadcasts (its p_type decides the
+    * numerator), and the result is a 1-row conditional aggregate — one
+    * scan, zero non-broadcast exchanges beyond the final fold.
+    */
+  private val q14Promo: Q = (s, dir) => {
+    val rev = expr("cast(round(l_extendedprice * 100, 0) as bigint) * (100 - cast(round(l_discount * 100, 0) as bigint))")
+    Tables(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-09-01") && col("l_shipdate") < lit("1996-10-01"))
+      .join(broadcast(Tables(s, dir, "part").select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .agg(sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0L)))
+        .cast("long").as("promo_e4"),
+        sum(rev).cast("long").as("total_e4"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q19 shape ("discounted revenue", disjunctive predicates),
+    * adapted to this corpus's columns (no p_container): three
+    * brand/size/quantity bands OR'd together. The textbook phrasing
+    * puts the whole disjunction in the join's WHERE; a naive engine
+    * nested-loops it. This engine joins lineitem⨝part on the EQUI key
+    * once (part broadcast) and evaluates the OR as a codegen residual —
+    * and the part side is pre-cut to the union of the three brand/size
+    * slices (the only parts any disjunct can accept), so the broadcast
+    * ships hundreds of rows, not the dimension. One scan, 1-row agg.
+    */
+  private val q19Disjunct: Q = (s, dir) => {
+    val pSlice = Tables(s, dir, "part")
+      .filter((col("p_brand") === "Brand#12" && col("p_size").between(1, 5))
+        || (col("p_brand") === "Brand#23" && col("p_size").between(1, 10))
+        || (col("p_brand") === "Brand#3" && col("p_size").between(1, 15)))
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    Tables(s, dir, "lineitem")
+      .join(broadcast(pSlice), col("l_partkey") === col("p_partkey"))
+      .filter((col("p_brand") === "Brand#12" && col("p_size").between(1, 5)
+          && col("l_quantity").between(1, 11))
+        || (col("p_brand") === "Brand#23" && col("p_size").between(1, 10)
+          && col("l_quantity").between(10, 20))
+        || (col("p_brand") === "Brand#3" && col("p_size").between(1, 15)
+          && col("l_quantity").between(20, 30)))
+      .agg(sum(expr("cast(round(l_extendedprice * 100, 0) as bigint) * (100 - cast(round(l_discount * 100, 0) as bigint))"))
+        .cast("long").as("revenue_e4"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q2 shape ("minimum-cost supplier"), adapted: no partsupp
+    * table, so a part's candidate suppliers are the DISTINCT
+    * (partkey, suppkey) pairs observed in lineitem, and "cost" is the
+    * supplier's account balance (ties kept, as the textbook's equality
+    * does). The textbook correlates a scalar MIN subquery per outer
+    * row — a second evaluation of the pair set. The engine builds the
+    * pair set ONCE (fact scan collapsed to distinct pairs, pre-cut by
+    * the broadcast part slice), broadcasts supplier onto it, and
+    * replays the correlation as a partkey-window MIN over the
+    * aggregated frame (pair-domain-bounded, the q15 discipline — never
+    * lineitem-sized). The DuckDB oracle runs the correlated form.
+    */
+  private val q2MinBal: Q = (s, dir) => {
+    val pk = Tables(s, dir, "part")
+      .filter(col("p_size") === 15 && col("p_type") === "STANDARD")
+      .select(col("p_partkey"), col("p_name"))
+    val pairs = Tables(s, dir, "lineitem")
+      .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("p_name"), col("l_suppkey")).distinct()
+      .join(broadcast(Tables(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("p_partkey")
+    pairs.withColumn("min_bal", min(col("s_acctbal")).over(w))
+      .filter(col("s_acctbal") === col("min_bal"))
+      .select(col("p_partkey"), col("p_name"), col("s_suppkey"), col("s_name"),
+        expr("cast(round(s_acctbal * 100, 0) as bigint)").as("bal_cents"))
+      .orderBy(col("bal_cents"), col("p_partkey"), col("s_suppkey"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "sql_q2_min_bal" -> q2MinBal,
+    "sql_q4_priority" -> q4Priority,
+    "sql_q7_volume" -> q7Volume,
+    "sql_q8_market_share" -> q8MarketShare,
+    "sql_q9_profit" -> q9Profit,
+    "sql_q10_returns" -> q10Returns,
+    "sql_q14_promo" -> q14Promo,
+    "sql_q19_disjunct" -> q19Disjunct,
     "sql_q21_waiting" -> q21Waiting,
     "sql_q17_small_qty" -> q17SmallQty,
     "sql_q13_cust_dist" -> q13CustDist,
@@ -401,6 +640,112 @@ object Sql {
   )
 
   val oracles: Map[String, String] = Map(
+    // the textbook correlated EXISTS on the outer row's o_orderdate —
+    // the engine's one-join max-late-flag rewrite must hash-match it
+    "sql_q4_priority" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 75 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "sql_q7_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT) AS revenue_e4
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+        |    OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // the textbook CASE-ratio — the engine emits exact numerator +
+    // denominator integers instead of the double division
+    "sql_q8_market_share" ->
+      """SELECT year(o_orderdate) AS o_year,
+        |  CAST(SUM(CASE WHEN n1.n_name = 'NATION_19'
+        |    THEN CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) ELSE 0 END) AS BIGINT) AS nation_e4,
+        |  CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT) AS total_e4
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |JOIN region ON n2.n_regionkey = r_regionkey
+        |WHERE p_type = 'ECONOMY' AND r_name = 'EUROPE'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sql_q9_profit" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |  CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))
+        |    - CAST(round(l_quantity * 100, 0) AS BIGINT)
+        |      * CAST(round(p_retailprice * 100, 0) AS BIGINT)) AS BIGINT) AS profit_e4
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2 ORDER BY 1, 2 DESC""".stripMargin,
+    "sql_q10_returns" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_cents, n_name,
+        |  CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT) AS revenue_e4
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue_e4 DESC, c_custkey LIMIT 20""".stripMargin,
+    "sql_q14_promo" ->
+      """SELECT
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) ELSE 0 END) AS BIGINT) AS promo_e4,
+        |  CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT) AS total_e4,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin,
+    // the textbook whole-disjunction WHERE — the engine's equi-join +
+    // residual-OR rewrite must hash-match it
+    "sql_q19_disjunct" ->
+      """SELECT
+        |  CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT) AS revenue_e4,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    // the textbook correlated scalar-MIN — the engine's window-over-
+    // distinct-pairs rewrite must hash-match it
+    "sql_q2_min_bal" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT p_partkey, p_name, s_suppkey, s_name,
+        |  CAST(round(s_acctbal * 100, 0) AS BIGINT) AS bal_cents
+        |FROM part
+        |JOIN ps ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE p_size = 15 AND p_type = 'STANDARD'
+        |  AND s_acctbal = (SELECT MIN(s2.s_acctbal)
+        |    FROM supplier s2 JOIN ps ps2 ON s2.s_suppkey = ps2.l_suppkey
+        |    WHERE ps2.l_partkey = p_partkey)
+        |ORDER BY bal_cents, p_partkey, s_suppkey""".stripMargin,
     // the textbook doubly-quantified form — the engine's single-scan
     // aggregate rewrite must hash-match it
     "sql_q21_waiting" ->
