@@ -613,7 +613,143 @@ object Sql {
       .orderBy(col("bal_cents"), col("p_partkey"), col("s_suppkey"))
   }
 
+  /** TPC-H Q6 shape ("forecast revenue change"): the pure scan-aggregate
+    * — a date window, a discount band, a quantity cap, no joins. The
+    * discount band is decided on the EXACT integer percent (a double
+    * BETWEEN on 0.05..0.07 is representation-dependent at the
+    * boundary); a redundant, wider double range filter is kept because
+    * IT reaches the parquet reader as a pushed min/max predicate while
+    * the rounded-integer form cannot — row groups skip on the coarse
+    * range, the exact band decides per row. At 100 TB this query IS the
+    * scan; everything else is a 1-row map-side fold.
+    */
+  private val q6Forecast: Q = (s, dir) => {
+    Tables(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01"))
+      .filter(col("l_discount") >= 0.04 && col("l_discount") <= 0.08)
+      .filter(expr("cast(round(l_discount * 100, 0) as bigint) between 5 and 7")
+        && col("l_quantity") < 24)
+      .agg(sum(expr("cast(round(l_extendedprice * 100, 0) as bigint) * cast(round(l_discount * 100, 0) as bigint)"))
+        .cast("long").as("revenue_e4"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q11 shape ("important stock"), adapted: no partsupp, so a
+    * part's "value" is Σ qty_c·retail_c over lines shipped by ASIA
+    * suppliers, and the textbook's scale-dependent `> fraction·total`
+    * threshold becomes the scale-robust mean-relative form
+    * `value > 1.05·mean`, replayed exactly as
+    * `value·20·n_parts > 21·total` — no division, no doubles. Plan
+    * shape at 100 TB: the ASIA supplier key set semi-cuts the fact scan
+    * (broadcast), part's cost column broadcasts, the per-part agg
+    * combines map-side, and the (Σ, n) threshold is a 1-row broadcast
+    * cross over the part-domain-bounded aggregate — the fact table is
+    * scanned once and never re-aggregated for the scalar.
+    */
+  private val q11ValueParts: Q = (s, dir) => {
+    val asiaSupp = Tables(s, dir, "supplier")
+      .join(broadcast(Tables(s, dir, "nation")
+        .join(broadcast(Tables(s, dir, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val pv = Tables(s, dir, "lineitem")
+      .join(broadcast(asiaSupp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .join(broadcast(Tables(s, dir, "part").select(col("p_partkey"),
+        expr("cast(round(p_retailprice * 100, 0) as bigint)").as("retail_c"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(expr("cast(round(l_quantity * 100, 0) as bigint) * retail_c"))
+        .cast("long").as("value_e4"))
+    val stats = pv.agg(count(lit(1)).as("n_parts"), sum(col("value_e4")).as("total_e4"))
+    pv.crossJoin(broadcast(stats))
+      .filter(col("value_e4") * 20 * col("n_parts") > col("total_e4") * 21)
+      .select(col("l_partkey"), col("value_e4"))
+      .orderBy(col("value_e4").desc, col("l_partkey"))
+  }
+
+  /** TPC-H Q12 shape ("shipping modes and order priority"), adapted:
+    * no l_shipmode/l_commitdate/l_receiptdate, so the mode column is
+    * l_returnflag and a late line ships > 75 days after the order date
+    * (the corpus lateness rule). The conditional priority counts
+    * collapse map-side after the single orderkey join; the output is
+    * returnflag-domain-bounded. One fact exchange at 100 TB.
+    */
+  private val q12LatePriority: Q = (s, dir) => {
+    Tables(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01"))
+      .join(Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 75 DAYS"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0))
+        .cast("long").as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0).otherwise(1))
+          .cast("long").as("low_line_count"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** TPC-H Q16 shape ("parts/supplier relationship"), adapted: the
+    * part-supplier relation is the DISTINCT (partkey, suppkey) pairs
+    * observed in lineitem, and the textbook's complaints-comment
+    * exclusion subquery becomes a deterministic key-set exclusion
+    * (suppkey ≡ 0 mod 7). Plan shape at 100 TB: the brand/size part
+    * slice broadcasts into the fact scan FIRST (only qualifying parts'
+    * pairs survive), the excluded-supplier key set rides a broadcast
+    * anti join, and COUNT(DISTINCT suppkey) per (brand, type, size)
+    * runs over pair-grain rows — bounded by the catalog, never by line
+    * count.
+    */
+  private val q16SupplierCnt: Q = (s, dir) => {
+    val pSlice = Tables(s, dir, "part")
+      .filter(col("p_brand") =!= "Brand#5"
+        && col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    val excl = Tables(s, dir, "supplier")
+      .filter(col("s_suppkey") % 7 === 0).select(col("s_suppkey"))
+    Tables(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(pSlice), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** TPC-H Q20 shape ("potential part promotion"), adapted: no
+    * partsupp availability, so the surplus test becomes "this supplier
+    * shipped more than HALF the part's total shipped quantity in the
+    * window" — the textbook's correlated half-sum subquery re-aggregates
+    * lineitem per outer row; the engine aggregates to (part, supplier)
+    * grain ONCE (name-filtered part keys broadcast-cut the scan first)
+    * and replays the correlation as a partkey-window total over the
+    * aggregated frame (pair-domain-bounded, the q15/q2 discipline),
+    * deciding `2·qty > total` in exact integers. The DuckDB oracle runs
+    * the correlated form.
+    */
+  private val q20SurplusShare: Q = (s, dir) => {
+    val pk = Tables(s, dir, "part").filter(col("p_name").like("%blue%"))
+      .select(col("p_partkey"))
+    val sq = Tables(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01"))
+      .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(expr("cast(round(l_quantity * 100, 0) as bigint)")).as("qty_c"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")
+    sq.withColumn("tot_c", sum(col("qty_c")).over(w))
+      .filter(col("qty_c") * 2 > col("tot_c"))
+      .select(col("l_suppkey")).distinct()
+      .join(broadcast(Tables(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy(col("s_suppkey"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "sql_q6_forecast" -> q6Forecast,
+    "sql_q11_value_parts" -> q11ValueParts,
+    "sql_q12_late_priority" -> q12LatePriority,
+    "sql_q16_supplier_cnt" -> q16SupplierCnt,
+    "sql_q20_surplus_share" -> q20SurplusShare,
     "sql_q2_min_bal" -> q2MinBal,
     "sql_q4_priority" -> q4Priority,
     "sql_q7_volume" -> q7Volume,
@@ -640,6 +776,65 @@ object Sql {
   )
 
   val oracles: Map[String, String] = Map(
+    "sql_q6_forecast" ->
+      """SELECT
+        |  CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |    * CAST(round(l_discount * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_e4,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND CAST(round(l_discount * 100, 0) AS BIGINT) BETWEEN 5 AND 7
+        |  AND l_quantity < 24""".stripMargin,
+    // the textbook scalar-total threshold (made mean-relative for scale
+    // robustness) — the engine broadcast-crosses one (Σ, n) row instead
+    // of re-evaluating the view
+    "sql_q11_value_parts" ->
+      """WITH pv AS MATERIALIZED (
+        |  SELECT l_partkey, CAST(SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)
+        |    * CAST(round(p_retailprice * 100, 0) AS BIGINT)) AS BIGINT) AS value_e4
+        |  FROM lineitem
+        |  JOIN part ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation ON n_nationkey = s_nationkey
+        |  JOIN region ON r_regionkey = n_regionkey
+        |  WHERE r_name = 'ASIA'
+        |  GROUP BY l_partkey)
+        |SELECT l_partkey, value_e4 FROM pv
+        |WHERE value_e4 * 20 * (SELECT COUNT(*) FROM pv) > (SELECT SUM(value_e4) FROM pv) * 21
+        |ORDER BY value_e4 DESC, l_partkey""".stripMargin,
+    "sql_q12_late_priority" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 75 DAY
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the textbook NOT-IN exclusion subquery — the engine plans it as a
+    // broadcast anti join over the distinct observed pairs
+    "sql_q16_supplier_cnt" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT p_brand, p_type, p_size, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM part JOIN ps ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_suppkey % 7 = 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    // the textbook correlated half-sum — the engine's window-over-
+    // aggregated-pairs rewrite must hash-match it
+    "sql_q20_surplus_share" ->
+      """WITH sq AS MATERIALIZED (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS qty_c
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY 1, 2)
+        |SELECT DISTINCT s_suppkey, s_name
+        |FROM supplier JOIN sq ON s_suppkey = l_suppkey
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE p_name LIKE '%blue%'
+        |  AND 2 * qty_c > (SELECT SUM(sq2.qty_c) FROM sq sq2 WHERE sq2.l_partkey = sq.l_partkey)
+        |ORDER BY s_suppkey""".stripMargin,
     // the textbook correlated EXISTS on the outer row's o_orderdate —
     // the engine's one-join max-late-flag rewrite must hash-match it
     "sql_q4_priority" ->

@@ -41,7 +41,7 @@ class ContractSpec extends AnyFunSuite {
 
   test("query count matches the documented coverage") {
     // update alongside SURVEY.md §8 when adding operators
-    assert(SparkEntry.queries.size == 294,
+    assert(SparkEntry.queries.size == 299,
       s"queries map has ${SparkEntry.queries.size} entries — update SURVEY.md §8 and this pin")
   }
 

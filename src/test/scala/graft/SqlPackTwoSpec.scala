@@ -113,6 +113,66 @@ class SqlPackTwoSpec extends AnyFunSuite {
     assert(r.getLong(0) > 0 && r.getLong(1) >= r.getLong(0) && r.getLong(2) > 0)
   }
 
+  test("sql_q6_forecast: no joins, date range pushed to the scan, exact band decides") {
+    val q = SparkEntry.queries("sql_q6_forecast")(s, dir)
+    val p = finalPlan(q)
+    assert(!p.contains("Join"), "Q6 is a pure scan aggregate")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") || p.contains("PushedFilters"),
+      s"date window must reach the parquet reader:\n${p.take(1200)}")
+    val r = q.head()
+    assert(r.getLong(0) > 0 && r.getLong(1) > 0, "vacuous: empty discount band")
+  }
+
+  test("sql_q11_value_parts: one fact scan; the (Σ, n) threshold broadcasts, never re-aggregates") {
+    val q = SparkEntry.queries("sql_q11_value_parts")(s, dir)
+    assert(scanCount(q, "lineitem") == 1,
+      "the mean-relative threshold must come from the SAME per-part aggregate, not a rescan")
+    assert(!finalPlan(q).contains("CartesianProduct"),
+      "the 1-row stats cross must broadcast")
+    assert(rows(q).nonEmpty, "vacuous: no above-mean parts at the gate sf")
+  }
+
+  test("sql_q12_late_priority: single orderkey join, returnflag-domain output") {
+    val q = SparkEntry.queries("sql_q12_late_priority")(s, dir)
+    assert(scanCount(q, "lineitem") == 1 && scanCount(q, "orders") == 1)
+    val r = q.collect()
+    assert(r.nonEmpty && r.length <= 3, "output is bounded by the returnflag domain")
+    assert(r.map(x => x.getLong(1) + x.getLong(2)).sum > 0, "vacuous: no late lines")
+  }
+
+  test("sql_q16_supplier_cnt: part slice and exclusion set broadcast; anti join plans") {
+    val q = SparkEntry.queries("sql_q16_supplier_cnt")(s, dir)
+    assert(scanCount(q, "lineitem") == 1)
+    val p = finalPlan(q)
+    assert(p.contains("LeftAnti"), s"the NOT-IN exclusion must plan as an anti join:\n${p.take(1200)}")
+    assert(rows(q).nonEmpty, "vacuous: no qualifying (brand, type, size) groups")
+  }
+
+  test("sql_q20_surplus_share: one fact scan; matches the textbook correlated half-sum in-Spark") {
+    val q = SparkEntry.queries("sql_q20_surplus_share")(s, dir)
+    assert(scanCount(q, "lineitem") == 1,
+      "the window-total rewrite must read the fact table exactly once")
+    Tables(s, dir, "lineitem").createOrReplaceTempView("q20_l")
+    Tables(s, dir, "part").createOrReplaceTempView("q20_p")
+    Tables(s, dir, "supplier").createOrReplaceTempView("q20_s")
+    val textbook = s.sql(
+      """WITH sq AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_c
+        |  FROM q20_l
+        |  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+        |  GROUP BY 1, 2)
+        |SELECT DISTINCT s_suppkey, s_name
+        |FROM q20_s JOIN sq ON s_suppkey = l_suppkey
+        |JOIN q20_p ON p_partkey = l_partkey
+        |WHERE p_name LIKE '%blue%'
+        |  AND 2 * qty_c > (SELECT SUM(sq2.qty_c) FROM sq sq2 WHERE sq2.l_partkey = sq.l_partkey)
+        |ORDER BY s_suppkey""".stripMargin)
+    assert(rows(q).nonEmpty, "vacuous: no majority-share suppliers at the gate sf")
+    assert(rows(q) == rows(textbook),
+      "the window rewrite drifted from the textbook correlated half-sum")
+  }
+
   test("sql_q19_disjunct: the OR-of-ANDs runs as one equi-join + residual, part slice broadcast") {
     val q = SparkEntry.queries("sql_q19_disjunct")(s, dir)
     assert(scanCount(q, "lineitem") == 1)
