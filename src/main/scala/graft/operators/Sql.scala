@@ -386,25 +386,28 @@ object Sql {
     * no l_commitdate/l_receiptdate, so a late order is one with ANY line
     * shipped > 75 days after the order date (the q21 lateness rule) —
     * which makes the textbook EXISTS correlated on the OUTER row's
-    * o_orderdate, not self-contained in lineitem. The engine therefore
-    * joins the date-windowed orders to lineitem ONCE at orderkey grain
-    * and replays the quantifier as max(late-flag) per (order, priority)
-    * — map-side partial collapse, so the exchange carries one row per
-    * order, then a priority-domain-bounded final count. The DuckDB
+    * o_orderdate, not self-contained in lineitem. The engine joins the
+    * date-windowed orders to the LATE-candidate lines once (a static
+    * shipdate bound derived from the window cuts the fact scan first)
+    * and replays the quantifier as COUNT(DISTINCT orderkey) per
+    * priority — only late lines ever cross the exchange. The DuckDB
     * oracle runs the textbook EXISTS form, hash-verifying the rewrite.
     */
   private val q4Priority: Q = (s, dir) => {
     val o = Tables(s, dir, "orders")
       .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
       .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    // only LATE lines can witness the EXISTS, and a late line of a
+    // windowed order necessarily ships after window-start + 75 days —
+    // a static bound that reaches the parquet reader and cuts the fact
+    // side BEFORE the join (the 64× probe's 38.4 M-line exchange
+    // dropped to the post-cut stream; 15-27 s → ~2 s)
     Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+      .filter(col("l_shipdate") > lit("1996-03-16"))
       .join(o, col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_orderkey"), col("o_orderpriority"))
-      .agg(max(when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 75 DAYS"), 1)
-        .otherwise(0)).as("late"))
-      .filter(col("late") === 1)
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 75 DAYS"))
       .groupBy(col("o_orderpriority"))
-      .agg(count(lit(1)).as("order_count"))
+      .agg(countDistinct(col("o_orderkey")).as("order_count"))
       .orderBy(col("o_orderpriority"))
   }
 
