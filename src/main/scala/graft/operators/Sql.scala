@@ -401,7 +401,7 @@ object Sql {
     // windowed order necessarily ships after window-start + 75 days —
     // a static bound that reaches the parquet reader and cuts the fact
     // side BEFORE the join (the 64× probe's 38.4 M-line exchange
-    // dropped to the post-cut stream; 15-27 s → ~2 s)
+    // dropped to the post-cut stream; 15-27 s → 4.2 s, BASELINE.md)
     Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
       .filter(col("l_shipdate") > lit("1996-03-16"))
       .join(o, col("l_orderkey") === col("o_orderkey"))
@@ -666,7 +666,12 @@ object Sql {
         .cast("long").as("value_e4"))
     val stats = pv.agg(count(lit(1)).as("n_parts"), sum(col("value_e4")).as("total_e4"))
     pv.crossJoin(broadcast(stats))
-      .filter(col("value_e4") * 20 * col("n_parts") > col("total_e4") * 21)
+      // DECIMAL(38,0) on both products: value_e4·20·n_parts crosses
+      // Long.MaxValue around the 20 M-part scale (DuckDB compares in
+      // HUGEINT, so a bigint wrap here would be a silent cross-engine
+      // divergence at exactly the scale the threshold exists for)
+      .filter(col("value_e4").cast("decimal(38,0)") * 20 * col("n_parts")
+        > col("total_e4").cast("decimal(38,0)") * 21)
       .select(col("l_partkey"), col("value_e4"))
       .orderBy(col("value_e4").desc, col("l_partkey"))
   }
@@ -839,7 +844,8 @@ object Sql {
         |  AND 2 * qty_c > (SELECT SUM(sq2.qty_c) FROM sq sq2 WHERE sq2.l_partkey = sq.l_partkey)
         |ORDER BY s_suppkey""".stripMargin,
     // the textbook correlated EXISTS on the outer row's o_orderdate —
-    // the engine's one-join max-late-flag rewrite must hash-match it
+    // the engine's late-candidate COUNT(DISTINCT) rewrite must
+    // hash-match it
     "sql_q4_priority" ->
       """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
         |FROM orders
