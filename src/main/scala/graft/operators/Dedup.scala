@@ -140,7 +140,7 @@ object Dedup {
     * same shingles survive; an absolute cap silently pruned everything
     * on duplicate-heavy corpora (the round-3 scale flaw).
     */
-  private def postings(s: SparkSession, dir: String): DataFrame =
+  private[graft] def postings(s: SparkSession, dir: String): DataFrame =
     ccache(s, dir, "dedup.postings", "dedup_postings") {
       val g = contentGroups(s, dir)
       val ex = g.select(col("ckey"), expr("cast(size(sh64) as bigint)").as("n"),
@@ -172,25 +172,49 @@ object Dedup {
     * cap, the threshold, or approximate candidates (dedup_minhash).
     */
 
+  /** UNFILTERED rare-posting pair aggregation — (ka, kb) = xxhash64(ckey)
+    * pair, shared = |A∩B| over rare shingles, na/nb = full set sizes.
+    * This self-join + hash-agg is the dominant cost of BOTH exact
+    * pair-measure queries (ngram_jaccard filters it at J ≥ 0.6,
+    * containment at C ≥ 0.9); before r16 each query re-ran the identical
+    * Σdf²-row join, paying the engine's single biggest shuffle twice per
+    * session. Session-cached only (Cached.of via ccache; the artifact
+    * name is NOT in the corpus-cache panel — a pair-grain table is
+    * exactly what this repo never persists to index roots). Pair keys
+    * are 8-byte longs, not 32-char md5 strings: two long keys cut the
+    * pair-row shuffle width ~4× vs two md5 strings, and collisions are
+    * the sh64 argument (P ≈ |reps|²/2⁶⁵, negligible).
+    */
+  private[graft] def pairSharedCounts(s: SparkSession, dir: String): DataFrame =
+    ccache(s, dir, "dedup.pairshared", "dedup_pair_shared") {
+      val exf = postings(s, dir).withColumn("ck", expr("xxhash64(ckey)"))
+      exf.as("a").join(exf.as("b"),
+          col("a.s") === col("b.s") && col("a.ck") < col("b.ck"))
+        .groupBy(col("a.ck").as("ka"), col("b.ck").as("kb"))
+        .agg(count(lit(1)).as("shared"), first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
+    }
+
+  /** Per-content rare-shingle count (sr) + full set size (n) — the
+    * intra-group (identical text) measure input, shared by the same two
+    * consumers as [[pairSharedCounts]].
+    */
+  private[graft] def groupRareCounts(s: SparkSession, dir: String): DataFrame =
+    ccache(s, dir, "dedup.grouprare", "dedup_group_rare") {
+      postings(s, dir).groupBy("ckey")
+        .agg(count(lit(1)).as("sr"), first(col("n")).as("n"))
+    }
+
   /** Exact n-gram Jaccard near-dup pairs (J >= 0.6) via shingle self-join
     * over [[postings]] (corpus-relative frequent-shingle cap, mirrored in
     * the oracle).
     */
   private val ngramJaccard: Q = (s, dir) => {
-    // Pair keys are 8-byte xxhash64(ckey) longs, not 32-char md5
-    // strings: the pair-row table below IS the dominant shuffle
-    // (Σdf² rows — see the plan analysis above postings), and two long
-    // keys cut its width ~4× vs two md5 strings. Collisions are the
-    // sh64 argument: P ≈ |reps|²/2⁶⁵, negligible at any real rep count.
     val sh = shingles(s, dir).withColumn("ck", expr("xxhash64(ckey)"))
-    val exf = postings(s, dir).withColumn("ck", expr("xxhash64(ckey)"))
     // inter-group: rare-shingle join between distinct contents (see the
     // measured prefix-filtering analysis above postings — this direct
-    // join + hash-agg is the optimal exact plan for this count)
-    val interG = exf.as("a").join(exf.as("b"),
-        col("a.s") === col("b.s") && col("a.ck") < col("b.ck"))
-      .groupBy(col("a.ck").as("ka"), col("b.ck").as("kb"))
-      .agg(count(lit(1)).as("shared"), first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
+    // join + hash-agg is the optimal exact plan for this count), shared
+    // with dedup_containment via [[pairSharedCounts]]
+    val interG = pairSharedCounts(s, dir)
       .withColumn("jaccard",
         col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
       .filter(col("jaccard") >= 0.6)
@@ -201,8 +225,7 @@ object Dedup {
         greatest(col("id_a"), col("id_b")).as("doc_b"), col("jaccard"))
     // intra-group (identical text): J = sr / (2n - sr) over the group's
     // rare-shingle count sr — same formula the doc-level oracle computes
-    val intraG = exf.groupBy("ckey")
-      .agg(count(lit(1)).as("sr"), first(col("n")).as("n"))
+    val intraG = groupRareCounts(s, dir)
       .withColumn("jaccard",
         col("sr").cast("double") / (col("n") * 2 - col("sr")))
       .filter(col("jaccard") >= 0.6)
@@ -478,13 +501,10 @@ object Dedup {
     * order the two containment columns swap with them.
     */
   private val containment: Q = (s, dir) => {
-    // long pair keys — same rationale as ngramJaccard
+    // long pair keys — same rationale as ngramJaccard; the pair-agg
+    // substrate is shared with it via [[pairSharedCounts]]
     val sh = shingles(s, dir).withColumn("ck", expr("xxhash64(ckey)"))
-    val exf = postings(s, dir).withColumn("ck", expr("xxhash64(ckey)"))
-    val interG = exf.as("a").join(exf.as("b"),
-        col("a.s") === col("b.s") && col("a.ck") < col("b.ck"))
-      .groupBy(col("a.ck").as("ka"), col("b.ck").as("kb"))
-      .agg(count(lit(1)).as("shared"), first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
+    val interG = pairSharedCounts(s, dir)
       .withColumn("c_ka", col("shared").cast("double") / col("na"))
       .withColumn("c_kb", col("shared").cast("double") / col("nb"))
       .filter(greatest(col("c_ka"), col("c_kb")) >= 0.9)
@@ -496,8 +516,7 @@ object Dedup {
         greatest(col("id_a"), col("id_b")).as("doc_b"),
         when(col("id_a") <= col("id_b"), col("c_ka")).otherwise(col("c_kb")).as("cont_a"),
         when(col("id_a") <= col("id_b"), col("c_kb")).otherwise(col("c_ka")).as("cont_b"))
-    val intraG = exf.groupBy("ckey")
-      .agg(count(lit(1)).as("sr"), first(col("n")).as("n"))
+    val intraG = groupRareCounts(s, dir)
       .withColumn("c", col("sr").cast("double") / col("n"))
       .filter(col("c") >= 0.9)
     val intra = intraG
@@ -1210,7 +1229,14 @@ object Dedup {
     // sequential job barriers (r14 verdict ask #4: 18.5 s of the
     // ~60 s sf0.1 warmup, measured mostly idle cores)
     graft.Par.run(Seq(
-      () => postings(s, dir).count(),
+      // the unfiltered pair-agg + per-group rare counts (r16: shared by
+      // dedup_ngram_jaccard AND dedup_containment) derive from postings
+      () => {
+        postings(s, dir).count()
+        graft.Par.run(Seq(
+          () => pairSharedCounts(s, dir).count(),
+          () => groupRareCounts(s, dir).count()))
+      },
       () => { minhashBands(s, dir).count(); minhashPairs(s, dir).count() },
       () => simhashes(s, dir).count(),
       () => { rareStringSets(s, dir).count(); ngramMinhashSigs(s, dir).count() }))

@@ -107,24 +107,45 @@ object Multimodal {
     * a key-partitioned join back; at 100 TB only (doc_id, phash) pairs
     * shuffle.
     */
+  /** (doc_id, text) → (doc_id, phash): the 60-bit aHash as a PER-ROW
+    * expression chain — no doc-grain exchange at all (r16; the pre-r16
+    * shape fanned 60 (doc, i, v) rows per doc through posexplode into a
+    * doc-partitioned window + hash agg, i.e. a full shuffle of 60× the
+    * corpus row count just to bind the sample array and its mean).
+    * The CollapseProject trap (see git history: inlining the transform
+    * into 60 bit lambdas re-ran the O(len) substr scan 60×60 times per
+    * row) is avoided by a SINGLE-ELEMENT Generate barrier:
+    * explode(array(vals)) materializes the sample array once per row as
+    * a Generate output ATTRIBUTE, so every downstream lambda folds a
+    * bound 60-long array (3.6 k long-adds/row worst case — noise)
+    * instead of re-evaluating the substr transform. Generate pipelines
+    * inside the scan stage; the only exchanges left are the n_same
+    * group count and the output sort.
+    */
+  private def phashOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(array(expr(
+        "transform(sequence(0, 59), i -> ascii(substr(text, 1 + cast((i * length(text)) div 60 as int), 1)))")))
+        .as("vals"))
+      // `total` gets its own one-element Generate barrier: left as a plain
+      // projection, CollapseProject inlines the fold into the bit lambda
+      // below and the 60-element sum re-runs per bit — 3.6 k interpreted
+      // lambda evals/row (measured 1.5 → 5.1 s, the same trap one level up)
+      .select(col("doc_id"), col("vals"),
+        explode(array(expr("aggregate(vals, 0L, (a, x) -> a + x)"))).as("total"))
+      .select(col("doc_id"), expr(
+        """aggregate(zip_with(vals, sequence(0, 59),
+          |  (v, i) -> IF(v * 60 > total, shiftleft(1L, i), 0L)), 0L, (a, x) -> a + x)"""
+          .stripMargin).as("phash"))
+
   private val phash: Q = (s, dir) => {
-    import org.apache.spark.sql.expressions.Window
-    // One (doc, i, sampled byte) row per hash position, via posexplode.
-    // The generator is a hard projection boundary: computing the sample
-    // array inline and then referencing it from the 60 bit lambdas lets
-    // CollapseProject inline the transform (and the mean!) into EVERY
-    // lambda evaluation — 60 x 60 x 60 substr calls per row, each an O(len)
-    // UTF8 scan. That shipped at 38 ms/doc; this shape is ~0.1 ms/doc.
-    val v = Tables(s, dir, "documents")
-      .select(col("doc_id"), posexplode(expr(
-        "transform(sequence(0, 59), i -> ascii(substr(text, 1 + cast((i * length(text)) div 60 as int), 1)))"))
-        .as(Seq("i", "v")))
-    // whole-partition window + the groupBy share the doc_id exchange
-    val h = v.withColumn("total", sum(col("v")).over(Window.partitionBy("doc_id")))
-      .groupBy("doc_id")
-      .agg(sum(expr("IF(v * 60 > total, shiftleft(1L, i), 0L)")).as("phash"))
-    val groups = h.groupBy("phash").agg(count(lit(1)).as("n_same"))
-    h.join(groups, "phash")
+    // n_same via a phash-partitioned window count, not groupBy + join-back:
+    // the join shape evaluated the h subtree twice (no exchange below it,
+    // so no ReusedExchange) and paid a broadcast build; the window shares
+    // the single phash exchange (r16 — 1.52 → ~1.0 s isolated).
+    phashOf(Tables(s, dir, "documents").select(col("doc_id"), col("text")))
+      .withColumn("n_same", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("phash")))
       .select(col("doc_id"), col("phash"), col("n_same"))
       .orderBy("doc_id")
   }
@@ -141,19 +162,24 @@ object Multimodal {
     * with a byte lookup.
     */
   private val resizeStub: Q = (s, dir) => {
-    val v = Tables(s, dir, "documents")
+    // Per-row expression chain over the 64-pixel sample array, bound once
+    // via the same single-element Generate barrier as [[phashOf]] (r16).
+    // The pre-r16 shape posexploded 64 (i, px) rows per doc and reassembled
+    // them through a (doc, w, h)-keyed hash agg with array_sort(collect_list)
+    // — a 64×-corpus-rows shuffle whose only purpose was binding `ps` once.
+    // Now the grid fingerprint and checksum fold the bound array in place;
+    // the output sort is the only exchange left.
+    Tables(s, dir, "documents")
       .select(col("doc_id"), col("text"),
         (lit(64) + pmod(length(col("text")), lit(512))).cast("bigint").as("w"),
         (lit(64) + pmod(length(col("text")) * 7, lit(512))).cast("bigint").as("h"))
-      .select(col("doc_id"), col("w"), col("h"), posexplode(expr(
+      .select(col("doc_id"), col("w"), col("h"), explode(array(expr(
         """transform(sequence(0, 63), i -> ascii(substr(text,
           |  1 + cast(((((i div 8) * h) div 8) * w + (((i % 8) * w) div 8)) % length(text) as int),
-          |  1)))""".stripMargin)).as(Seq("i", "px")))
-    v.groupBy("doc_id", "w", "h")
-      .agg(
-        expr("md5(concat_ws(',', transform(array_sort(collect_list(struct(i, px))), x -> cast(x.px AS string))))")
-          .as("grid_fp"),
-        sum(col("px")).as("checksum"))
+          |  1)))""".stripMargin))).as("ps"))
+      .select(col("doc_id"), col("w"), col("h"),
+        expr("md5(concat_ws(',', transform(ps, x -> cast(x AS string))))").as("grid_fp"),
+        expr("aggregate(ps, 0L, (a, x) -> a + x)").as("checksum"))
       .orderBy("doc_id")
   }
 
@@ -169,9 +195,14 @@ object Multimodal {
     * is O(docs) and the shape is embarrassingly parallel at 100 TB.
     */
   /** Per-(doc, frame) integer energy + peak over the stub PCM samples —
-    * shared by [[audioEnergy]] and [[shotBoundary]].
+    * shared by [[audioEnergy]], [[shotBoundary]] and [[alignStub]].
+    * Session-cached (r16): all three consumers re-ran the identical
+    * 256-sample/doc posexplode fan-out + doc-grain hash agg; the frame
+    * table is O(docs·8) rows, far smaller than its build input, so one
+    * shared build per (session, corpus) is the same whole-corpus
+    * substrate discipline as the dedup shingle caches.
     */
-  private def frames(s: SparkSession, dir: String) = {
+  private def frames(s: SparkSession, dir: String) = graft.Cached.of(s, dir, "mm.frames") {
     val v = Tables(s, dir, "documents")
       .filter(length(col("text")) >= 32)
       .withColumn("nf", least(lit(8), (length(col("text")) / 32).cast("int")))
@@ -237,13 +268,8 @@ object Multimodal {
                  |  repeat('~', length(text) div 30 + 1),
                  |  substr(text, length(text) div 2 + length(text) div 30 + 2))"""
             .stripMargin).as("text")))
-    val v = aug.select(col("doc_id"), posexplode(expr(
-      "transform(sequence(0, 59), i -> ascii(substr(text, 1 + cast((i * length(text)) div 60 as int), 1)))"))
-      .as(Seq("i", "v")))
-    val h = v.withColumn("total",
-        sum(col("v")).over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
-      .groupBy("doc_id")
-      .agg(sum(expr("IF(v * 60 > total, shiftleft(1L, i), 0L)")).as("phash"))
+    // per-row phash chain — same shape (and rationale) as [[phashOf]]
+    val h = phashOf(aug)
     val reps = h.groupBy("phash").agg(count(lit(1)).as("n_docs"))
     val bands = reps.select(col("phash"), explode(expr(
         "transform(sequence(0, 3), c -> struct(c AS cidx, (shiftright(phash, 15 * c) & 32767) AS cval))"))
