@@ -217,22 +217,43 @@ object Ingest {
     val o = Tables(s, dir, "orders").withColumn("o_custkey",
       when(col("o_orderkey") % 10 === 0, lit(null).cast("bigint"))
         .otherwise(col("o_custkey")))
-    // (name, numeric min/max source, string min/max source)
+    // (name, numeric min/max source, string min/max source). String
+    // min/max sources are computed in a SEPARATE grouping-free fold (r16):
+    // a string agg buffer is immutable, and ONE string min/max in the
+    // multi-distinct aggregation forces the ENTIRE 6×-Expand output
+    // through SortAggregate — a full sort of 6n rows by the 6-key
+    // distinct spine (measured 2.7 s isolated at sf0.1; the sort grows
+    // n·log n at 100 TB while the hash path stays linear). The date
+    // min/max stays in the hash pass on the NATIVE timestamp (mutable
+    // long buffer) — 'yyyy-MM-dd' is order-preserving, so formatting
+    // after the fold is identical to folding the formatted strings.
     val specs: Seq[(String, Option[String], Option[String])] = Seq(
       ("o_orderkey", Some("cast(o_orderkey as double)"), None),
       ("o_custkey", Some("cast(o_custkey as double)"), None),
       ("o_totalprice", Some("o_totalprice"), None),
       ("o_orderstatus", None, Some("o_orderstatus")),
-      ("o_orderdate", None, Some("date_format(o_orderdate, 'yyyy-MM-dd')")))
-    val aggs = specs.flatMap { case (c, num, str) => Seq(
+      ("o_orderdate", None, Some("o_orderdate")))
+    val aggs = specs.flatMap { case (c, num, _) => Seq(
       count(col(c)).as(s"nn_$c"),
       countDistinct(col(c)).as(s"nd_$c"),
       num.map(e => min(expr(e))).getOrElse(lit(null).cast("double")).as(s"mnn_$c"),
-      num.map(e => max(expr(e))).getOrElse(lit(null).cast("double")).as(s"mxn_$c"),
-      str.map(e => min(expr(e))).getOrElse(lit(null).cast("string")).as(s"mns_$c"),
-      str.map(e => max(expr(e))).getOrElse(lit(null).cast("string")).as(s"mxs_$c"))
-    }
+      num.map(e => max(expr(e))).getOrElse(lit(null).cast("double")).as(s"mxn_$c"))
+    } ++ Seq(
+      date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("mns_o_orderdate"),
+      date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("mxs_o_orderdate"))
+    // grouping-free string fold: SortAggregate without grouping keys needs
+    // no Sort and no Expand — one linear pass, 1-row result
+    val strs = o.agg(
+      min(col("o_orderstatus")).as("mns_o_orderstatus"),
+      max(col("o_orderstatus")).as("mxs_o_orderstatus"))
     val a = o.agg(count(lit(1)).as("n_rows"), aggs: _*)
+      .crossJoin(broadcast(strs))
+      .select(col("*") +: specs.collect {
+        // the numeric columns' null string-stat slots (the hash pass
+        // already emits null numeric slots for the string columns)
+        case (c, Some(_), _) => Seq(
+          lit(null).cast("string").as(s"mns_$c"), lit(null).cast("string").as(s"mxs_$c"))
+      }.flatten: _*)
     val stackArgs = specs.map { case (c, _, _) =>
       s"'$c', nn_$c, nd_$c, mnn_$c, mxn_$c, mns_$c, mxs_$c" }.mkString(", ")
     a.selectExpr("n_rows",
