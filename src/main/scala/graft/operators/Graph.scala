@@ -652,19 +652,37 @@ object Graph {
     var lbl = allNodes.select(col("node"), col("node").as("lbl")).localCheckpoint(true)
     var r = 1
     var converged = false
+    // monotone convergence check via the exact label sum (labels only
+    // ever decrease, so sum-unchanged ⟺ no label changed) — one narrow
+    // aggregate job over the fresh checkpoint instead of the former
+    // node×node join per round (r16; the same trick pointer-doubling
+    // adopted in round 10, worth one full join job × rounds here)
+    var prevSum = lblSum(lbl)
     while (r <= maxRounds && !converged) {
       val next = adj.join(lbl, col("src") === col("node"))
         .select(col("dst").as("node"), col("lbl"))
         .unionAll(lbl)
         .groupBy("node").agg(min(col("lbl")).as("lbl"))
         .localCheckpoint(true)
-      val changed = next.as("n").join(lbl.as("o"), "node")
-        .filter(col("n.lbl") =!= col("o.lbl"))
-      if (changed.isEmpty) converged = true
+      val nextSum = lblSum(next)
+      if (nextSum.compareTo(prevSum) == 0) converged = true
+      prevSum = nextSum
       lbl = next
       r += 1
     }
     lbl
+  }
+
+  /** Exact decimal label sum — the monotone-convergence observable shared
+    * by [[hashMinLabels]] and [[pointerDoubleLabelsWithRounds]]. SUM over
+    * zero rows is NULL: an EMPTY graph is legitimate input (the CC fold
+    * against an already-merged label artifact leaves no
+    * component-connecting edges — the idempotent re-serve) and must read
+    * as a converged fixpoint, not an NPE.
+    */
+  private def lblSum(df: DataFrame): java.math.BigDecimal = {
+    val s = df.agg(sum(col("lbl").cast("decimal(38,0)")).as("s")).head().getDecimal(0)
+    if (s == null) java.math.BigDecimal.ZERO else s
   }
 
   /** Hash-min + POINTER DOUBLING: each round gathers the neighbor
@@ -700,15 +718,7 @@ object Graph {
     // round changed something iff the exact label sum dropped — one
     // narrow aggregate job over the fresh checkpoint instead of a
     // node×node join per round (DECIMAL(38,0) keeps the sum exact at
-    // any node-id × node-count scale a cluster can hold)
-    def lblSum(df: DataFrame): java.math.BigDecimal = {
-      // SUM over zero rows is NULL: an EMPTY graph is legitimate input
-      // (e.g. the CC fold against an already-merged label artifact
-      // leaves no component-connecting edges — the idempotent re-serve)
-      // and must read as a converged fixpoint, not an NPE
-      val s = df.agg(sum(col("lbl").cast("decimal(38,0)")).as("s")).head().getDecimal(0)
-      if (s == null) java.math.BigDecimal.ZERO else s
-    }
+    // any node-id × node-count scale a cluster can hold); [[lblSum]]
     var prevSum = lblSum(lbl)
     while (r <= maxRounds && !converged) {
       // gather + jump in ONE materialized round: lbl_r = lbl_{r-1} ∘
@@ -743,12 +753,14 @@ object Graph {
     (lbl, lastChange)
   }
 
-  private def componentsOutput(lbl: DataFrame): DataFrame = {
-    val sizes = lbl.groupBy("lbl").agg(count(lit(1)).as("n_nodes"))
-    lbl.join(sizes, "lbl")
+  private def componentsOutput(lbl: DataFrame): DataFrame =
+    // component sizes via a label-partitioned window count (r16): the
+    // former groupBy + join-back re-read the label table twice and paid
+    // a broadcast build; the window shares the one label exchange
+    lbl.withColumn("n_nodes", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lbl")))
       .select(col("node"), col("lbl").as("component"), col("n_nodes"))
       .orderBy("node")
-  }
 
   private val connectedComponents: Q = (s, dir) =>
     componentsOutput(hashMinLabels(adjacency(s, dir), 8))
