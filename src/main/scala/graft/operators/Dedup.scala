@@ -80,7 +80,8 @@ object Dedup {
     "dedup_minhash_pairs" -> (minhashPairs _),
     "dedup_simhash" -> (simhashes _),
     "dedup_rarestr" -> (rareStringSets _),
-    "dedup_ngmh_sig" -> (ngramMinhashSigs _))
+    "dedup_ngmh_sig" -> (ngramMinhashSigs _),
+    "dedup_ngmh_pairs" -> (ngramMinhashPairs _))
 
   private def shingles(s: SparkSession, dir: String): DataFrame =
     ccache(s, dir, "dedup.sh64", "dedup_sh64") {
@@ -292,7 +293,15 @@ object Dedup {
     * bytes/rep, bucket joins are quadratic only within a band bucket,
     * and the Σ-shared verify bill is paid only for candidate pairs.
     */
-  private val ngramMinhash: Q = (s, dir) => {
+  /** The VERIFIED ngram-minhash near-dup doc-pair table (doc_a, doc_b,
+    * jaccard) — cached like [[minhashPairs]] (r16): `dedup_ngram_minhash`
+    * reports it and the recall gate joins against it, so each consumer
+    * previously re-ran banding + size-prefilter + exact verify. Output-
+    * bounded (verified J ≥ 0.6 pairs only), so it rides the corpus-cache
+    * panel exactly as the 32-perm pair table does.
+    */
+  private def ngramMinhashPairs(s: SparkSession, dir: String): DataFrame =
+    ccache(s, dir, "dedup.ngmh.pairs", "dedup_ngmh_pairs") {
     val sh = shingles(s, dir)
     val rsets = rareStringSets(s, dir)
     val bands = ngramMinhashSigs(s, dir).select(col("ckey"),
@@ -347,8 +356,11 @@ object Dedup {
       .join(sh.select(col("ckey"), col("doc_id").as("id_b")), "ckey")
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("jaccard"))
-    inter.unionAll(intra).orderBy("doc_a", "doc_b")
-  }
+    inter.unionAll(intra)
+    }
+
+  private val ngramMinhash: Q = (s, dir) =>
+    ngramMinhashPairs(s, dir).orderBy("doc_a", "doc_b")
 
   /** Recall of the minhash-candidate pairs against the exact pair set,
     * measured WITHIN a deterministic hash-sampled subcorpus (md5-prefix
@@ -408,7 +420,7 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
     val exact = inter.unionAll(intra)
-    val approx = ngramMinhash(s, dir)
+    val approx = ngramMinhashPairs(s, dir)
       .select(col("doc_a").as("qa"), col("doc_b").as("qb"))
     exact.join(approx,
         col("doc_a") === col("qa") && col("doc_b") === col("qb"), "left")
@@ -1239,7 +1251,8 @@ object Dedup {
       },
       () => { minhashBands(s, dir).count(); minhashPairs(s, dir).count() },
       () => simhashes(s, dir).count(),
-      () => { rareStringSets(s, dir).count(); ngramMinhashSigs(s, dir).count() }))
+      () => { rareStringSets(s, dir).count(); ngramMinhashSigs(s, dir).count()
+        ngramMinhashPairs(s, dir).count() }))
   }
 
   val queries: Map[String, Q] = Map(
