@@ -183,8 +183,14 @@ object Graph {
     * warm cost (r11 verdict ask #5: warmup attribution + trim).
     */
   def prewarm(s: SparkSession, dir: String): Unit = {
+    def t[A](name: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val r = body
+      System.err.println(f"[gwarm] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
     // the co-purchase edge set feeds every chain below — build it first
-    edges(s, dir).count()
+    t("edges")(edges(s, dir).count())
     // three dependency-disjoint chains run concurrently (graft.Par,
     // r14 verdict ask #4): the main-substrate chain, the frozen 1995
     // truss slice, and the bipartite history CC labels (ask #5 — a
@@ -193,18 +199,18 @@ object Graph {
     // the nightly fold, not the one-time history pointer-doubling)
     graft.Par.run(Seq(
       () => {
-        adjacency(s, dir).count()
-        degrees(s, dir).count()
+        t("adjacency")(adjacency(s, dir).count())
+        t("degrees")(degrees(s, dir).count())
         graft.Par.run(Seq(
-          () => lpaLabels(s, dir).count(),
-          () => triangleRows(s, dir).count()))
+          () => t("lpaLabels")(lpaLabels(s, dir).count()),
+          () => t("triangleRows")(triangleRows(s, dir).count())))
       },
       () => {
-        edges1995(s, dir).count()
-        triE1995(s, dir).count()
-        edgeSup1995(s, dir).count()
+        t("edges1995")(edges1995(s, dir).count())
+        t("triE1995")(triE1995(s, dir).count())
+        t("edgeSup1995")(edgeSup1995(s, dir).count())
       },
-      () => { histCcLabels(s, dir).count(); ccBatchE(s, dir).count() }))
+      () => { t("histCcLabels")(histCcLabels(s, dir).count()); t("ccBatchE")(ccBatchE(s, dir).count()) }))
   }
 
   /** Degree-ordered orientation of [[edges]] — the shared substrate of
@@ -663,7 +669,7 @@ object Graph {
         .select(col("dst").as("node"), col("lbl"))
         .unionAll(lbl)
         .groupBy("node").agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint(true)
+        .localCheckpoint()  // lazy: the sum job below materializes it (r16)
       val nextSum = lblSum(next)
       if (nextSum.compareTo(prevSum) == 0) converged = true
       prevSum = nextSum
@@ -741,9 +747,13 @@ object Graph {
         .unionAll(lbl)
         .groupBy("node").agg(min(col("lbl")).as("lbl"))
       val lookup = lbl.select(col("node").as("lbl"), col("lbl").as("lbl2"))
+      // LAZY checkpoint (r16): the convergence-sum job right below is
+      // the first action, so it materializes the checkpoint as a side
+      // effect — one job per round instead of an eager-materialize job
+      // plus the sum job
       val next = gather.join(lookup, "lbl")
         .select(col("node"), col("lbl2").as("lbl"))
-        .localCheckpoint(true)
+        .localCheckpoint()
       val nextSum = lblSum(next)
       if (nextSum.compareTo(prevSum) == 0) converged = true else lastChange = r
       prevSum = nextSum
@@ -832,9 +842,16 @@ object Graph {
       batchBedges(s, dir).localCheckpoint(true))
 
   private def symAdj(s: SparkSession, e: DataFrame, width: Option[Int] = None): DataFrame =
+    // eagerly materialized (r16): every consumer is an iterative label
+    // loop whose gather join references the adjacency ONCE PER ROUND —
+    // unchcheckpointed, the history CC build re-ran its lineitem scan +
+    // md5 split + distinct + symmetrize 8× (measured 19.7 s of the graph
+    // prewarm; 7.3 s after). The copy is edge-sized, the same bill the
+    // persisted full-corpus adjacency cache already pays.
     e.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
       .repartition(width.getOrElse(s.sparkContext.defaultParallelism), col("src"))
+      .localCheckpoint(true)
 
   /** Frozen-index artifact: the CONVERGED min-id component labels of the
     * history bipartite graph ([[pointerDoubleLabels]], fail-loud if the
@@ -845,6 +862,7 @@ object Graph {
     val budget = 20
     val (lbl, lastChange) =
       pointerDoubleLabelsWithRounds(symAdj(s, histBedges(s, dir)), budget)
+    System.err.println(s"[gwarm] histCcLabels productive rounds: $lastChange")
     require(lastChange < budget,
       s"history CC labels still changing at the $budget-round budget — " +
         "refusing to persist a non-fixpoint label artifact")
@@ -1351,7 +1369,7 @@ object Graph {
           removedBefore.fold(d)(b => d.join(maybeBcast(b), Seq("u", "v"), "left_anti"))
         })
         .select(col("u"), col("v"), lit(r.toLong).as("removed_round"))
-        .localCheckpoint(true)
+        .localCheckpoint()  // lazy: the count below materializes it (r16)
       val nLow = low.count()
       if (nLow == 0L) converged = true
       else {

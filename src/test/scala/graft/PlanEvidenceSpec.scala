@@ -257,14 +257,17 @@ class PlanEvidenceSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(p.contains("BroadcastHashJoin"), s"bucket filter should broadcast:\n$p")
   }
 
-  test("graph_connected_components: label rounds reuse the cached adjacency; the only aggregates are map-side-combining mins") {
+  test("graph_connected_components: label rounds reuse the cached adjacency; the finish is one label exchange") {
     val df = operators.Graph.queries("graph_connected_components")(s, dir)
     val p = planString(df)
     // fixpoint loop materializes rounds via localCheckpoint: the final
-    // plan must be label-table-sized work (scan + min agg + size join),
-    // with no window and no sort over the edge list
-    assert(!p.contains("Window"), s"no window belongs in the CC finish:\n$p")
-    assert(p.contains("HashAggregate"), s"component sizes should hash-aggregate:\n$p")
+    // plan must be label-table-sized work — component sizes come from a
+    // SINGLE label-partitioned window count (r16; the former groupBy +
+    // join-back re-read the label table twice and paid a broadcast
+    // build), so exactly one lbl window and NO join in the finish
+    assert(p.linesIterator.exists(l => l.contains("Window") && l.contains("lbl")),
+      s"component sizes should come from the lbl-partitioned window count:\n$p")
+    assert(!p.contains("Join"), s"no join belongs in the CC finish:\n$p")
   }
 
   test("emb_covariance: one mergeable Gramian aggregate pass — the corpus never explodes to dimension pairs") {
@@ -287,11 +290,25 @@ class PlanEvidenceSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       s"credit windows must be purchase-local:\n$p")
   }
 
-  test("dq_profile is one scan: all 30 metrics share a single aggregation pass") {
+  test("dq_profile: the multi-distinct pass stays on HashAggregate; the string fold is a 1-column side scan") {
     val df = operators.Ingest.queries("dq_profile")(s, dir)
     val p = planString(df).split("== Initial Plan ==").head
+    // r16: metrics split into the Expand-backed multi-distinct HASH pass
+    // plus a grouping-free string min/max fold (a string agg buffer is
+    // immutable — one string min/max in the main pass forced the whole
+    // 6x-Expand output through SortAggregate with a full 6-key sort).
+    // Two scans, but the side scan reads ONE column and the Expand path
+    // must never sort-aggregate.
     val scans = "Scan parquet".r.findAllIn(p).size
-    assert(scans <= 1, s"expected a single orders scan, got $scans:\n$p")
+    assert(scans <= 2, s"expected the metric pass + the 1-column string fold, got $scans:\n$p")
+    val expandIdx = p.indexOf("Expand")
+    assert(expandIdx >= 0, s"multi-distinct Expand missing:\n$p")
+    // keyless SortAggregate (the string fold) is fine — it needs no
+    // Sort; a KEYED one means the distinct spine fell off the hash path
+    assert(!"SortAggregate\\(key=\\[[^\\]]".r.findFirstIn(p).isDefined,
+      s"keyed SortAggregate crept back into the profile:\n$p")
+    assert(p.contains("ReadSchema: struct<o_orderstatus:string>"),
+      s"the string fold must scan only o_orderstatus:\n$p")
   }
 
   test("flow_markov_transitions shuffles once on user_id; the matrix agg partial-aggregates map-side") {
