@@ -1230,12 +1230,18 @@ object Dedup {
     * queries that take ~13 s warm).
     */
   def prewarm(s: SparkSession, dir: String): Unit = {
+    def t[A](name: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val r = body
+      System.err.println(f"[dwarm] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
     // shared base chain first — everything below derives from it, so
     // building it up front keeps the concurrent chains off each
     // other's Cached keys
-    Tables.docsSpread(s, dir).count()
-    shingles(s, dir).count()
-    contentGroups(s, dir).count()
+    t("docsSpread")(Tables.docsSpread(s, dir).count())
+    t("shingles")(shingles(s, dir).count())
+    t("contentGroups")(contentGroups(s, dir).count())
     // the derived chains are dependency-disjoint: build them
     // concurrently (graft.Par) — the phase was latency-bound on
     // sequential job barriers (r14 verdict ask #4: 18.5 s of the
@@ -1244,15 +1250,17 @@ object Dedup {
       // the unfiltered pair-agg + per-group rare counts (r16: shared by
       // dedup_ngram_jaccard AND dedup_containment) derive from postings
       () => {
-        postings(s, dir).count()
+        t("postings")(postings(s, dir).count())
         graft.Par.run(Seq(
-          () => pairSharedCounts(s, dir).count(),
-          () => groupRareCounts(s, dir).count()))
+          () => t("pairSharedCounts")(pairSharedCounts(s, dir).count()),
+          () => t("groupRareCounts")(groupRareCounts(s, dir).count())))
       },
-      () => { minhashBands(s, dir).count(); minhashPairs(s, dir).count() },
-      () => simhashes(s, dir).count(),
-      () => { rareStringSets(s, dir).count(); ngramMinhashSigs(s, dir).count()
-        ngramMinhashPairs(s, dir).count() }))
+      () => { t("minhashBands")(minhashBands(s, dir).count())
+        t("minhashPairs")(minhashPairs(s, dir).count()) },
+      () => t("simhashes")(simhashes(s, dir).count()),
+      () => { t("rareStringSets")(rareStringSets(s, dir).count())
+        t("ngramMinhashSigs")(ngramMinhashSigs(s, dir).count())
+        t("ngramMinhashPairs")(ngramMinhashPairs(s, dir).count()) }))
   }
 
   val queries: Map[String, Q] = Map(
